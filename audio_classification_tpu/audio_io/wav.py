@@ -59,7 +59,7 @@ def _native_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_int),  # channels
                     ctypes.POINTER(ctypes.c_longlong),  # frames
                 ]
-                lib.wav_read_f32.restype = ctypes.c_int
+                lib.wav_read_f32.restype = ctypes.c_longlong
                 lib.wav_read_f32.argtypes = [
                     ctypes.c_char_p,
                     ctypes.POINTER(ctypes.c_float),
@@ -172,9 +172,11 @@ def read_wav(path: str | os.PathLike, always_2d: bool = False) -> Tuple[np.ndarr
         if rc == 0:
             n = nf.value * ch.value
             buf = np.empty(n, dtype=np.float32)
-            rc = lib.wav_read_f32(path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
-            if rc == 0:
-                x, channels = buf, ch.value
+            got = lib.wav_read_f32(path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+            if got >= 0:
+                channels = ch.value
+                # truncated files decode fewer samples than the header declares
+                x = buf[: (got // channels) * channels] if channels > 1 else buf[:got]
                 if channels > 1:
                     x = x.reshape(-1, channels).T
                 elif always_2d:

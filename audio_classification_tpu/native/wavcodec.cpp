@@ -101,8 +101,9 @@ int wav_read_info(const char* path, int* sample_rate, int* channels,
 }
 
 // Decode interleaved samples into `out` (capacity = frames*channels floats).
-// Returns 0 on success.
-int wav_read_f32(const char* path, float* out, long long capacity) {
+// Returns the number of samples decoded (which may be less than the header
+// declares for truncated files), or a negative error code.
+long long wav_read_f32(const char* path, float* out, long long capacity) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   WavInfo info;
@@ -147,7 +148,7 @@ int wav_read_f32(const char* path, float* out, long long capacity) {
   } else {
     return -4;
   }
-  return 0;
+  return n;
 }
 
 // Write interleaved float samples (clipped) as 16-bit PCM. Returns 0 on success.

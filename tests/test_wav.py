@@ -86,6 +86,17 @@ def test_numpy_fallback_matches_native(tmp_path, monkeypatch):
     np.testing.assert_array_equal(y_native, y_np)
 
 
+def test_truncated_file_decodes_prefix_only(tmp_path):
+    x = _sine()
+    p = tmp_path / "t.wav"
+    write_wav(p, x, 16000, encoding="pcm16")
+    trunc = tmp_path / "trunc.wav"
+    trunc.write_bytes(p.read_bytes()[:144])  # 44-byte header + 100 bytes = 50 samples
+    y, _ = read_wav(trunc)
+    assert y.shape[0] == 50
+    assert np.max(np.abs(y - x[:50])) < 1.0 / 32000
+
+
 def test_bad_file_raises(tmp_path):
     p = tmp_path / "bad.wav"
     p.write_bytes(b"not a wav at all")
