@@ -1,0 +1,111 @@
+"""SenseVoice-style non-autoregressive CTC ASR encoder.
+
+TPU-native counterpart of the reference's primary recognizer,
+`sherpa_onnx.OfflineRecognizer.from_sense_voice` (reference:
+src/model.py:79-87; the int8 SenseVoice zh-en-ja-ko-yue ONNX model). Shape
+of the computation:
+
+  waveform -> log-mel fbank(80) -> LFR(7,6) stack -> CMVN -> linear to d
+  -> 4 prompt frames (language + itn embeddings, SenseVoice convention)
+  -> transformer encoder (parallel over time; the original SAN-M's
+     FSMN-memory branch appears as a depthwise-conv branch per block)
+  -> CTC vocabulary logits (greedy decode in asr/ctc.py)
+
+All stages batch over padded segments with frame masks; one XLA program per
+length bucket.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..common import TransformerBlock, lengths_to_mask, sinusoidal_positions
+from ...ops.fbank import FbankConfig, apply_lfr, log_mel_fbank
+
+LANGUAGES = ("auto", "zh", "en", "yue", "ja", "ko", "nospeech")
+
+
+@dataclass(frozen=True)
+class SenseVoiceConfig:
+    vocab_size: int = 512            # real model: 25055; tests use small vocabs
+    dim: int = 512
+    heads: int = 8
+    layers: int = 12
+    ffn_mult: int = 4
+    conv_kernel: int = 11            # FSMN-equivalent memory span
+    lfr_m: int = 7
+    lfr_n: int = 6
+    num_mel: int = 80
+    num_prompt: int = 4              # language, event, emotion, itn slots
+    fbank: FbankConfig = field(default_factory=FbankConfig)
+
+    def out_frames(self, n_samples: int) -> int:
+        import numpy as np
+
+        n = self.fbank.frames_for(n_samples)
+        return int(np.ceil(n / self.lfr_n)) + self.num_prompt
+
+
+class SenseVoiceEncoder(nn.Module):
+    """[B, T_lfr, lfr_m*mel] features (+ mask) -> [B, prompt+T_lfr, vocab]."""
+
+    cfg: SenseVoiceConfig = SenseVoiceConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,
+        frame_mask: Optional[jnp.ndarray] = None,
+        language_id: int = 0,
+        use_itn: bool = True,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        x = nn.Dense(c.dim, name="in_proj")(feats)
+        b, t = x.shape[0], x.shape[1]
+
+        lang_emb = self.param("lang_embed", nn.initializers.normal(0.02), (len(LANGUAGES), c.dim))
+        itn_emb = self.param("itn_embed", nn.initializers.normal(0.02), (2, c.dim))
+        prompt_pad = self.param("prompt_pad", nn.initializers.normal(0.02), (c.num_prompt - 2, c.dim))
+        prompt = jnp.concatenate(
+            [lang_emb[language_id][None], itn_emb[1 if use_itn else 0][None], prompt_pad], axis=0
+        )  # [num_prompt, dim]
+        x = jnp.concatenate([jnp.tile(prompt[None], (b, 1, 1)), x], axis=1)
+        if frame_mask is not None:
+            mask = jnp.concatenate(
+                [jnp.ones((b, c.num_prompt), bool), frame_mask.astype(bool)], axis=1
+            )
+        else:
+            mask = None
+        pos = jnp.asarray(sinusoidal_positions(t + c.num_prompt, c.dim))
+        x = x + pos[None]
+        for i in range(c.layers):
+            x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel, name=f"block_{i}")(x, mask)
+        x = nn.LayerNorm(name="final_ln")(x)
+        return nn.Dense(c.vocab_size, name="ctc_head")(x)
+
+
+def sensevoice_frontend(
+    wav: jnp.ndarray,
+    wav_lengths: jnp.ndarray,
+    cfg: SenseVoiceConfig,
+    cmvn_mean: Optional[jnp.ndarray] = None,
+    cmvn_istd: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, T] padded waveforms + lengths -> (lfr feats [B, T', D'], mask)."""
+    import numpy as np
+
+    feats = log_mel_fbank(wav, cfg.fbank)
+    if cmvn_mean is not None:
+        feats = feats + cmvn_mean
+    if cmvn_istd is not None:
+        feats = feats * cmvn_istd
+    lfr = apply_lfr(feats, cfg.lfr_m, cfg.lfr_n)
+    n_t = lfr.shape[1]
+    shift, flen = cfg.fbank.frame_shift, cfg.fbank.frame_length
+    fb_len = jnp.maximum((wav_lengths - flen) // shift + 1, 0)
+    lfr_len = jnp.ceil(fb_len / cfg.lfr_n).astype(jnp.int32)
+    mask = lengths_to_mask(jnp.maximum(lfr_len, 1), n_t)
+    return lfr, mask

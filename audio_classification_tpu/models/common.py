@@ -1,0 +1,177 @@
+"""Shared model-layer building blocks (flax.linen).
+
+Conventions:
+- time-major feature tensors are [B, T, C] (lax.conv wants NCH; the conv
+  helpers here transpose internally so model code stays readable);
+- every module takes an optional boolean frame/sample mask and keeps padded
+  positions inert, because the engine feeds padded length-bucketed batches;
+- params stay f32; matmul inputs may be cast to bf16 by the caller's policy.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class GlobalLayerNorm(nn.Module):
+    """Global LN over (time, channels) jointly — the gLN used by Conv-TasNet.
+
+    Input [B, T, C]; statistics over both T and C, masked for padding.
+    """
+
+    channels: int
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
+        beta = self.param("beta", nn.initializers.zeros, (self.channels,))
+        if mask is None:
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+            var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+        else:
+            m = mask[..., None].astype(x.dtype)  # [B, T, 1]
+            count = jnp.maximum(jnp.sum(m, axis=(1, 2), keepdims=True) * x.shape[-1], 1.0)
+            mean = jnp.sum(x * m, axis=(1, 2), keepdims=True) / count
+            var = jnp.sum(((x - mean) * m) ** 2, axis=(1, 2), keepdims=True) / count
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * gamma + beta
+
+
+class ChannelLayerNorm(nn.Module):
+    """Per-frame LN over channels (cLN). Input [B, T, C]."""
+
+    channels: int
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
+        beta = self.param("beta", nn.initializers.zeros, (self.channels,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with a single learnable slope (torch default)."""
+
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        a = self.param("alpha", nn.initializers.constant(self.init), (1,))
+        return jnp.where(x >= 0, x, a * x)
+
+
+def conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1, dilation: int = 1,
+           padding: str | list = "SAME", groups: int = 1) -> jnp.ndarray:
+    """[B, T, Cin] x [K, Cin/groups, Cout] -> [B, T', Cout] (feature-last)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride,),
+        padding=padding if isinstance(padding, str) else padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+
+
+class Conv1d(nn.Module):
+    """Feature-last 1-D convolution with optional depthwise grouping."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    padding: str = "SAME"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, cin // self.groups, self.features),
+        )
+        y = conv1d(x, k, self.stride, self.dilation, self.padding, self.groups)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
+def sinusoidal_positions(n: int, d: int, offset: int = 0) -> np.ndarray:
+    """Standard transformer sin/cos position table [n, d] (host constant)."""
+    pos = np.arange(offset, offset + n, dtype=np.float64)[:, None]
+    i = np.arange(d, dtype=np.float64)[None, :]
+    angle = pos / np.power(10000.0, (2 * (i // 2)) / d)
+    table = np.where(i % 2 == 0, np.sin(angle), np.cos(angle))
+    return table.astype(np.float32)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Masked MHSA, [B, T, D] with boolean frame mask [B, T]."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        d_head = self.dim // self.heads
+        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_split(t):
+            return t.reshape(t.shape[0], t.shape[1], self.heads, d_head).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_split(q), heads_split(k), heads_split(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits / np.sqrt(d_head)
+        if mask is not None:
+            bias = jnp.where(mask[:, None, None, :], 0.0, -1e9)
+            logits = logits + bias
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], self.dim)
+        return nn.Dense(self.dim, name="out")(out)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN transformer encoder block with optional depthwise conv branch
+    (a light conformer flavor: attn -> conv -> ffn)."""
+
+    dim: int
+    heads: int
+    ffn_mult: int = 4
+    conv_kernel: int = 0  # 0 disables the conv branch
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        h = nn.LayerNorm()(x)
+        x = x + MultiHeadSelfAttention(self.dim, self.heads)(h, mask)
+        if self.conv_kernel > 0:
+            h = nn.LayerNorm()(x)
+            if mask is not None:
+                h = h * mask[..., None]
+            c = Conv1d(self.dim, self.conv_kernel, groups=self.dim, name="dwconv")(h)
+            x = x + jax.nn.silu(c)
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.dim * self.ffn_mult)(h)
+        h = jax.nn.gelu(h)
+        x = x + nn.Dense(self.dim)(h)
+        if mask is not None:
+            x = x * mask[..., None]
+        return x
+
+
+def lengths_to_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """[B] int lengths -> [B, max_len] boolean mask."""
+    pos = jnp.arange(max_len)[None, :]
+    return pos < lengths[:, None]
