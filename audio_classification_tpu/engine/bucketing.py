@@ -1,0 +1,73 @@
+"""Length bucketing + padded batch assembly.
+
+XLA compiles one program per shape; segments have arbitrary lengths
+(reference processes them one by one at native length —
+overlap3_core.py:604-840). Here every variable-length item snaps to a
+geometric length bucket and batches snap to power-of-two sizes, so the
+total number of compiled programs per stage is
+O(#buckets x log2(max_batch)) and every program is reused across the run.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def default_buckets(sample_rate: int = 16000, min_sec: float = 0.5, max_sec: float = 64.0) -> Tuple[int, ...]:
+    """Geometric (x2) bucket lengths in samples."""
+    out = []
+    sec = min_sec
+    while sec < max_sec:
+        out.append(int(sec * sample_rate))
+        sec *= 2.0
+    out.append(int(max_sec * sample_rate))
+    return tuple(out)
+
+
+@dataclass(frozen=True)
+class BucketSpec:
+    lengths: Tuple[int, ...] = field(default_factory=default_buckets)
+    max_batch: int = 8
+
+    def bucket_for(self, n: int) -> int:
+        for b in self.lengths:
+            if n <= b:
+                return b
+        return self.lengths[-1]
+
+    def batch_size_for(self, n_items: int) -> int:
+        b = 1
+        while b < n_items and b < self.max_batch:
+            b *= 2
+        return min(b, self.max_batch)
+
+
+def pad_batch(
+    items: Sequence[np.ndarray], bucket_len: int, batch_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack 1-D arrays into [batch_size, bucket_len] + lengths [batch_size].
+
+    Items longer than the bucket are truncated (callers pick the bucket from
+    the max length, so that only happens at the global cap).
+    """
+    assert len(items) <= batch_size
+    wav = np.zeros((batch_size, bucket_len), dtype=np.float32)
+    lengths = np.zeros((batch_size,), dtype=np.int32)
+    for i, x in enumerate(items):
+        n = min(x.shape[-1], bucket_len)
+        wav[i, :n] = x[..., :n]
+        lengths[i] = n
+    return wav, lengths
+
+
+def group_by_bucket(
+    items: Sequence[np.ndarray], spec: BucketSpec
+) -> List[Tuple[int, List[int]]]:
+    """Group item indices by target bucket -> [(bucket_len, [indices])]."""
+    groups: dict = {}
+    for i, x in enumerate(items):
+        b = spec.bucket_for(x.shape[-1])
+        groups.setdefault(b, []).append(i)
+    return sorted(groups.items())

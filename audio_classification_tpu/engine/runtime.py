@@ -1,0 +1,248 @@
+"""Model pack + batched stage engine.
+
+This is the execution core that replaces the reference's per-segment
+host<->device ping-pong (reference: overlap3_core.py:604-840 calls C++
+ORT/torch once per segment per stage). Here each stage — OSD, separation,
+speaker embedding, ASR — is one jitted XLA program over a padded,
+length-bucketed batch:
+
+  wav batch [B, Tb] --fbank--> features --model--> outputs --unpad--> host
+
+jax.jit's shape-keyed cache gives one compiled program per (stage, bucket,
+batch-size); BucketSpec bounds that product. Params live on device for the
+whole run; only raw audio goes up and tiny results (ids, scores, probs)
+come back.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.asr.ctc import ctc_greedy_decode
+from ..models.asr.sensevoice import LANGUAGES, SenseVoiceConfig, SenseVoiceEncoder, sensevoice_frontend
+from ..models.asr.tokens import TokenTable
+from ..models.convtasnet import ConvTasNet, ConvTasNetConfig
+from ..models.mossformer import MossFormer, MossFormerConfig
+from ..models.osd import OSDConfig, OSDNet, probs_to_hop_flags
+from ..models.speaker import SpeakerBank, SpeakerEmbedder, SpeakerEmbedderConfig
+from ..models.vad import VADConfig, VADNet
+from ..ops.fbank import FbankConfig, log_mel_fbank
+from ..ops.resample import resample_linear, resample_poly
+from .bucketing import BucketSpec, group_by_bucket, pad_batch
+from .segments import flags_to_segments
+
+G_SAMPLE_RATE = 16000
+
+
+@dataclass(frozen=True)
+class EnginePreset:
+    """Model-size preset. 'full' mirrors the reference checkpoints' scale;
+    'tiny' keeps tests fast."""
+
+    name: str = "full"
+    osd: OSDConfig = field(default_factory=OSDConfig)
+    sep3: ConvTasNetConfig = field(default_factory=lambda: ConvTasNetConfig(n_src=3))
+    sep2: ConvTasNetConfig = field(default_factory=lambda: ConvTasNetConfig(n_src=2))
+    mossformer: MossFormerConfig = field(default_factory=MossFormerConfig)
+    spk: SpeakerEmbedderConfig = field(default_factory=SpeakerEmbedderConfig)
+    asr: SenseVoiceConfig = field(default_factory=SenseVoiceConfig)
+    vad: VADConfig = field(default_factory=VADConfig)
+
+
+def tiny_preset() -> EnginePreset:
+    return EnginePreset(
+        name="tiny",
+        osd=OSDConfig(dim=64, heads=2, layers=1),
+        sep3=ConvTasNetConfig(n_src=3, enc_dim=64, enc_kernel=16, bottleneck=32, hidden=64, n_blocks=2, n_repeats=1),
+        sep2=ConvTasNetConfig(n_src=2, enc_dim=64, enc_kernel=16, bottleneck=32, hidden=64, n_blocks=2, n_repeats=1),
+        mossformer=MossFormerConfig(n_src=2, enc_dim=64, dim=48, qk_dim=32, layers=2),
+        spk=SpeakerEmbedderConfig(channels=(8, 16), embed_dim=32),
+        asr=SenseVoiceConfig(vocab_size=64, dim=64, heads=2, layers=2, conv_kernel=3),
+        vad=VADConfig(dim=16, layers=2),
+    )
+
+
+PRESETS = {"full": EnginePreset, "tiny": tiny_preset}
+
+
+class ModelPack:
+    """Initialized model params + configs, all resident on device.
+
+    Weights come from a seed (random init), an orbax checkpoint directory,
+    or converted torch/ONNX checkpoints (models/convert). The reference's
+    components map as: OverlapAnalyzer->osd, Separator->sep{2,3}/mossformer,
+    SpeakerEmbeddingExtractor->spk, OfflineRecognizer->asr (SURVEY.md §2.1).
+    """
+
+    def __init__(self, preset: EnginePreset, seed: int = 0, tokens: Optional[TokenTable] = None):
+        self.preset = preset
+        self.tokens = tokens or TokenTable.char_table("abcdefghijklmnopqrstuvwxyz '")
+        # clamp vocab to the token table
+        vocab = max(self.preset.asr.vocab_size, self.tokens.vocab_size)
+        self.asr_cfg = dataclasses.replace(preset.asr, vocab_size=vocab)
+
+        key = jax.random.PRNGKey(seed)
+        k = jax.random.split(key, 8)
+        self.osd_model = OSDNet(preset.osd)
+        self.sep3_model = ConvTasNet(preset.sep3)
+        self.sep2_model = ConvTasNet(preset.sep2)
+        self.moss_model = MossFormer(preset.mossformer)
+        self.spk_model = SpeakerEmbedder(preset.spk)
+        self.asr_model = SenseVoiceEncoder(self.asr_cfg)
+        self.vad_model = VADNet(preset.vad)
+
+        t0 = 8000
+        feats0 = jnp.zeros((1, 50, preset.osd.num_mel))
+        self.params: Dict[str, Any] = {
+            "osd": self.osd_model.init(k[0], feats0, jnp.ones((1, 50), bool)),
+            "sep3": self.sep3_model.init(k[1], jnp.zeros((1, t0)), jnp.ones((1, t0))),
+            "sep2": self.sep2_model.init(k[2], jnp.zeros((1, t0)), jnp.ones((1, t0))),
+            "mossformer": self.moss_model.init(k[3], jnp.zeros((1, t0)), jnp.ones((1, t0))),
+            "spk": self.spk_model.init(k[4], feats0, jnp.ones((1, 50), bool)),
+            "vad": self.vad_model.init(k[6], feats0, jnp.ones((1, 50))),
+        }
+        lfr_dim = self.asr_cfg.lfr_m * self.asr_cfg.num_mel
+        self.params["asr"] = self.asr_model.init(
+            k[5], jnp.zeros((1, 10, lfr_dim)), jnp.ones((1, 10), bool)
+        )
+
+    def load_params(self, name: str, params: Any) -> None:
+        self.params[name] = params
+
+
+class StageEngine:
+    """Batched, bucketed stage dispatch over a ModelPack."""
+
+    def __init__(self, pack: ModelPack, buckets: Optional[BucketSpec] = None,
+                 fbank: Optional[FbankConfig] = None):
+        self.pack = pack
+        self.buckets = buckets or BucketSpec()
+        self.fbank_cfg = fbank or FbankConfig()
+        p = pack
+
+        # ---- jitted stage programs (shape-keyed cache inside jax.jit) ----
+        def _fbank_mask(wav, lengths):
+            feats = log_mel_fbank(wav, self.fbank_cfg)
+            n = feats.shape[1]
+            shift, flen = self.fbank_cfg.frame_shift, self.fbank_cfg.frame_length
+            f_len = jnp.maximum((lengths - flen) // shift + 1, 1)
+            mask = jnp.arange(n)[None, :] < f_len[:, None]
+            return feats, mask
+
+        def osd_fn(params, wav, lengths):
+            feats, mask = _fbank_mask(wav, lengths)
+            return p.osd_model.apply(params, feats, mask)
+
+        def sep_fn(model, params, wav, lengths):
+            sm = (jnp.arange(wav.shape[1])[None, :] < lengths[:, None]).astype(jnp.float32)
+            return model.apply(params, wav, sm)
+
+        def spk_fn(params, wav, lengths):
+            feats, mask = _fbank_mask(wav, lengths)
+            emb = p.spk_model.apply(params, feats, mask)
+            return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+
+        def asr_fn(params, wav, lengths, language_id, use_itn):
+            feats, mask = sensevoice_frontend(wav, lengths, p.asr_cfg)
+            logits = p.asr_model.apply(params, feats, mask, language_id=language_id, use_itn=use_itn)
+            body = logits[:, p.asr_cfg.num_prompt :]
+            return ctc_greedy_decode(body, mask.astype(jnp.float32), p.tokens.blank_id)
+
+        def vad_fn(params, wav, lengths):
+            feats, mask = _fbank_mask(wav, lengths)
+            return p.vad_model.apply(params, feats, mask.astype(jnp.float32))
+
+        self._osd = jax.jit(osd_fn)
+        self._sep3 = jax.jit(partial(sep_fn, p.sep3_model))
+        self._sep2 = jax.jit(partial(sep_fn, p.sep2_model))
+        self._moss = jax.jit(partial(sep_fn, p.moss_model))
+        self._spk = jax.jit(spk_fn)
+        self._asr = jax.jit(asr_fn, static_argnames=("language_id", "use_itn"))
+        self._vad = jax.jit(vad_fn)
+        self._resample = jax.jit(resample_poly, static_argnums=(1, 2))
+
+    # ------------------------------------------------------------- helpers
+    def _run_bucketed(self, items: Sequence[np.ndarray], fn) -> List[Any]:
+        """Dispatch variable-length 1-D arrays through a batched stage fn.
+
+        fn(wav [B, Tb], lengths [B]) -> per-item results (list aligned with
+        the padded batch). Returns results aligned with `items`.
+        """
+        out: List[Any] = [None] * len(items)
+        for bucket_len, idxs in group_by_bucket(items, self.buckets):
+            for off in range(0, len(idxs), self.buckets.max_batch):
+                chunk_idx = idxs[off : off + self.buckets.max_batch]
+                bs = self.buckets.batch_size_for(len(chunk_idx))
+                wav, lengths = pad_batch([items[i] for i in chunk_idx], bucket_len, bs)
+                res = fn(jnp.asarray(wav), jnp.asarray(lengths))
+                for j, i in enumerate(chunk_idx):
+                    out[i] = tuple(np.asarray(r[j]) for r in res) if isinstance(res, tuple) else np.asarray(res[j])
+        return out
+
+    # ------------------------------------------------------------- stages
+    def resample(self, wav: np.ndarray, orig_sr: int, new_sr: int = G_SAMPLE_RATE) -> np.ndarray:
+        if orig_sr == new_sr or wav.size <= 1:
+            return np.asarray(wav, dtype=np.float32)
+        return np.asarray(self._resample(jnp.asarray(wav, dtype=jnp.float32), orig_sr, new_sr))
+
+    def osd_segments(
+        self, wav: np.ndarray, sr: int, threshold: float, win_sec: float, hop_sec: float
+    ) -> List[Tuple[float, float, bool]]:
+        """Full-coverage (start, end, is_overlap) list for one utterance."""
+        dur = len(wav) / sr if sr else 0.0
+        if dur <= 0:
+            return []
+        probs = self._run_bucketed([np.asarray(wav, np.float32)],
+                                   lambda w, l: self._osd(self.pack.params["osd"], w, l))[0]
+        cfg = self.pack.preset.osd
+        n_out = max(int(np.ceil(self.fbank_cfg.frames_for(len(wav)) / cfg.subsample)), 1)
+        flags = probs_to_hop_flags(
+            probs[:, 1], n_out, dur, cfg.out_frame_sec, threshold, win_sec, hop_sec
+        )
+        return flags_to_segments(flags, dur, win_sec, hop_sec)
+
+    def separate(self, chunks: Sequence[np.ndarray], n_src: int = 3,
+                 backend: str = "convtasnet") -> List[np.ndarray]:
+        """Each chunk [T] -> [n_src, T]; whole call is one or few programs."""
+        if backend == "mossformer":
+            fn, params = self._moss, self.pack.params["mossformer"]
+        elif n_src == 3:
+            fn, params = self._sep3, self.pack.params["sep3"]
+        else:
+            fn, params = self._sep2, self.pack.params["sep2"]
+        outs = self._run_bucketed(list(chunks), lambda w, l: fn(params, w, l))
+        return [o[:, : c.shape[-1]] for o, c in zip(outs, chunks)]
+
+    def embed(self, chunks: Sequence[np.ndarray]) -> np.ndarray:
+        """[n][T] -> l2-normalized embeddings [n, D]."""
+        if not len(chunks):
+            return np.zeros((0, self.pack.preset.spk.embed_dim), np.float32)
+        outs = self._run_bucketed(list(chunks), lambda w, l: self._spk(self.pack.params["spk"], w, l))
+        return np.stack(outs)
+
+    def transcribe(self, chunks: Sequence[np.ndarray], language: str = "auto",
+                   use_itn: bool = True) -> List[str]:
+        """[n][T] -> decoded text per chunk."""
+        if not len(chunks):
+            return []
+        lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
+        outs = self._run_bucketed(
+            list(chunks),
+            lambda w, l: self._asr(self.pack.params["asr"], w, l, lang_id, use_itn),
+        )
+        texts = []
+        for ids, n in outs:
+            texts.append(self.pack.tokens.decode(ids[: int(n)]))
+        return texts
+
+    def vad_probs(self, wav: np.ndarray) -> np.ndarray:
+        out = self._run_bucketed([np.asarray(wav, np.float32)],
+                                 lambda w, l: self._vad(self.pack.params["vad"], w, l))[0]
+        n = self.fbank_cfg.frames_for(len(wav))
+        return out[:n]

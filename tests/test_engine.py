@@ -1,0 +1,106 @@
+"""Engine tests: bucketing math + batched stage dispatch on tiny models."""
+import numpy as np
+import pytest
+
+from audio_classification_tpu.engine import (
+    BucketSpec,
+    ModelPack,
+    StageEngine,
+    group_by_bucket,
+    pad_batch,
+    tiny_preset,
+)
+
+
+def test_bucket_spec():
+    spec = BucketSpec(lengths=(8000, 16000, 32000), max_batch=8)
+    assert spec.bucket_for(100) == 8000
+    assert spec.bucket_for(8000) == 8000
+    assert spec.bucket_for(8001) == 16000
+    assert spec.bucket_for(99999) == 32000
+    assert spec.batch_size_for(1) == 1
+    assert spec.batch_size_for(3) == 4
+    assert spec.batch_size_for(100) == 8
+
+
+def test_pad_batch():
+    wav, lengths = pad_batch([np.ones(5, np.float32), np.ones(3, np.float32)], 8, 4)
+    assert wav.shape == (4, 8)
+    assert list(lengths) == [5, 3, 0, 0]
+    assert wav[0, :5].sum() == 5 and wav[0, 5:].sum() == 0
+
+
+def test_group_by_bucket():
+    spec = BucketSpec(lengths=(10, 20), max_batch=8)
+    items = [np.ones(5), np.ones(15), np.ones(9), np.ones(20)]
+    groups = dict(group_by_bucket(items, spec))
+    assert groups[10] == [0, 2]
+    assert groups[20] == [1, 3]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    pack = ModelPack(tiny_preset(), seed=0)
+    return StageEngine(pack, BucketSpec(lengths=(4000, 8000, 16000, 32000, 64000), max_batch=4))
+
+
+def _tone(n, hz=440.0, sr=16000, amp=0.3):
+    t = np.arange(n) / sr
+    return (amp * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+
+
+def test_engine_resample(engine):
+    y = engine.resample(_tone(4000, sr=8000), 8000, 16000)
+    assert y.shape[0] == 8000
+
+
+def test_engine_osd_segments_full_coverage(engine):
+    wav = _tone(16000 * 2)
+    segs = engine.osd_segments(wav, 16000, threshold=0.5, win_sec=0.5, hop_sec=0.1)
+    assert segs, "must return full-coverage segments"
+    assert segs[0][0] == 0.0
+    assert abs(segs[-1][1] - 2.0) < 1e-6
+    for a, b in zip(segs, segs[1:]):
+        assert b[0] <= a[1] + 1e-9
+
+
+def test_engine_separate_batches(engine):
+    chunks = [_tone(5000), _tone(7000, hz=880), _tone(12000, hz=660)]
+    outs = engine.separate(chunks, n_src=3)
+    assert len(outs) == 3
+    for o, c in zip(outs, chunks):
+        assert o.shape == (3, c.shape[0])
+        assert np.isfinite(o).all()
+
+
+def test_engine_separate_matches_single(engine):
+    # batching/bucketing must not change per-item results
+    chunks = [_tone(5000), _tone(6500, hz=880)]
+    batch = engine.separate(chunks, n_src=3)
+    solo0 = engine.separate([chunks[0]], n_src=3)[0]
+    np.testing.assert_allclose(batch[0], solo0, atol=1e-4)
+
+
+def test_engine_embed(engine):
+    embs = engine.embed([_tone(8000), _tone(8000, hz=1200)])
+    assert embs.shape[0] == 2
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, atol=1e-4)
+    # same audio -> same embedding regardless of batch composition
+    # (XLA picks different matmul reduction strategies per batch shape, so
+    # allow small numeric drift; irrelevant at sv_threshold granularity)
+    solo = engine.embed([_tone(8000)])
+    np.testing.assert_allclose(embs[0], solo[0], atol=5e-3)
+    assert engine.embed([]).shape == (0, 32)
+
+
+def test_engine_transcribe_shapes(engine):
+    texts = engine.transcribe([_tone(8000), _tone(4000)])
+    assert len(texts) == 2
+    assert all(isinstance(t, str) for t in texts)
+    assert engine.transcribe([]) == []
+
+
+def test_engine_vad_probs(engine):
+    p = engine.vad_probs(_tone(8000))
+    assert p.ndim == 1
+    assert ((p >= 0) & (p <= 1)).all()
