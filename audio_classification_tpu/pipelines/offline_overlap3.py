@@ -1,0 +1,468 @@
+"""Flagship offline pipeline: OSD -> 3-src separation -> SV gate -> ASR.
+
+Compute-only reimplementation of the reference's `Overlap3Pipeline`
+(reference: overlap3_core.py:174-937) with identical record/metric field
+names and gating semantics, but a TPU-first execution plan:
+
+reference (per segment, per stage, host<->C++ round trips):
+    for mixture: OSD -> for segment: [sep] -> [embed] -> [asr]   (serial)
+this pipeline (per mixture, batched device programs):
+    OSD (1 program) -> separate all overlap segments (bucketed batches)
+    -> embed all clean segments + all branches (one batch)
+    -> SV-gate on device -> ASR all surviving chunks + target spans
+       (bucketed batches) -> decode
+
+Timing fields keep the reference semantics: time_osd/time_sep/time_asr are
+wall-clock around each stage's device dispatch (results synchronized), and
+the total excludes caller-side file I/O (reference: overlap3_core.py:3-8).
+Per-record `asr_time` is the batch wall-clock apportioned by each chunk's
+share of audio samples (the reference times per-segment C++ calls; with
+batching the per-item cost is the fair share).
+"""
+from __future__ import annotations
+
+import random
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..audio_io import read_wav, to_mono
+from ..data.librimix import LibriMixDataset
+from ..engine import BucketSpec, ModelPack, StageEngine, exclusive_segments, tiny_preset
+from ..engine.bucketing import default_buckets
+from ..engine.runtime import G_SAMPLE_RATE, EnginePreset
+from ..metrics import agg_stats, maybe_round, sdr_improvement_pit
+from ..models.asr.tokens import TokenTable
+from ..runtime.monitor import ResourceMonitor
+from ..utils.config import Overlap3Config
+
+
+@dataclass
+class PipelineResult:
+    segments: List[Dict[str, Any]]
+    sep_details_rows: List[List[Any]]
+    metrics: Dict[str, Any]
+    dataset_name: str
+    subset: str
+    processed_mixtures: int
+    sample_rate: int
+
+
+def build_engine(cfg) -> StageEngine:
+    """Construct ModelPack + StageEngine from a pipeline config."""
+    preset = tiny_preset() if getattr(cfg, "preset", "full") == "tiny" else EnginePreset()
+    tokens = None
+    tok_path = getattr(cfg, "tokens", "")
+    if tok_path and Path(tok_path).is_file():
+        tokens = TokenTable.load(tok_path)
+    seed = getattr(cfg, "seed", -1)
+    pack = ModelPack(preset, seed=max(int(seed), 0), tokens=tokens)
+    ckpt = getattr(cfg, "checkpoint_dir", "")
+    if ckpt:
+        from ..train.checkpoint import load_model_pack
+
+        load_model_pack(pack, ckpt)
+    sep_ckpt = getattr(cfg, "sep_checkpoint", "")
+    if sep_ckpt:
+        from ..models.convert.torch_import import load_convtasnet_torch
+
+        pack.load_params("sep3", load_convtasnet_torch(sep_ckpt, preset.sep3))
+    sr = G_SAMPLE_RATE
+    max_sec = getattr(cfg, "max_segment_sec", 64.0)
+    buckets = BucketSpec(
+        lengths=default_buckets(sr, 0.5, max_sec),
+        max_batch=getattr(cfg, "max_batch", 8),
+    )
+    return StageEngine(pack, buckets)
+
+
+def _load_resampled(engine: StageEngine, path: str) -> Tuple[np.ndarray, int]:
+    wav, sr = read_wav(path)
+    wav = to_mono(wav)
+    wav = engine.resample(wav, sr, G_SAMPLE_RATE)
+    return wav, G_SAMPLE_RATE
+
+
+class Overlap3Pipeline:
+    """Compute-only pipeline; the CLI runner writes all artifacts."""
+
+    def __init__(self, cfg: Overlap3Config, engine: Optional[StageEngine] = None):
+        self.cfg = cfg
+        if cfg.seed is not None and int(cfg.seed) >= 0:
+            random.seed(int(cfg.seed))
+            np.random.seed(int(cfg.seed))
+        self.engine = engine or build_engine(cfg)
+
+    # ------------------------------------------------------------------
+    def run(self) -> PipelineResult:
+        cfg = self.cfg
+        eng = self.engine
+        file_mode = bool(cfg.input_wavs)
+        dataset_name = "manual-files" if file_mode else "LibriMix"
+
+        ds: Optional[LibriMixDataset] = None
+        items: List[Tuple[str, np.ndarray, Optional[List[np.ndarray]], List[str]]] = []
+        if file_mode:
+            if not cfg.target_wav:
+                raise ValueError("In file mode (--input-wavs), --target-wav is required.")
+            for p in cfg.input_wavs or []:
+                if not Path(p).is_file():
+                    continue
+                wav, _ = _load_resampled(eng, p)
+                items.append((str(Path(p)), wav, None, []))
+            limit = len(items)
+        else:
+            ds = LibriMixDataset(
+                cfg.librimix_root, cfg.subset, num_speakers=3,
+                sample_rate=cfg.sample_rate, task=cfg.task, mode=cfg.mode,
+            )
+            total = len(ds)
+            limit = cfg.max_files if cfg.max_files and cfg.max_files > 0 else total
+
+        refs_map = self._load_refs_csv() if (file_mode and cfg.refs_csv) else {}
+
+        # ---- metric accumulators (names match overlap3_core.py:353-373)
+        M = dict(
+            n_segments=0, n_clean_segments=0, n_overlap_segments=0,
+            n_separated_streams=0, n_matched_segments=0,
+            n_seen_clean_segments=0, n_seen_overlap_segments=0,
+            n_missed_segments=0, n_missed_clean_segments=0, n_missed_overlap_segments=0,
+        )
+        A = dict(
+            total_audio_sec=0.0, total_overlap_audio_sec=0.0, total_clean_audio_sec=0.0,
+            total_matched_audio_sec=0.0, total_seen_clean_audio_sec=0.0,
+            total_seen_overlap_audio_sec=0.0, total_missed_audio_sec=0.0,
+        )
+        time_osd = time_sep = time_asr = 0.0
+        sep_sisdr: List[float] = []
+        sep_sisdri: List[float] = []
+        sep_details_rows: List[List[Any]] = []
+        segments_out: List[Dict[str, Any]] = []
+
+        monitor = None
+        if cfg.enable_metrics:
+            monitor = ResourceMonitor(cfg.monitor_interval)
+            monitor.start()
+        t0_all = time.time()
+
+        # ---- global target enrollment (file mode)
+        g_target_vec = g_target_np = None
+        g_target_abs: Optional[str] = None
+        g_target_text = ""
+        if file_mode:
+            t_np, _ = _load_resampled(eng, cfg.target_wav)
+            g_target_vec = eng.embed([t_np])[0]
+            g_target_np = t_np
+            g_target_abs = str(Path(cfg.target_wav))
+            t_a = time.time()
+            g_target_text = eng.transcribe([t_np], cfg.language)[0]
+            time_asr += time.time() - t_a
+
+        for idx in range(limit):
+            if file_mode:
+                abs_mix_path, mix_np, sources, src_paths = items[idx]
+                mix_norm = str(Path(abs_mix_path))
+                if mix_norm in refs_map:
+                    src_paths = refs_map[mix_norm]
+                elif cfg.ref_wavs and limit == 1:
+                    src_paths = [str(Path(p)) for p in cfg.ref_wavs]
+            else:
+                assert ds is not None
+                sr_item, mix_wav, sources = ds[idx]
+                _sr_meta, mix_rel, src_rel = ds.get_metadata(idx)
+                src_paths = list(src_rel)
+                abs_mix_path = str(Path(cfg.librimix_root) / mix_rel)
+                mix_np = eng.resample(mix_wav, sr_item, G_SAMPLE_RATE)
+                if sources is not None:
+                    sources = [eng.resample(s, sr_item, G_SAMPLE_RATE) for s in sources]
+
+            sr = G_SAMPLE_RATE
+            dur = len(mix_np) / sr
+            A["total_audio_sec"] += dur
+
+            # ---- OSD
+            t_o = time.time()
+            osd_segs = eng.osd_segments(mix_np, sr, cfg.osd_thr, cfg.osd_win, cfg.osd_hop)
+            time_osd += time.time() - t_o
+            if not osd_segs:
+                osd_segs = [(0.0, dur, False)]
+            if cfg.exclusive_segments:
+                segments = exclusive_segments(osd_segs, dur, cfg.min_overlap_dur)
+            else:
+                segments = [(float(s), float(e), bool(f)) for s, e, f in osd_segs]
+
+            # ---- per-mixture target (dataset mode: seeded random source,
+            # reference: overlap3_core.py:555-595)
+            target_vec = g_target_vec
+            target_np = g_target_np
+            target_abs = g_target_abs
+            target_text_fb = g_target_text
+            if not file_mode:
+                target_vec = target_np = None
+                target_abs = None
+                target_text_fb = ""
+                try:
+                    t_idx = 0
+                    if sources:
+                        t_idx = random.randrange(len(sources))
+                    if src_paths and len(src_paths) > t_idx:
+                        target_abs = str(Path(cfg.librimix_root) / src_paths[t_idx])
+                    if sources:
+                        target_np = sources[t_idx]
+                        target_vec = eng.embed([target_np])[0]
+                        t_a = time.time()
+                        target_text_fb = eng.transcribe([target_np], cfg.language)[0]
+                        time_asr += time.time() - t_a
+                except Exception:
+                    target_vec = None
+
+            # ---- split segments & slice chunks
+            seg_rows: List[dict] = []
+            for s, e, is_olap in segments:
+                if e - s <= 0:
+                    continue
+                s_i, e_i = int(s * sr), int(e * sr)
+                chunk = mix_np[s_i:e_i]
+                kind = "overlap" if (is_olap and (e - s) >= cfg.min_overlap_dur) else "clean"
+                seg_rows.append(dict(s=s, e=e, s_i=s_i, e_i=e_i, chunk=chunk, kind=kind))
+
+            # ---- separation stage (all overlap segments of this mixture)
+            overlap_rows = [r for r in seg_rows if r["kind"] == "overlap"]
+            if overlap_rows:
+                t_s = time.time()
+                branch_lists = eng.separate(
+                    [r["chunk"] for r in overlap_rows], n_src=3, backend=cfg.sep_backend
+                )
+                time_sep += time.time() - t_s
+                for r, branches in zip(overlap_rows, branch_lists):
+                    r["branches"] = [np.asarray(b) for b in branches]
+
+            # ---- optional separation quality eval (PIT vs reference srcs)
+            if cfg.eval_separation and src_paths and overlap_rows:
+                ref_wavs = self._load_ref_sources(file_mode, src_paths, sources)
+                if ref_wavs is not None and len(ref_wavs) >= 2:
+                    k = 3 if len(ref_wavs) >= 3 else len(ref_wavs)
+                    for r in overlap_rows:
+                        refs = [rw[r["s_i"]:r["e_i"]] for rw in ref_wavs[:k]]
+                        best, sdri, idx_sel = sdr_improvement_pit(r["chunk"], refs, r["branches"])
+                        if not (np.isnan(best) or np.isnan(sdri)):
+                            sep_sisdr.append(float(best))
+                            sep_sisdri.append(float(sdri))
+                            mix_rel_path = abs_mix_path if file_mode else ds.get_metadata(idx)[1]
+                            sep_details_rows.append([
+                                mix_rel_path, f"{r['s']:.3f}", f"{r['e']:.3f}", k,
+                                f"{best:.4f}", f"{sdri:.4f}",
+                                ";".join(str(i) for i in idx_sel),
+                            ])
+
+            # ---- embedding + gating stage (one batch: clean chunks + branches)
+            embed_items: List[np.ndarray] = []
+            embed_owner: List[Tuple[int, int]] = []  # (row index, branch or -1)
+            for ri, r in enumerate(seg_rows):
+                if r["kind"] == "clean":
+                    embed_items.append(r["chunk"])
+                    embed_owner.append((ri, -1))
+                else:
+                    for bi, b in enumerate(r.get("branches", [])):
+                        embed_items.append(b)
+                        embed_owner.append((ri, bi))
+            if embed_items and target_vec is not None:
+                embs = eng.embed(embed_items)
+                scores = embs @ target_vec
+                for (ri, bi), sc in zip(embed_owner, scores):
+                    if bi < 0:
+                        seg_rows[ri]["sv_score"] = float(sc)
+                    else:
+                        seg_rows[ri].setdefault("branch_scores", {})[bi] = float(sc)
+
+            # ---- gate + collect ASR work
+            asr_items: List[np.ndarray] = []
+            asr_owner: List[Tuple[int, str]] = []  # (row, "main"|"target")
+            for ri, r in enumerate(seg_rows):
+                seg_dur = r["e"] - r["s"]
+                if r["kind"] == "clean":
+                    M["n_seen_clean_segments"] += 1
+                    A["total_seen_clean_audio_sec"] += seg_dur
+                    sv = r.get("sv_score")
+                    if target_vec is not None:
+                        matched = sv is not None and sv >= cfg.sv_threshold
+                    else:
+                        matched = True  # no extractor/enrollment -> pass-through
+                    if not matched:
+                        M["n_missed_segments"] += 1
+                        M["n_missed_clean_segments"] += 1
+                        A["total_missed_audio_sec"] += seg_dur
+                        r["drop"] = True
+                        continue
+                    asr_items.append(r["chunk"])
+                    asr_owner.append((ri, "main"))
+                    if target_np is not None:
+                        asr_items.append(target_np[r["s_i"]:r["e_i"]])
+                        asr_owner.append((ri, "target"))
+                else:
+                    M["n_seen_overlap_segments"] += 1
+                    A["total_seen_overlap_audio_sec"] += seg_dur
+                    A["total_overlap_audio_sec"] += seg_dur
+                    bscores = r.get("branch_scores", {})
+                    if target_vec is None or not bscores:
+                        M["n_missed_segments"] += 1
+                        M["n_missed_overlap_segments"] += 1
+                        A["total_missed_audio_sec"] += seg_dur
+                        r["drop"] = True
+                        continue
+                    best_b = max(bscores, key=bscores.get)
+                    best_score = bscores[best_b]
+                    if best_score < cfg.sv_threshold:
+                        M["n_missed_segments"] += 1
+                        M["n_missed_overlap_segments"] += 1
+                        A["total_missed_audio_sec"] += seg_dur
+                        r["drop"] = True
+                        continue
+                    r["best_branch"] = best_b
+                    r["sv_score"] = best_score
+                    asr_items.append(r["branches"][best_b])
+                    asr_owner.append((ri, "main"))
+                    if target_np is not None:
+                        asr_items.append(target_np[r["s_i"]:r["e_i"]])
+                        asr_owner.append((ri, "target"))
+
+            # ---- ASR stage (single bucketed batch per mixture)
+            texts: List[str] = []
+            asr_elapsed = 0.0
+            if asr_items:
+                t_a = time.time()
+                texts = eng.transcribe(asr_items, cfg.language)
+                asr_elapsed = time.time() - t_a
+                time_asr += asr_elapsed
+            total_asr_samples = sum(len(c) for c in asr_items) or 1
+            for (ri, role), text, chunk in zip(asr_owner, texts, asr_items):
+                share = asr_elapsed * (len(chunk) / total_asr_samples)
+                if role == "main":
+                    seg_rows[ri]["text"] = text
+                    seg_rows[ri]["asr_time"] = share
+                else:
+                    seg_rows[ri]["target_text"] = text
+
+            # ---- emit records (field names: overlap3_core.py:667-680,820-833)
+            for r in seg_rows:
+                if r.get("drop") or "text" not in r:
+                    continue
+                tgt_text = r.get("target_text", "") or target_text_fb
+                seg_dur = r["e"] - r["s"]
+                rec = {
+                    "wav": abs_mix_path,
+                    "start": round(r["s"], 3),
+                    "end": round(r["e"], 3),
+                    "kind": r["kind"],
+                    "stream": int(r["best_branch"]) if r["kind"] == "overlap" else None,
+                    "text": r["text"],
+                    "asr_time": round(r.get("asr_time", 0.0), 3),
+                    "sv_score": round(r["sv_score"], 4) if r.get("sv_score") is not None else None,
+                    "target_src": target_abs,
+                    "target_src_text": tgt_text,
+                }
+                segments_out.append(rec)
+                M["n_segments"] += 1
+                M["n_matched_segments"] += 1
+                A["total_matched_audio_sec"] += seg_dur
+                if r["kind"] == "clean":
+                    M["n_clean_segments"] += 1
+                    A["total_clean_audio_sec"] += seg_dur
+                else:
+                    M["n_overlap_segments"] += 1
+                    M["n_separated_streams"] += 1
+
+        elapsed_compute = time.time() - t0_all
+        resource_stats: Dict[str, Any] = {}
+        if monitor is not None:
+            monitor.stop()
+            resource_stats = monitor.aggregate()
+
+        seen = M["n_seen_clean_segments"] + M["n_seen_overlap_segments"]
+        rtf_total = elapsed_compute / A["total_audio_sec"] if A["total_audio_sec"] > 0 else None
+        rtf_asr = time_asr / A["total_audio_sec"] if A["total_audio_sec"] > 0 else None
+        metrics: Dict[str, Any] = {
+            "total_audio_sec": round(A["total_audio_sec"], 3),
+            "audio_overlap_sec": round(A["total_overlap_audio_sec"], 3),
+            "audio_clean_sec": round(A["total_clean_audio_sec"], 3),
+            "audio_matched_sec": round(A["total_matched_audio_sec"], 3),
+            "audio_seen_clean_sec": round(A["total_seen_clean_audio_sec"], 3),
+            "audio_seen_overlap_sec": round(A["total_seen_overlap_audio_sec"], 3),
+            "audio_missed_sec": round(A["total_missed_audio_sec"], 3),
+            "segments_total": M["n_segments"],
+            "segments_clean": M["n_clean_segments"],
+            "segments_overlap_streams": M["n_overlap_segments"],
+            "separated_streams": M["n_separated_streams"],
+            "segments_matched": M["n_matched_segments"],
+            "segments_seen_clean": M["n_seen_clean_segments"],
+            "segments_seen_overlap": M["n_seen_overlap_segments"],
+            "segments_missed": M["n_missed_segments"],
+            "segments_missed_clean": M["n_missed_clean_segments"],
+            "segments_missed_overlap": M["n_missed_overlap_segments"],
+            "target_hit_rate_segments": (
+                round(M["n_matched_segments"] / seen, 4) if seen > 0 else None
+            ),
+            "time_osd_sec": round(time_osd, 3),
+            "time_sep_sec": round(time_sep, 3),
+            "time_asr_sec": round(time_asr, 3),
+            "time_compute_total_sec": round(elapsed_compute, 3),
+            "rtf_total": maybe_round(rtf_total, 4),
+            "rtf_asr": maybe_round(rtf_asr, 4),
+        }
+        if cfg.eval_separation:
+            sisdr_stats = agg_stats(sep_sisdr)
+            sisdri_stats = agg_stats(sep_sisdri)
+            metrics.update({
+                "sep_eval_k_refs": None,
+                "sep_eval_segments": sisdr_stats["count"],
+                "sep_sisdr_mean": sisdr_stats["mean"],
+                "sep_sisdr_median": sisdr_stats["median"],
+                "sep_sisdr_std": sisdr_stats["std"],
+                "sep_sisdri_mean": sisdri_stats["mean"],
+                "sep_sisdri_median": sisdri_stats["median"],
+                "sep_sisdri_std": sisdri_stats["std"],
+            })
+        metrics.update(resource_stats)
+
+        return PipelineResult(
+            segments=segments_out,
+            sep_details_rows=sep_details_rows,
+            metrics=metrics,
+            dataset_name=dataset_name,
+            subset=cfg.subset,
+            processed_mixtures=limit,
+            sample_rate=cfg.sample_rate,
+        )
+
+    # ------------------------------------------------------------------
+    def _load_refs_csv(self) -> Dict[str, List[str]]:
+        """mix,ref1,ref2[,ref3] rows (reference: overlap3_core.py:424-448)."""
+        import csv
+
+        refs_map: Dict[str, List[str]] = {}
+        with open(self.cfg.refs_csv, "r", encoding="utf-8") as f:
+            rdr = csv.reader(f)
+            header = next(rdr, None)
+            if header and not any("mix" in (c or "").lower() for c in header):
+                if len(header) >= 3:
+                    refs_map[str(Path(header[0]))] = [str(Path(x)) for x in header[1:] if (x or "").strip()]
+            for row in rdr:
+                if not row or len(row) < 3:
+                    continue
+                refs_map[str(Path(row[0]))] = [str(Path(x)) for x in row[1:] if (x or "").strip()]
+        return refs_map
+
+    def _load_ref_sources(self, file_mode: bool, src_paths: List[str], sources) -> Optional[List[np.ndarray]]:
+        if not file_mode and sources is not None:
+            return sources
+        out = []
+        for sp in src_paths:
+            p = Path(sp) if file_mode else Path(self.cfg.librimix_root) / sp
+            if not p.is_file():
+                return None
+            wav, _ = _load_resampled(self.engine, str(p))
+            out.append(wav)
+        return out

@@ -1,0 +1,102 @@
+"""Typed pipeline configs mirroring the reference CLI surfaces.
+
+The reference passes raw argparse namespaces into components that read them
+with getattr defaults (reference: overlap3_core.py:146-160, SURVEY.md §5.6).
+Here every pipeline has an explicit dataclass whose field names equal the
+reference's flag names (dashes->underscores), so CLI parity is mechanical
+and components get a typed contract.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class Overlap3Config:
+    """Flags of offline_overlap_3src.py (reference: :25-154) + TPU knobs."""
+
+    # Dataset (LibriMix)
+    librimix_root: str = ""
+    subset: str = "test"
+    sample_rate: int = 16000
+    task: str = "sep_clean"
+    mode: str = "min"
+    max_files: int = 0
+    seed: int = -1
+    # File-mode
+    input_wavs: Optional[List[str]] = None
+    target_wav: str = ""
+    refs_csv: str = ""
+    ref_wavs: Optional[List[str]] = None
+    # OSD
+    osd_backend: str = "osdnet"
+    osd_thr: float = 0.5
+    osd_win: float = 0.5
+    osd_hop: float = 0.1
+    # Separation
+    sep_backend: str = "convtasnet"
+    sep_checkpoint: str = ""
+    # ASR (model selection mirrors create_asr_model's one-of contract)
+    paraformer: str = ""
+    sense_voice: str = ""
+    encoder: str = ""
+    decoder: str = ""
+    joiner: str = ""
+    tokens: str = ""
+    decoding_method: str = "greedy_search"
+    feature_dim: int = 80
+    language: str = "auto"
+    num_threads: int = 1
+    provider: str = "tpu"
+    # Target speaker
+    spk_embed_model: str = ""
+    sv_threshold: float = 0.6
+    # Overlap handling
+    min_overlap_dur: float = 0.4
+    exclusive_segments: bool = True
+    # Output / metrics
+    out_dir: str = "test/overlap3"
+    enable_metrics: bool = False
+    monitor_interval: float = 0.5
+    metrics_out: str = "metrics.json"
+    eval_separation: bool = False
+    save_sep_details: bool = False
+    sep_details_out: str = "overlap_sep_details.csv"
+    debug: bool = False
+    # --- TPU-framework knobs (no reference equivalent) ---
+    preset: str = "full"              # model-size preset ("full" | "tiny")
+    checkpoint_dir: str = ""          # orbax params for all models
+    max_batch: int = 8
+    max_segment_sec: float = 64.0
+
+
+@dataclass
+class SidBenchmarkConfig:
+    """Flags of benchmark_pipeline.py (SID+ASR benchmark)."""
+
+    speaker_file: str = ""
+    test_list: str = ""
+    model: str = ""                    # speaker embedding model path (reference name)
+    threshold: float = 0.5
+    num_threads: int = 1
+    provider: str = "tpu"
+    paraformer: str = ""
+    sense_voice: str = ""
+    encoder: str = ""
+    decoder: str = ""
+    joiner: str = ""
+    tokens: str = ""
+    decoding_method: str = "greedy_search"
+    feature_dim: int = 80
+    language: str = "auto"
+    debug: bool = False
+    emb_cache_dir: str = ""
+    load_speaker_embeds: str = ""
+    save_speaker_embeds: str = ""
+    ref_text_list: str = ""
+    out_dir: str = "test/benchmark"
+    monitor_interval: float = 0.5
+    preset: str = "full"
+    checkpoint_dir: str = ""
+    max_batch: int = 8

@@ -1,0 +1,160 @@
+"""End-to-end flagship pipeline tests on synthetic fixtures (tiny preset)."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from audio_classification_tpu.audio_io import write_wav
+from audio_classification_tpu.utils.config import Overlap3Config
+from audio_classification_tpu.pipelines.offline_overlap3 import Overlap3Pipeline
+
+
+SR = 16000
+
+
+def _tone(dur, hz, amp=0.3, sr=SR):
+    t = np.arange(int(dur * sr)) / sr
+    return (amp * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("overlap3_fixtures")
+    # 3 "speakers" at distinct frequencies; mixture has overlap in the middle
+    a = _tone(3.0, 440)
+    b = np.concatenate([np.zeros(SR, np.float32), _tone(2.0, 880)])
+    mix = a + b[: a.shape[0]]
+    write_wav(d / "mix.wav", mix, SR)
+    write_wav(d / "target.wav", _tone(2.0, 440), SR)
+    write_wav(d / "ref1.wav", a, SR)
+    write_wav(d / "ref2.wav", b[: a.shape[0]], SR)
+    return d
+
+
+def _base_cfg(fixture_dir, **kw) -> Overlap3Config:
+    defaults = dict(
+        input_wavs=[str(fixture_dir / "mix.wav")],
+        target_wav=str(fixture_dir / "target.wav"),
+        preset="tiny",
+        seed=0,
+        sv_threshold=-1.0,  # random-weight embeddings: pass everything through
+        max_batch=4,
+        max_segment_sec=8.0,
+        enable_metrics=False,
+    )
+    defaults.update(kw)
+    return Overlap3Config(**defaults)
+
+
+@pytest.fixture(scope="module")
+def file_mode_result(fixture_dir):
+    cfg = _base_cfg(fixture_dir)
+    return Overlap3Pipeline(cfg).run(), cfg
+
+
+def test_file_mode_runs(file_mode_result):
+    result, _ = file_mode_result
+    assert result.dataset_name == "manual-files"
+    assert result.processed_mixtures == 1
+    m = result.metrics
+    assert m["total_audio_sec"] == pytest.approx(3.0, abs=0.01)
+    # full coverage: seen segments exist, all matched at threshold -1
+    seen = m["segments_seen_clean"] + m["segments_seen_overlap"]
+    assert seen >= 1
+    assert m["segments_matched"] == seen
+    assert m["target_hit_rate_segments"] == 1.0
+    assert m["time_compute_total_sec"] > 0
+    assert m["rtf_total"] is not None
+
+
+def test_record_schema(file_mode_result):
+    result, _ = file_mode_result
+    assert result.segments, "pipeline must emit records"
+    required = {"wav", "start", "end", "kind", "stream", "text", "asr_time",
+                "sv_score", "target_src", "target_src_text"}
+    for rec in result.segments:
+        assert required == set(rec.keys())
+        assert rec["kind"] in ("clean", "overlap")
+        if rec["kind"] == "overlap":
+            assert isinstance(rec["stream"], int)
+        else:
+            assert rec["stream"] is None
+        assert rec["end"] > rec["start"]
+
+
+def test_metric_fields_match_reference(file_mode_result):
+    result, _ = file_mode_result
+    expected = {
+        "total_audio_sec", "audio_overlap_sec", "audio_clean_sec",
+        "audio_matched_sec", "audio_seen_clean_sec", "audio_seen_overlap_sec",
+        "audio_missed_sec", "segments_total", "segments_clean",
+        "segments_overlap_streams", "separated_streams", "segments_matched",
+        "segments_seen_clean", "segments_seen_overlap", "segments_missed",
+        "segments_missed_clean", "segments_missed_overlap",
+        "target_hit_rate_segments", "time_osd_sec", "time_sep_sec",
+        "time_asr_sec", "time_compute_total_sec", "rtf_total", "rtf_asr",
+    }
+    assert expected.issubset(result.metrics.keys())
+
+
+def test_sv_gate_blocks_everything(fixture_dir):
+    # impossible threshold: every segment missed, no records
+    cfg = _base_cfg(fixture_dir, sv_threshold=2.0)
+    result = Overlap3Pipeline(cfg).run()
+    m = result.metrics
+    assert m["segments_matched"] == 0
+    assert m["segments_missed"] == m["segments_seen_clean"] + m["segments_seen_overlap"]
+    assert result.segments == []
+
+
+def test_eval_separation_with_ref_wavs(fixture_dir):
+    cfg = _base_cfg(
+        fixture_dir,
+        ref_wavs=[str(fixture_dir / "ref1.wav"), str(fixture_dir / "ref2.wav")],
+        eval_separation=True,
+        save_sep_details=True,
+        osd_thr=0.0,  # force everything to be overlap so separation runs
+        min_overlap_dur=0.1,
+    )
+    result = Overlap3Pipeline(cfg).run()
+    m = result.metrics
+    assert "sep_sisdr_mean" in m and "sep_sisdri_mean" in m
+    if m["sep_eval_segments"]:
+        assert len(result.sep_details_rows) == m["sep_eval_segments"]
+        row = result.sep_details_rows[0]
+        assert len(row) == 7  # wav,start,end,k_refs,sisdr,sisdri,indices
+
+
+def test_missing_target_raises(fixture_dir):
+    cfg = _base_cfg(fixture_dir, target_wav="")
+    with pytest.raises(ValueError):
+        Overlap3Pipeline(cfg).run()
+
+
+def test_cli_writes_artifacts(fixture_dir, tmp_path):
+    from audio_classification_tpu.cli.offline_overlap_3src import main
+
+    out = tmp_path / "out"
+    main([
+        "--input-wavs", str(fixture_dir / "mix.wav"),
+        "--target-wav", str(fixture_dir / "target.wav"),
+        "--preset", "tiny", "--seed", "0",
+        "--sv-threshold", "-1",
+        "--max-segment-sec", "8",
+        "--out-dir", str(out),
+        "--enable-metrics",
+    ])
+    run_dirs = list(out.iterdir())
+    assert len(run_dirs) == 1
+    d = run_dirs[0]
+    assert (d / "segments.jsonl").is_file()
+    assert (d / "segments.csv").is_file()
+    assert (d / "metrics.json").is_file()
+    summary = json.loads((d / "summary.json").read_text())
+    for key in ("segments", "dataset", "subset", "num_speakers", "sample_rate",
+                "processed_mixtures", "notes", "target_hits_segments",
+                "target_misses_segments", "metrics"):
+        assert key in summary
+    csv_head = (d / "segments.csv").read_text().splitlines()[0]
+    assert csv_head == "wav,start,end,kind,stream,text,asr_time,sv_score,target_src,target_src_text"
