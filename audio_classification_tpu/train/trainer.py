@@ -1,0 +1,89 @@
+"""Separator training on a ("data", "model") mesh.
+
+New capability over the reference (which only consumes pretrained torch
+checkpoints — SURVEY.md §5.4): a pjit-sharded PIT SI-SDR training step for
+ConvTasNet/MossFormer. Batch shards over the "data" axis (DP); the TCN's
+wide hidden channels shard over "model" (TP); XLA inserts gradient psums
+and activation collectives from the NamedSharding annotations.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.convtasnet import ConvTasNet, ConvTasNetConfig
+from ..parallel.mesh import apply_param_specs, convtasnet_param_spec, data_sharding, make_mesh
+from .losses import pit_si_sdr_loss
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def make_optimizer(lr: float = 1e-3, clip: float = 5.0) -> optax.GradientTransformation:
+    return optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr))
+
+
+class SeparatorTrainer:
+    """pjit-sharded trainer for a separation model.
+
+    `mesh` axes: "data" (DP) x "model" (TP). Params are placed according to
+    `param_rule`; inputs shard on batch. The train step is one compiled XLA
+    program including loss, grads, optimizer update and the psum collectives.
+    """
+
+    def __init__(
+        self,
+        cfg: ConvTasNetConfig,
+        mesh: Optional[Mesh] = None,
+        lr: float = 1e-3,
+        seed: int = 0,
+        param_rule: Callable = convtasnet_param_spec,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh or make_mesh(model_axis=1)
+        self.model = ConvTasNet(cfg)
+        self.tx = make_optimizer(lr)
+
+        params = self.model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 4000)), jnp.ones((1, 4000)))
+        self.param_shardings = apply_param_specs(self.mesh, params, param_rule)
+        params = jax.device_put(params, self.param_shardings)
+        opt_state = jax.device_put(self.tx.init(params), None)  # optimizer mirrors param placement via init
+        self.state = TrainState(params=params, opt_state=opt_state)
+
+        dsh = data_sharding(self.mesh)
+
+        def loss_fn(p, mix, refs, mask):
+            ests = self.model.apply(p, mix, mask)
+            return pit_si_sdr_loss(ests, refs, mask)
+
+        def step_fn(params, opt_state, mix, refs, mask):
+            loss, grads = jax.value_and_grad(loss_fn)(params, mix, refs, mask)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(
+            step_fn,
+            in_shardings=(self.param_shardings, None, dsh, dsh, dsh),
+            out_shardings=(self.param_shardings, None, NamedSharding(self.mesh, P())),
+        )
+
+    def train_step(self, mix, refs, mask) -> float:
+        """mix [B, T], refs [B, n_src, T], mask [B, T] -> loss (float)."""
+        dsh = data_sharding(self.mesh)
+        mix = jax.device_put(jnp.asarray(mix, jnp.float32), dsh)
+        refs = jax.device_put(jnp.asarray(refs, jnp.float32), dsh)
+        mask = jax.device_put(jnp.asarray(mask, jnp.float32), dsh)
+        params, opt_state, loss = self._step(self.state.params, self.state.opt_state, mix, refs, mask)
+        self.state = TrainState(params, opt_state, self.state.step + 1)
+        return float(loss)
