@@ -181,8 +181,16 @@ class StageEngine:
                 bs = self.buckets.batch_size_for(len(chunk_idx))
                 wav, lengths = pad_batch([items[i] for i in chunk_idx], bucket_len, bs)
                 res = fn(jnp.asarray(wav), jnp.asarray(lengths))
-                for j, i in enumerate(chunk_idx):
-                    out[i] = tuple(np.asarray(r[j]) for r in res) if isinstance(res, tuple) else np.asarray(res[j])
+                # one D2H transfer for the whole batch, then slice on host —
+                # per-item device reads would pay the transfer latency B times
+                if isinstance(res, tuple):
+                    host = tuple(np.asarray(r) for r in res)
+                    for j, i in enumerate(chunk_idx):
+                        out[i] = tuple(h[j] for h in host)
+                else:
+                    host = np.asarray(res)
+                    for j, i in enumerate(chunk_idx):
+                        out[i] = host[j]
         return out
 
     # ------------------------------------------------------------- stages

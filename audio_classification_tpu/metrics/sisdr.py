@@ -90,6 +90,49 @@ def pit_best_si_sdr(
     return float(best), best_idx
 
 
+def pit_best_si_sdr_2(
+    refs: Sequence[np.ndarray], preds: Sequence[np.ndarray]
+) -> Tuple[float, List[int], bool]:
+    """2-reference PIT that also reports the `swapped` flag
+    (reference: evaluate_with_sources.py:334-374): scan ordered pred-column
+    pairs (j, k), compare direct vs swapped matching on those columns."""
+    assert len(refs) == 2, "This PIT helper expects exactly 2 references."
+    if len(preds) < 2:
+        return float("nan"), [], False
+    sdr1 = [si_sdr(refs[0], p) for p in preds]
+    sdr2 = [si_sdr(refs[1], p) for p in preds]
+    best = -1e9
+    best_pair = (-1, -1)
+    best_swapped = False
+    n = len(preds)
+    for j in range(n):
+        for k in range(n):
+            if j == k:
+                continue
+            sdr_12 = 0.5 * (sdr1[j] + sdr2[k])
+            sdr_21 = 0.5 * (sdr1[k] + sdr2[j])
+            cur, swapped = (sdr_12, False) if sdr_12 >= sdr_21 else (sdr_21, True)
+            if cur > best:
+                best = cur
+                best_pair = (j, k)
+                best_swapped = swapped
+    return float(best), [best_pair[0], best_pair[1]], best_swapped
+
+
+def sdr_improvement_pit_2(
+    mix_chunk: np.ndarray, s1_ref: np.ndarray, s2_ref: np.ndarray, preds: Sequence[np.ndarray]
+) -> Tuple[float, float, List[int], bool]:
+    """(best, improvement, indices, swapped) for the 2-ref evaluator path
+    (reference: evaluate_with_sources.py:377-393)."""
+    import math
+
+    base = 0.5 * (si_sdr(s1_ref, mix_chunk) + si_sdr(s2_ref, mix_chunk))
+    best, indices, swapped = pit_best_si_sdr_2([s1_ref, s2_ref], preds)
+    if math.isnan(best):
+        return float("nan"), float("nan"), [], False
+    return best, best - base, indices, swapped
+
+
 def sdr_improvement_pit(
     mix_chunk: np.ndarray, refs: Sequence[np.ndarray], preds: Sequence[np.ndarray]
 ) -> Tuple[float, float, List[int]]:

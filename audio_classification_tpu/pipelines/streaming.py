@@ -1,0 +1,221 @@
+"""Streaming overlap-3src pipeline (low-latency chunked path).
+
+Reimplements `StreamingOverlap3Pipeline` (reference:
+scripts/osd/streaming_overlap3_core.py:23-317) with the same public API —
+`add_audio_data(chunk)`, `get_results()`, `flush_buffer()` — and the same
+per-chunk behavior: OSD over the buffered chunk; clean spans -> SV gate ->
+ASR; overlap spans -> 3-src separation -> per-branch SV -> ASR; PLUS the
+unconditional whole-chunk separation path emitting kind="full_separation"
+records (:179-210).
+
+Design change vs the reference (SURVEY.md §3.3 notes the smell): instead of
+spawning one daemon thread per chunk, a single bounded worker thread drains
+a queue; within a chunk all branch embeddings batch into one device call
+and all surviving ASR inputs into another. Latency knobs: pre-compiled
+bucket programs (warmup()).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..audio_io import read_wav, to_mono
+from ..engine.runtime import G_SAMPLE_RATE, StageEngine
+from .offline_overlap3 import build_engine
+
+
+@dataclass
+class StreamingSegment:
+    """One buffered audio chunk queued for analysis."""
+
+    audio_data: np.ndarray
+    start_time: float
+    end_time: float
+    sample_rate: int
+    is_overlap: bool = False
+    stream_id: Optional[int] = None
+
+
+class StreamingOverlap3Pipeline:
+    def __init__(self, args, target_wav_path: str, engine: Optional[StageEngine] = None):
+        self.args = args
+        self.engine = engine or build_engine(args)
+        self.audio_buffer: List[np.ndarray] = []
+        self.results_queue: "queue.Queue[Dict[str, Any]]" = queue.Queue()
+        self._work: "queue.Queue[Optional[StreamingSegment]]" = queue.Queue(maxsize=8)
+        self._worker = threading.Thread(target=self._worker_loop, daemon=True, name="overlap3-worker")
+        self._stopped = False
+        self._load_target_speaker(target_wav_path)
+        self._worker.start()
+
+    # ------------------------------------------------------------- setup
+    def _load_target_speaker(self, target_wav_path: str):
+        wav, sr = read_wav(target_wav_path)
+        wav = to_mono(wav)
+        print(f"Target audio original sample rate: {sr}Hz")
+        if sr != G_SAMPLE_RATE:
+            print(f"Resampling target audio from {sr}Hz to {G_SAMPLE_RATE}Hz")
+        t_np = self.engine.resample(wav, sr, G_SAMPLE_RATE)
+        self.enrolled_vec_norm = self.engine.embed([t_np])[0]
+        self.target_src_text = self.engine.transcribe([t_np], getattr(self.args, "language", "auto"))[0]
+        print(f"Target speaker enrolled. Text: '{self.target_src_text}'")
+
+    def warmup(self, chunk_sec: float = 5.0):
+        """Pre-compile the per-chunk programs so first-chunk latency is flat."""
+        sr = int(getattr(self.args, "sample_rate", G_SAMPLE_RATE))
+        chunk = np.zeros(int(chunk_sec * sr), np.float32)
+        seg = StreamingSegment(chunk, 0.0, chunk_sec, sr)
+        self._analyze_segment(seg)
+        while not self.results_queue.empty():
+            self.results_queue.get()
+
+    # ------------------------------------------------------------- input
+    def add_audio_data(self, audio_chunk: np.ndarray):
+        self.audio_buffer.append(np.asarray(audio_chunk, np.float32))
+        self._process_audio_chunk()
+
+    def _process_audio_chunk(self):
+        if not self.audio_buffer:
+            return
+        audio = np.concatenate(self.audio_buffer)
+        self.audio_buffer = []
+        now = time.time()
+        sr = int(getattr(self.args, "sample_rate", G_SAMPLE_RATE))
+        seg = StreamingSegment(audio, now - len(audio) / sr, now, sr)
+        try:
+            self._work.put_nowait(seg)
+        except queue.Full:
+            # bounded backpressure: drop the oldest pending chunk
+            try:
+                self._work.get_nowait()
+            except queue.Empty:
+                pass
+            self._work.put_nowait(seg)
+
+    def flush_buffer(self):
+        if self.audio_buffer:
+            self._process_audio_chunk()
+
+    def drain(self, timeout: float = 30.0):
+        """Block until queued chunks are processed (test/shutdown helper)."""
+        t0 = time.time()
+        while not self._work.empty() and time.time() - t0 < timeout:
+            time.sleep(0.02)
+
+    def close(self):
+        # The worker must not be left alive inside a device call at
+        # interpreter shutdown (libc terminates on cancelled C++ frames), so
+        # wait for the in-flight chunk to finish before returning.
+        self._stopped = True
+        self._work.put(None)
+        self._worker.join(timeout=300)
+
+    # ------------------------------------------------------------- worker
+    def _worker_loop(self):
+        while True:
+            seg = self._work.get()
+            if seg is None or self._stopped:
+                return
+            try:
+                self._analyze_segment(seg)
+            except Exception as e:  # keep the worker alive on bad chunks
+                print(f"Segment analysis error: {e}")
+
+    def _analyze_segment(self, segment: StreamingSegment):
+        eng = self.engine
+        args = self.args
+        sr = segment.sample_rate
+        audio = segment.audio_data
+        if sr != G_SAMPLE_RATE:
+            audio = eng.resample(audio, sr, G_SAMPLE_RATE)
+            sr = G_SAMPLE_RATE
+
+        osd_segments = eng.osd_segments(audio, sr, args.osd_thr, args.osd_win, args.osd_hop)
+        if not osd_segments:
+            osd_segments = [(0.0, len(audio) / sr, False)]
+
+        # collect work: clean chunks + overlap branch sets + full separation
+        clean_items: List[dict] = []
+        overlap_rows: List[dict] = []
+        for start, end, is_overlap in osd_segments:
+            a, b = int(start * sr), int(end * sr)
+            sub = audio[a:b]
+            if sub.size == 0:
+                continue
+            if is_overlap and (end - start) >= args.min_overlap_dur:
+                overlap_rows.append(dict(a=a, b=b, chunk=sub))
+            else:
+                clean_items.append(dict(a=a, b=b, chunk=sub))
+
+        sep_inputs = [r["chunk"] for r in overlap_rows] + [audio]
+        sep_outs = eng.separate(sep_inputs, n_src=3, backend=getattr(args, "sep_backend", "convtasnet"))
+        for r, o in zip(overlap_rows, sep_outs[:-1]):
+            r["branches"] = [o[i] for i in range(3)]
+        full_branches = [sep_outs[-1][i] for i in range(3)]
+
+        # one embedding batch: clean chunks + overlap branches + full branches
+        embed_items: List[np.ndarray] = [c["chunk"] for c in clean_items]
+        owners: List[tuple] = [("clean", i, None) for i in range(len(clean_items))]
+        for ri, r in enumerate(overlap_rows):
+            for bi, bwav in enumerate(r["branches"]):
+                embed_items.append(bwav)
+                owners.append(("overlap", ri, bi))
+        for bi, bwav in enumerate(full_branches):
+            embed_items.append(bwav)
+            owners.append(("full", 0, bi))
+        if not embed_items:
+            return
+        embs = eng.embed(embed_items)
+        scores = embs @ self.enrolled_vec_norm
+
+        # gate, then batch every surviving ASR input
+        asr_items: List[np.ndarray] = []
+        asr_meta: List[dict] = []
+        for (kind, ri, bi), sc, wav_item in zip(owners, scores, embed_items):
+            if sc < args.sv_threshold:
+                continue
+            if kind == "clean":
+                c = clean_items[ri]
+                meta = dict(kind="clean", stream=None,
+                            start=segment.start_time + c["a"] / sr,
+                            end=segment.start_time + c["b"] / sr)
+            elif kind == "overlap":
+                r = overlap_rows[ri]
+                meta = dict(kind="overlap", stream=bi,
+                            start=segment.start_time + r["a"] / sr,
+                            end=segment.start_time + r["b"] / sr)
+            else:
+                meta = dict(kind="full_separation", stream=bi,
+                            start=segment.start_time, end=segment.end_time)
+            meta["sv_score"] = float(sc)
+            asr_items.append(wav_item)
+            asr_meta.append(meta)
+        if not asr_items:
+            return
+        t_a = time.time()
+        texts = eng.transcribe(asr_items, getattr(args, "language", "auto"))
+        asr_elapsed = time.time() - t_a
+        total = sum(len(c) for c in asr_items) or 1
+        for meta, text, wav_item in zip(asr_meta, texts, asr_items):
+            self.results_queue.put({
+                "start": meta["start"],
+                "end": meta["end"],
+                "kind": meta["kind"],
+                "stream": meta["stream"],
+                "text": text,
+                "asr_time": asr_elapsed * len(wav_item) / total,
+                "sv_score": meta["sv_score"],
+                "target_src_text": self.target_src_text,
+            })
+
+    # ------------------------------------------------------------- output
+    def get_results(self) -> List[Dict[str, Any]]:
+        results = []
+        while not self.results_queue.empty():
+            results.append(self.results_queue.get())
+        return results

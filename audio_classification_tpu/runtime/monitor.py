@@ -36,6 +36,61 @@ def _device_mem_mb() -> Dict[str, float]:
         return {}
 
 
+class CPUMonitor:
+    """Process CPU sampler with core-normalized aggregate
+    (reference: evaluate_with_sources.py:447-511): raw cpu_percent samples,
+    stop() returns avg/peak normalized by logical core count plus raw."""
+
+    def __init__(self, interval: float = 0.5):
+        self.interval = max(0.1, interval)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.samples: List[float] = []
+        self.proc = psutil.Process(os.getpid()) if psutil else None
+        self.started = self.proc is not None
+        if self.proc:
+            self.proc.cpu_percent(interval=None)
+
+    def start(self):
+        if not self.started:
+            return
+
+        def _loop():
+            while not self._stop.wait(self.interval):
+                try:
+                    self.samples.append(self.proc.cpu_percent(interval=None))
+                except Exception:
+                    break
+
+        self._thread = threading.Thread(target=_loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> Dict[str, Any]:
+        import numpy as np
+
+        if not self.started:
+            return {"enabled": False, "reason": "psutil_unavailable"}
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=2)
+        if not self.samples:
+            return {"enabled": True, "count": 0}
+        raw_avg = float(np.mean(self.samples))
+        raw_peak = float(np.max(self.samples))
+        cores = (psutil.cpu_count(logical=True) if psutil else 1) or 1
+        return {
+            "enabled": True,
+            "count": len(self.samples),
+            "interval_sec": self.interval,
+            "cpu_logical_cores": cores,
+            "cpu_avg_percent": round(min(100.0, raw_avg / cores), 2),
+            "cpu_peak_percent": round(min(100.0, raw_peak / cores), 2),
+            "cpu_avg_percent_raw": round(raw_avg, 2),
+            "cpu_peak_percent_raw": round(raw_peak, 2),
+            "normalized": True,
+        }
+
+
 class ResourceMonitor:
     def __init__(self, interval: float = 0.5):
         self.interval = max(0.1, interval)

@@ -1,0 +1,101 @@
+"""Streaming pipeline + application tests (tiny preset, file replay)."""
+import json
+import types
+
+import numpy as np
+import pytest
+
+from audio_classification_tpu.audio_io import write_wav
+from audio_classification_tpu.pipelines.streaming import StreamingOverlap3Pipeline
+
+SR = 16000
+
+
+def _tone(dur, hz, amp=0.3):
+    t = np.arange(int(dur * SR)) / SR
+    return (amp * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+
+
+def _args(**kw):
+    base = dict(
+        sample_rate=SR, osd_thr=0.5, osd_win=0.5, osd_hop=0.1,
+        sep_backend="convtasnet", sep_checkpoint="",
+        sv_threshold=-1.0, min_overlap_dur=0.4, language="auto",
+        preset="tiny", checkpoint_dir="", seed=0, max_batch=4,
+        max_segment_sec=8.0, tokens="",
+    )
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+@pytest.fixture(scope="module")
+def target_wav(tmp_path_factory):
+    d = tmp_path_factory.mktemp("streaming")
+    p = d / "target.wav"
+    write_wav(p, _tone(1.0, 440), SR)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def pipeline(target_wav):
+    pipe = StreamingOverlap3Pipeline(_args(), target_wav)
+    yield pipe
+    pipe.close()
+
+
+def test_streaming_results_and_kinds(pipeline):
+    chunk = _tone(2.0, 440) + np.concatenate([np.zeros(SR, np.float32), _tone(1.0, 880)])
+    pipeline.add_audio_data(chunk)
+    pipeline.flush_buffer()
+    pipeline.drain()
+    import time
+    t0 = time.time()
+    results = []
+    while time.time() - t0 < 60 and not results:
+        results = pipeline.get_results()
+        time.sleep(0.1)
+    assert results, "streaming pipeline produced no results"
+    kinds = {r["kind"] for r in results}
+    # the unconditional full-chunk separation path must always contribute
+    assert "full_separation" in kinds
+    required = {"start", "end", "kind", "stream", "text", "asr_time", "sv_score", "target_src_text"}
+    for r in results:
+        assert required == set(r.keys())
+        assert r["end"] >= r["start"]
+
+
+def test_streaming_gate_blocks(target_wav):
+    pipe = StreamingOverlap3Pipeline(_args(sv_threshold=2.0), target_wav)
+    try:
+        pipe.add_audio_data(_tone(2.0, 440))
+        pipe.drain()
+        import time
+        time.sleep(1.0)
+        pipe.drain()
+        assert pipe.get_results() == []
+    finally:
+        pipe.close()
+
+
+def test_streaming_app_file_replay(target_wav, tmp_path):
+    from audio_classification_tpu.cli.streaming_overlap_3src import main
+
+    mix = _tone(4.0, 440) + np.concatenate([np.zeros(SR, np.float32), _tone(3.0, 880)])
+    mix_p = tmp_path / "mix.wav"
+    write_wav(mix_p, mix, SR)
+    out = tmp_path / "stream_out"
+    app = main([
+        "--target-wav", target_wav,
+        "--input-wav", str(mix_p),
+        "--no-realtime",
+        "--process-seconds", "2",
+        "--sv-threshold", "-1",
+        "--preset", "tiny",
+        "--max-segment-sec", "8",
+        "--output-dir", str(out),
+    ])
+    assert app.all_results, "file replay produced no results"
+    jsonls = list(out.glob("results_*.jsonl"))
+    assert jsonls
+    recs = [json.loads(l) for l in jsonls[-1].read_text().splitlines()]
+    assert len(recs) == len(app.all_results)
