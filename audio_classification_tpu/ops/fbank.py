@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -92,12 +93,27 @@ class FbankConfig:
         return num_frames(n_samples, self.frame_length, self.frame_shift)
 
 
-def log_mel_fbank(x: jnp.ndarray, cfg: FbankConfig = FbankConfig()) -> jnp.ndarray:
+def _use_pallas_default() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def log_mel_fbank(
+    x: jnp.ndarray, cfg: FbankConfig = FbankConfig(), use_pallas: Optional[bool] = None
+) -> jnp.ndarray:
     """[..., T] float waveform in [-1, 1] -> [..., N, num_bins] log-mel.
 
     Kaldi operates on int16-range waveforms; inputs here are float in
     [-1, 1], scaled by 32768 internally so magnitudes match kaldi-native-fbank
     conventions (matters for log-domain CMVN stats reused across models).
+
+    On TPU the DFT-power-mel-log chain runs as a fused Pallas kernel
+    (ops/pallas/fbank_kernel.py); elsewhere (or with use_pallas=False) the
+    plain XLA matmul path below is both implementation and numeric oracle.
     """
     x = x.astype(jnp.float32) * 32768.0
     frames = frame_signal(x, cfg.frame_length, cfg.frame_shift)
@@ -113,6 +129,15 @@ def log_mel_fbank(x: jnp.ndarray, cfg: FbankConfig = FbankConfig()) -> jnp.ndarr
     if cfg.frame_length < n_fft:
         pad = [(0, 0)] * (frames.ndim - 1) + [(0, n_fft - cfg.frame_length)]
         frames = jnp.pad(frames, pad)
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from .pallas.fbank_kernel import fbank_power_mel_pallas
+
+        return fbank_power_mel_pallas(
+            frames, n_fft, cfg.num_bins, cfg.sample_rate, cfg.low_freq,
+            cfg.high_freq, cfg.log_floor,
+        )
     cos_b, msin_b = _dft_basis_np(n_fft)
     re = jnp.matmul(frames, jnp.asarray(cos_b), preferred_element_type=jnp.float32, precision='highest')
     im = jnp.matmul(frames, jnp.asarray(msin_b), preferred_element_type=jnp.float32, precision='highest')
