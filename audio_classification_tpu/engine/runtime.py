@@ -25,8 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.asr.ctc import ctc_greedy_decode
+from ..models.asr.paraformer import Paraformer, ParaformerConfig, paraformer_frontend, paraformer_greedy
 from ..models.asr.sensevoice import LANGUAGES, SenseVoiceConfig, SenseVoiceEncoder, sensevoice_frontend
 from ..models.asr.tokens import TokenTable
+from ..models.asr.transducer import Transducer, TransducerConfig, transducer_frontend
 from ..models.convtasnet import ConvTasNet, ConvTasNetConfig
 from ..models.mossformer import MossFormer, MossFormerConfig
 from ..models.osd import OSDConfig, OSDNet, probs_to_hop_flags
@@ -52,6 +54,8 @@ class EnginePreset:
     mossformer: MossFormerConfig = field(default_factory=MossFormerConfig)
     spk: SpeakerEmbedderConfig = field(default_factory=SpeakerEmbedderConfig)
     asr: SenseVoiceConfig = field(default_factory=SenseVoiceConfig)
+    transducer: TransducerConfig = field(default_factory=TransducerConfig)
+    paraformer: ParaformerConfig = field(default_factory=ParaformerConfig)
     vad: VADConfig = field(default_factory=VADConfig)
 
 
@@ -64,6 +68,8 @@ def tiny_preset() -> EnginePreset:
         mossformer=MossFormerConfig(n_src=2, enc_dim=64, dim=48, qk_dim=32, layers=2),
         spk=SpeakerEmbedderConfig(channels=(8, 16), embed_dim=32),
         asr=SenseVoiceConfig(vocab_size=64, dim=64, heads=2, layers=2, conv_kernel=3),
+        transducer=TransducerConfig(vocab_size=64, dim=32, heads=2, layers=1, pred_dim=32, joiner_dim=32, conv_kernel=3),
+        paraformer=ParaformerConfig(vocab_size=64, dim=32, heads=2, enc_layers=1, dec_layers=1, conv_kernel=3, max_tokens=32),
         vad=VADConfig(dim=16, layers=2),
     )
 
@@ -80,12 +86,16 @@ class ModelPack:
     SpeakerEmbeddingExtractor->spk, OfflineRecognizer->asr (SURVEY.md §2.1).
     """
 
-    def __init__(self, preset: EnginePreset, seed: int = 0, tokens: Optional[TokenTable] = None):
+    def __init__(self, preset: EnginePreset, seed: int = 0, tokens: Optional[TokenTable] = None,
+                 asr_family: str = "sensevoice"):
         self.preset = preset
         self.tokens = tokens or TokenTable.char_table("abcdefghijklmnopqrstuvwxyz '")
+        self.asr_family = asr_family
         # clamp vocab to the token table
         vocab = max(self.preset.asr.vocab_size, self.tokens.vocab_size)
         self.asr_cfg = dataclasses.replace(preset.asr, vocab_size=vocab)
+        self.transducer_cfg = dataclasses.replace(preset.transducer, vocab_size=vocab)
+        self.paraformer_cfg = dataclasses.replace(preset.paraformer, vocab_size=vocab)
 
         key = jax.random.PRNGKey(seed)
         k = jax.random.split(key, 8)
@@ -94,8 +104,13 @@ class ModelPack:
         self.sep2_model = ConvTasNet(preset.sep2)
         self.moss_model = MossFormer(preset.mossformer)
         self.spk_model = SpeakerEmbedder(preset.spk)
-        self.asr_model = SenseVoiceEncoder(self.asr_cfg)
         self.vad_model = VADNet(preset.vad)
+        if asr_family == "transducer":
+            self.asr_model = Transducer(self.transducer_cfg)
+        elif asr_family == "paraformer":
+            self.asr_model = Paraformer(self.paraformer_cfg)
+        else:
+            self.asr_model = SenseVoiceEncoder(self.asr_cfg)
 
         t0 = 8000
         feats0 = jnp.zeros((1, 50, preset.osd.num_mel))
@@ -107,10 +122,20 @@ class ModelPack:
             "spk": self.spk_model.init(k[4], feats0, jnp.ones((1, 50), bool)),
             "vad": self.vad_model.init(k[6], feats0, jnp.ones((1, 50))),
         }
-        lfr_dim = self.asr_cfg.lfr_m * self.asr_cfg.num_mel
-        self.params["asr"] = self.asr_model.init(
-            k[5], jnp.zeros((1, 10, lfr_dim)), jnp.ones((1, 10), bool)
-        )
+        if asr_family == "transducer":
+            self.params["asr"] = self.asr_model.init(
+                k[5], feats0, jnp.ones((1, 50), bool), method=Transducer.greedy_decode
+            )
+        elif asr_family == "paraformer":
+            lfr_dim = self.paraformer_cfg.lfr_m * self.paraformer_cfg.num_mel
+            self.params["asr"] = self.asr_model.init(
+                k[5], jnp.zeros((1, 10, lfr_dim)), jnp.ones((1, 10), bool)
+            )
+        else:
+            lfr_dim = self.asr_cfg.lfr_m * self.asr_cfg.num_mel
+            self.params["asr"] = self.asr_model.init(
+                k[5], jnp.zeros((1, 10, lfr_dim)), jnp.ones((1, 10), bool)
+            )
 
     def load_params(self, name: str, params: Any) -> None:
         self.params[name] = params
@@ -148,11 +173,26 @@ class StageEngine:
             emb = p.spk_model.apply(params, feats, mask)
             return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
 
-        def asr_fn(params, wav, lengths, language_id, use_itn):
-            feats, mask = sensevoice_frontend(wav, lengths, p.asr_cfg)
-            logits = p.asr_model.apply(params, feats, mask, language_id=language_id, use_itn=use_itn)
-            body = logits[:, p.asr_cfg.num_prompt :]
-            return ctc_greedy_decode(body, mask.astype(jnp.float32), p.tokens.blank_id)
+        if pack.asr_family == "transducer":
+
+            def asr_fn(params, wav, lengths, language_id, use_itn):
+                feats, mask = transducer_frontend(wav, lengths, p.transducer_cfg)
+                return p.asr_model.apply(params, feats, mask, method=Transducer.greedy_decode)
+
+        elif pack.asr_family == "paraformer":
+
+            def asr_fn(params, wav, lengths, language_id, use_itn):
+                feats, mask = paraformer_frontend(wav, lengths, p.paraformer_cfg)
+                logits, counts = p.asr_model.apply(params, feats, mask)
+                return paraformer_greedy(logits, counts)
+
+        else:
+
+            def asr_fn(params, wav, lengths, language_id, use_itn):
+                feats, mask = sensevoice_frontend(wav, lengths, p.asr_cfg)
+                logits = p.asr_model.apply(params, feats, mask, language_id=language_id, use_itn=use_itn)
+                body = logits[:, p.asr_cfg.num_prompt :]
+                return ctc_greedy_decode(body, mask.astype(jnp.float32), p.tokens.blank_id)
 
         def vad_fn(params, wav, lengths):
             feats, mask = _fbank_mask(wav, lengths)

@@ -1,0 +1,157 @@
+"""Transducer (RNN-T) ASR: encoder + stateless predictor + joiner.
+
+The reference exposes a transducer recognizer family built from
+encoder/decoder/joiner ONNX graphs (reference: src/model.py:88-99,
+`OfflineRecognizer.from_transducer`). Here:
+
+- encoder: conv subsample x4 over fbank, then transformer blocks (shared
+  building blocks with the other families) -> [B, T', D];
+- predictor: stateless (icefall-style) — embeddings of the last
+  ``context`` tokens, concatenated and projected; no recurrence, so the
+  greedy loop carries only token ids;
+- joiner: tanh(enc_proj + pred_proj) -> vocab logits;
+- greedy search runs on device as one lax.scan over encoder frames with at
+  most one emitted symbol per frame (sherpa/icefall greedy default),
+  whole batch at once.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..common import Conv1d, TransformerBlock, lengths_to_mask, sinusoidal_positions
+from ...ops.fbank import FbankConfig, log_mel_fbank
+
+
+@dataclass(frozen=True)
+class TransducerConfig:
+    vocab_size: int = 512
+    dim: int = 256
+    heads: int = 4
+    layers: int = 6
+    ffn_mult: int = 4
+    conv_kernel: int = 9
+    context: int = 2          # predictor token context
+    pred_dim: int = 256
+    joiner_dim: int = 256
+    num_mel: int = 80
+    blank_id: int = 0
+    fbank: FbankConfig = field(default_factory=FbankConfig)
+
+
+class TransducerEncoder(nn.Module):
+    cfg: TransducerConfig
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, frame_mask: Optional[jnp.ndarray] = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+        c = self.cfg
+        x = jax.nn.gelu(Conv1d(c.dim, 5, stride=2, name="sub1")(feats))
+        x = jax.nn.gelu(Conv1d(c.dim, 5, stride=2, name="sub2")(x))
+        t = x.shape[1]
+        if frame_mask is not None:
+            lengths = jnp.sum(frame_mask.astype(jnp.int32), axis=-1)
+            out_len = jnp.maximum((lengths + 3) // 4, 1)
+            mask = jnp.arange(t)[None, :] < out_len[:, None]
+        else:
+            mask = jnp.ones((x.shape[0], t), bool)
+        x = x + jnp.asarray(sinusoidal_positions(t, c.dim))[None]
+        for i in range(c.layers):
+            x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel, name=f"block_{i}")(x, mask)
+        return nn.LayerNorm(name="out_ln")(x), mask
+
+
+class TransducerPredictor(nn.Module):
+    """Stateless predictor over the last ``context`` non-blank tokens."""
+
+    cfg: TransducerConfig
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """tokens [..., context] -> [..., pred_dim]."""
+        c = self.cfg
+        emb = nn.Embed(c.vocab_size, c.pred_dim, name="embed")(tokens)
+        flat = emb.reshape(emb.shape[:-2] + (c.context * c.pred_dim,))
+        return jax.nn.relu(nn.Dense(c.pred_dim, name="proj")(flat))
+
+
+class TransducerJoiner(nn.Module):
+    cfg: TransducerConfig
+
+    @nn.compact
+    def __call__(self, enc: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        h = jnp.tanh(nn.Dense(c.joiner_dim, name="enc_proj")(enc)
+                     + nn.Dense(c.joiner_dim, name="pred_proj")(pred))
+        return nn.Dense(c.vocab_size, name="out")(h)
+
+
+class Transducer(nn.Module):
+    """Bundled encoder/predictor/joiner with on-device greedy search."""
+
+    cfg: TransducerConfig = TransducerConfig()
+
+    def setup(self):
+        self.encoder = TransducerEncoder(self.cfg)
+        self.predictor = TransducerPredictor(self.cfg)
+        self.joiner = TransducerJoiner(self.cfg)
+
+    def __call__(self, feats, frame_mask, tokens):
+        """Training-style forward: joint logits [B, T', U, V]."""
+        enc, mask = self.encoder(feats, frame_mask)
+        pred = self.predictor(tokens)  # [B, U, pred_dim] from token windows
+        logits = self.joiner(enc[:, :, None, :], pred[:, None, :, :])
+        return logits, mask
+
+    def greedy_decode(self, feats, frame_mask):
+        """[B, T, mel] -> (ids [B, T'], lengths [B]) via scan over frames."""
+        c = self.cfg
+        enc, mask = self.encoder(feats, frame_mask)
+        b, t, _ = enc.shape
+
+        # materialize predictor/joiner params OUTSIDE the scan: flax creates
+        # params at first call, and creating them inside lax.scan during init
+        # leaks tracers out of the scan scope
+        ctx_warm = jnp.full((b, c.context), c.blank_id, jnp.int32)
+        _ = self.joiner(enc[:, 0], self.predictor(ctx_warm))
+
+        def step(carry, inputs):
+            ctx, count, out_t = carry  # ctx [B, context] int32
+            e_t, m_t = inputs          # [B, D], [B]
+            pred = self.predictor(ctx)
+            logits = self.joiner(e_t, pred)  # [B, V]
+            sym = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            emit = (sym != c.blank_id) & m_t
+            new_ctx = jnp.where(
+                emit[:, None],
+                jnp.concatenate([ctx[:, 1:], sym[:, None]], axis=1),
+                ctx,
+            )
+            out_sym = jnp.where(emit, sym, c.blank_id)
+            new_count = count + emit.astype(jnp.int32)
+            return (new_ctx, new_count, out_t + 1), out_sym
+
+        ctx0 = jnp.full((b, c.context), c.blank_id, jnp.int32)
+        (_, counts, _), syms = jax.lax.scan(
+            step,
+            (ctx0, jnp.zeros((b,), jnp.int32), 0),
+            (enc.transpose(1, 0, 2), mask.T),
+        )
+        syms = syms.T  # [B, T'] with blanks at non-emitting frames
+        # left-pack emitted symbols
+        emit = syms != c.blank_id
+        pos = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
+        scatter = jnp.where(emit, pos, t)
+        packed = jnp.full((b, t + 1), c.blank_id, jnp.int32)
+        packed = packed.at[jnp.arange(b)[:, None], scatter].set(syms)[:, :t]
+        return packed, counts
+
+
+def transducer_frontend(wav: jnp.ndarray, wav_lengths: jnp.ndarray, cfg: TransducerConfig):
+    feats = log_mel_fbank(wav, cfg.fbank)
+    n = feats.shape[1]
+    f_len = jnp.maximum((wav_lengths - cfg.fbank.frame_length) // cfg.fbank.frame_shift + 1, 1)
+    return feats, lengths_to_mask(f_len, n)

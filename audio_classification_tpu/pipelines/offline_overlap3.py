@@ -59,7 +59,15 @@ def build_engine(cfg) -> StageEngine:
     if tok_path and Path(tok_path).is_file():
         tokens = TokenTable.load(tok_path)
     seed = getattr(cfg, "seed", -1)
-    pack = ModelPack(preset, seed=max(int(seed), 0), tokens=tokens)
+    # family selection mirrors the reference's one-of contract
+    # (reference: src/model.py:37-100)
+    if getattr(cfg, "paraformer", ""):
+        family = "paraformer"
+    elif getattr(cfg, "encoder", ""):
+        family = "transducer"
+    else:
+        family = "sensevoice"
+    pack = ModelPack(preset, seed=max(int(seed), 0), tokens=tokens, asr_family=family)
     ckpt = getattr(cfg, "checkpoint_dir", "")
     if ckpt:
         from ..train.checkpoint import load_model_pack
