@@ -81,6 +81,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--checkpoint-dir", default="", help="orbax checkpoint dir for all model params")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-segment-sec", type=float, default=64.0)
+    p.add_argument("--profile-dir", default="", help="Write a jax.profiler device trace here")
     return p.parse_args(argv)
 
 
@@ -154,8 +155,11 @@ def main(argv=None):
     out_dir = base_out / datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    from ..utils.profiling import trace
+
     pipeline = Overlap3Pipeline(cfg)
-    result = pipeline.run()
+    with trace(cfg.profile_dir):
+        result = pipeline.run()
     write_artifacts(out_dir, result, cfg)
     print(
         f"Done. segments={result.metrics.get('segments_total')}, "

@@ -69,6 +69,7 @@ class Overlap3Config:
     checkpoint_dir: str = ""          # orbax params for all models
     max_batch: int = 8
     max_segment_sec: float = 64.0
+    profile_dir: str = ""             # jax.profiler trace output dir
 
 
 @dataclass
