@@ -243,17 +243,30 @@ class StageEngine:
         self, wav: np.ndarray, sr: int, threshold: float, win_sec: float, hop_sec: float
     ) -> List[Tuple[float, float, bool]]:
         """Full-coverage (start, end, is_overlap) list for one utterance."""
-        dur = len(wav) / sr if sr else 0.0
-        if dur <= 0:
-            return []
-        probs = self._run_bucketed([np.asarray(wav, np.float32)],
-                                   lambda w, l: self._osd(self.pack.params["osd"], w, l))[0]
-        cfg = self.pack.preset.osd
-        n_out = max(int(np.ceil(self.fbank_cfg.frames_for(len(wav)) / cfg.subsample)), 1)
-        flags = probs_to_hop_flags(
-            probs[:, 1], n_out, dur, cfg.out_frame_sec, threshold, win_sec, hop_sec
+        return self.osd_segments_batch([wav], sr, threshold, win_sec, hop_sec)[0]
+
+    def osd_segments_batch(
+        self, wavs: Sequence[np.ndarray], sr: int, threshold: float,
+        win_sec: float, hop_sec: float,
+    ) -> List[List[Tuple[float, float, bool]]]:
+        """OSD over many utterances in bucketed batches -> segment lists."""
+        wavs = [np.asarray(w, np.float32) for w in wavs]
+        nonempty = [i for i, w in enumerate(wavs) if len(w) > 0 and sr]
+        probs_all = self._run_bucketed(
+            [wavs[i] for i in nonempty],
+            lambda w, l: self._osd(self.pack.params["osd"], w, l),
         )
-        return flags_to_segments(flags, dur, win_sec, hop_sec)
+        cfg = self.pack.preset.osd
+        out: List[List[Tuple[float, float, bool]]] = [[] for _ in wavs]
+        for i, probs in zip(nonempty, probs_all):
+            wav = wavs[i]
+            dur = len(wav) / sr
+            n_out = max(int(np.ceil(self.fbank_cfg.frames_for(len(wav)) / cfg.subsample)), 1)
+            flags = probs_to_hop_flags(
+                probs[:, 1], n_out, dur, cfg.out_frame_sec, threshold, win_sec, hop_sec
+            )
+            out[i] = flags_to_segments(flags, dur, win_sec, hop_sec)
+        return out
 
     def separate(self, chunks: Sequence[np.ndarray], n_src: int = 3,
                  backend: str = "convtasnet") -> List[np.ndarray]:

@@ -6,11 +6,15 @@ names and gating semantics, but a TPU-first execution plan:
 
 reference (per segment, per stage, host<->C++ round trips):
     for mixture: OSD -> for segment: [sep] -> [embed] -> [asr]   (serial)
-this pipeline (per mixture, batched device programs):
-    OSD (1 program) -> separate all overlap segments (bucketed batches)
-    -> embed all clean segments + all branches (one batch)
-    -> SV-gate on device -> ASR all surviving chunks + target spans
-       (bucketed batches) -> decode
+this pipeline (wave-batched device programs):
+    mixtures are processed in waves; within a wave each stage runs ONCE
+    over everything that needs it —
+      OSD over all wave mixtures (bucketed batch)
+      -> separation over every overlap segment in the wave
+      -> one embedding batch (targets + clean chunks + all branches)
+      -> SV gate -> one ASR batch (winners + target spans) -> decode
+    so per-dispatch overhead amortizes across the whole wave and the
+    device stays busy.
 
 Timing fields keep the reference semantics: time_osd/time_sep/time_asr are
 wall-clock around each stage's device dispatch (results synchronized), and
@@ -18,6 +22,11 @@ the total excludes caller-side file I/O (reference: overlap3_core.py:3-8).
 Per-record `asr_time` is the batch wall-clock apportioned by each chunk's
 share of audio samples (the reference times per-segment C++ calls; with
 batching the per-item cost is the fair share).
+
+Dataset-mode randomness parity: the per-mixture random source pick
+(reference: overlap3_core.py:557-559) calls random.randrange once per
+mixture in dataset order, so --seed reproduces the reference's selection
+sequence regardless of wave size.
 """
 from __future__ import annotations
 
@@ -112,7 +121,7 @@ class Overlap3Pipeline:
         dataset_name = "manual-files" if file_mode else "LibriMix"
 
         ds: Optional[LibriMixDataset] = None
-        items: List[Tuple[str, np.ndarray, Optional[List[np.ndarray]], List[str]]] = []
+        file_items: List[Tuple[str, np.ndarray]] = []
         if file_mode:
             if not cfg.target_wav:
                 raise ValueError("In file mode (--input-wavs), --target-wav is required.")
@@ -120,8 +129,8 @@ class Overlap3Pipeline:
                 if not Path(p).is_file():
                     continue
                 wav, _ = _load_resampled(eng, p)
-                items.append((str(Path(p)), wav, None, []))
-            limit = len(items)
+                file_items.append((str(Path(p)), wav))
+            limit = len(file_items)
         else:
             ds = LibriMixDataset(
                 cfg.librimix_root, cfg.subset, num_speakers=3,
@@ -144,7 +153,7 @@ class Overlap3Pipeline:
             total_matched_audio_sec=0.0, total_seen_clean_audio_sec=0.0,
             total_seen_overlap_audio_sec=0.0, total_missed_audio_sec=0.0,
         )
-        time_osd = time_sep = time_asr = 0.0
+        self._time = dict(osd=0.0, sep=0.0, asr=0.0)
         sep_sisdr: List[float] = []
         sep_sisdri: List[float] = []
         sep_details_rows: List[List[Any]] = []
@@ -157,231 +166,157 @@ class Overlap3Pipeline:
         t0_all = time.time()
 
         # ---- global target enrollment (file mode)
-        g_target_vec = g_target_np = None
-        g_target_abs: Optional[str] = None
-        g_target_text = ""
+        g_target = None
         if file_mode:
             t_np, _ = _load_resampled(eng, cfg.target_wav)
-            g_target_vec = eng.embed([t_np])[0]
-            g_target_np = t_np
-            g_target_abs = str(Path(cfg.target_wav))
+            vec = eng.embed([t_np])[0]
             t_a = time.time()
-            g_target_text = eng.transcribe([t_np], cfg.language)[0]
-            time_asr += time.time() - t_a
+            text = eng.transcribe([t_np], cfg.language)[0]
+            self._time["asr"] += time.time() - t_a
+            g_target = dict(vec=vec, np=t_np, abs=str(Path(cfg.target_wav)), text=text)
 
-        for idx in range(limit):
-            if file_mode:
-                abs_mix_path, mix_np, sources, src_paths = items[idx]
-                mix_norm = str(Path(abs_mix_path))
-                if mix_norm in refs_map:
-                    src_paths = refs_map[mix_norm]
-                elif cfg.ref_wavs and limit == 1:
-                    src_paths = [str(Path(p)) for p in cfg.ref_wavs]
-            else:
-                assert ds is not None
-                sr_item, mix_wav, sources = ds[idx]
-                _sr_meta, mix_rel, src_rel = ds.get_metadata(idx)
-                src_paths = list(src_rel)
-                abs_mix_path = str(Path(cfg.librimix_root) / mix_rel)
-                mix_np = eng.resample(mix_wav, sr_item, G_SAMPLE_RATE)
-                if sources is not None:
-                    sources = [eng.resample(s, sr_item, G_SAMPLE_RATE) for s in sources]
+        wave_size = max(int(getattr(cfg, "max_batch", 8)), 1)
+        for wave_start in range(0, limit, wave_size):
+            wave_idx = list(range(wave_start, min(wave_start + wave_size, limit)))
+            mixtures = [
+                self._load_mixture(i, file_mode, file_items, ds, refs_map)
+                for i in wave_idx
+            ]
+            for mx in mixtures:
+                A["total_audio_sec"] += mx["dur"]
 
-            sr = G_SAMPLE_RATE
-            dur = len(mix_np) / sr
-            A["total_audio_sec"] += dur
-
-            # ---- OSD
+            # ---- Stage: OSD over the whole wave
             t_o = time.time()
-            osd_segs = eng.osd_segments(mix_np, sr, cfg.osd_thr, cfg.osd_win, cfg.osd_hop)
-            time_osd += time.time() - t_o
-            if not osd_segs:
-                osd_segs = [(0.0, dur, False)]
-            if cfg.exclusive_segments:
-                segments = exclusive_segments(osd_segs, dur, cfg.min_overlap_dur)
-            else:
-                segments = [(float(s), float(e), bool(f)) for s, e, f in osd_segs]
+            osd_lists = eng.osd_segments_batch(
+                [mx["mix"] for mx in mixtures], G_SAMPLE_RATE,
+                cfg.osd_thr, cfg.osd_win, cfg.osd_hop,
+            )
+            self._time["osd"] += time.time() - t_o
 
-            # ---- per-mixture target (dataset mode: seeded random source,
-            # reference: overlap3_core.py:555-595)
-            target_vec = g_target_vec
-            target_np = g_target_np
-            target_abs = g_target_abs
-            target_text_fb = g_target_text
+            # ---- host: exclusivity + segment rows; target selection
+            for mx, osd_segs in zip(mixtures, osd_lists):
+                if not osd_segs:
+                    osd_segs = [(0.0, mx["dur"], False)]
+                if cfg.exclusive_segments:
+                    segments = exclusive_segments(osd_segs, mx["dur"], cfg.min_overlap_dur)
+                else:
+                    segments = [(float(s), float(e), bool(f)) for s, e, f in osd_segs]
+                rows = []
+                sr = G_SAMPLE_RATE
+                for s, e, is_olap in segments:
+                    if e - s <= 0:
+                        continue
+                    s_i, e_i = int(s * sr), int(e * sr)
+                    kind = "overlap" if (is_olap and (e - s) >= cfg.min_overlap_dur) else "clean"
+                    rows.append(dict(s=s, e=e, s_i=s_i, e_i=e_i,
+                                     chunk=mx["mix"][s_i:e_i], kind=kind))
+                mx["rows"] = rows
+                self._select_target(mx, file_mode, g_target, ds)
+
+            # ---- Stage: enroll wave targets (dataset mode) in one batch each
             if not file_mode:
-                target_vec = target_np = None
-                target_abs = None
-                target_text_fb = ""
-                try:
-                    t_idx = 0
-                    if sources:
-                        t_idx = random.randrange(len(sources))
-                    if src_paths and len(src_paths) > t_idx:
-                        target_abs = str(Path(cfg.librimix_root) / src_paths[t_idx])
-                    if sources:
-                        target_np = sources[t_idx]
-                        target_vec = eng.embed([target_np])[0]
-                        t_a = time.time()
-                        target_text_fb = eng.transcribe([target_np], cfg.language)[0]
-                        time_asr += time.time() - t_a
-                except Exception:
-                    target_vec = None
+                need = [mx for mx in mixtures if mx.get("target_np") is not None]
+                if need:
+                    embs = eng.embed([mx["target_np"] for mx in need])
+                    t_a = time.time()
+                    texts = eng.transcribe([mx["target_np"] for mx in need], cfg.language)
+                    self._time["asr"] += time.time() - t_a
+                    for mx, v, txt in zip(need, embs, texts):
+                        mx["target_vec"] = v
+                        mx["target_text_fb"] = txt
 
-            # ---- split segments & slice chunks
-            seg_rows: List[dict] = []
-            for s, e, is_olap in segments:
-                if e - s <= 0:
-                    continue
-                s_i, e_i = int(s * sr), int(e * sr)
-                chunk = mix_np[s_i:e_i]
-                kind = "overlap" if (is_olap and (e - s) >= cfg.min_overlap_dur) else "clean"
-                seg_rows.append(dict(s=s, e=e, s_i=s_i, e_i=e_i, chunk=chunk, kind=kind))
-
-            # ---- separation stage (all overlap segments of this mixture)
-            overlap_rows = [r for r in seg_rows if r["kind"] == "overlap"]
+            # ---- Stage: separation over every overlap segment in the wave
+            overlap_rows = [
+                (mx, r) for mx in mixtures for r in mx["rows"] if r["kind"] == "overlap"
+            ]
             if overlap_rows:
                 t_s = time.time()
                 branch_lists = eng.separate(
-                    [r["chunk"] for r in overlap_rows], n_src=3, backend=cfg.sep_backend
+                    [r["chunk"] for _, r in overlap_rows], n_src=3, backend=cfg.sep_backend
                 )
-                time_sep += time.time() - t_s
-                for r, branches in zip(overlap_rows, branch_lists):
+                self._time["sep"] += time.time() - t_s
+                for (_, r), branches in zip(overlap_rows, branch_lists):
                     r["branches"] = [np.asarray(b) for b in branches]
 
-            # ---- optional separation quality eval (PIT vs reference srcs)
-            if cfg.eval_separation and src_paths and overlap_rows:
-                ref_wavs = self._load_ref_sources(file_mode, src_paths, sources)
-                if ref_wavs is not None and len(ref_wavs) >= 2:
-                    k = 3 if len(ref_wavs) >= 3 else len(ref_wavs)
-                    for r in overlap_rows:
-                        refs = [rw[r["s_i"]:r["e_i"]] for rw in ref_wavs[:k]]
-                        best, sdri, idx_sel = sdr_improvement_pit(r["chunk"], refs, r["branches"])
-                        if not (np.isnan(best) or np.isnan(sdri)):
-                            sep_sisdr.append(float(best))
-                            sep_sisdri.append(float(sdri))
-                            mix_rel_path = abs_mix_path if file_mode else ds.get_metadata(idx)[1]
-                            sep_details_rows.append([
-                                mix_rel_path, f"{r['s']:.3f}", f"{r['e']:.3f}", k,
-                                f"{best:.4f}", f"{sdri:.4f}",
-                                ";".join(str(i) for i in idx_sel),
-                            ])
+            # ---- optional separation quality eval (host PIT, parity oracle)
+            if cfg.eval_separation:
+                for mx in mixtures:
+                    self._eval_separation(mx, file_mode, ds, sep_sisdr, sep_sisdri, sep_details_rows)
 
-            # ---- embedding + gating stage (one batch: clean chunks + branches)
+            # ---- Stage: one embedding batch for the whole wave
             embed_items: List[np.ndarray] = []
-            embed_owner: List[Tuple[int, int]] = []  # (row index, branch or -1)
-            for ri, r in enumerate(seg_rows):
-                if r["kind"] == "clean":
-                    embed_items.append(r["chunk"])
-                    embed_owner.append((ri, -1))
-                else:
-                    for bi, b in enumerate(r.get("branches", [])):
-                        embed_items.append(b)
-                        embed_owner.append((ri, bi))
-            if embed_items and target_vec is not None:
+            owners: List[Tuple[dict, dict, int]] = []
+            for mx in mixtures:
+                if mx.get("target_vec") is None:
+                    continue
+                for r in mx["rows"]:
+                    if r["kind"] == "clean":
+                        embed_items.append(r["chunk"])
+                        owners.append((mx, r, -1))
+                    else:
+                        for bi, b in enumerate(r.get("branches", [])):
+                            embed_items.append(b)
+                            owners.append((mx, r, bi))
+            if embed_items:
                 embs = eng.embed(embed_items)
-                scores = embs @ target_vec
-                for (ri, bi), sc in zip(embed_owner, scores):
+                for (mx, r, bi), emb in zip(owners, embs):
+                    sc = float(emb @ mx["target_vec"])
                     if bi < 0:
-                        seg_rows[ri]["sv_score"] = float(sc)
+                        r["sv_score"] = sc
                     else:
-                        seg_rows[ri].setdefault("branch_scores", {})[bi] = float(sc)
+                        r.setdefault("branch_scores", {})[bi] = sc
 
-            # ---- gate + collect ASR work
+            # ---- gate + collect one wave-wide ASR batch
             asr_items: List[np.ndarray] = []
-            asr_owner: List[Tuple[int, str]] = []  # (row, "main"|"target")
-            for ri, r in enumerate(seg_rows):
-                seg_dur = r["e"] - r["s"]
-                if r["kind"] == "clean":
-                    M["n_seen_clean_segments"] += 1
-                    A["total_seen_clean_audio_sec"] += seg_dur
-                    sv = r.get("sv_score")
-                    if target_vec is not None:
-                        matched = sv is not None and sv >= cfg.sv_threshold
-                    else:
-                        matched = True  # no extractor/enrollment -> pass-through
-                    if not matched:
-                        M["n_missed_segments"] += 1
-                        M["n_missed_clean_segments"] += 1
-                        A["total_missed_audio_sec"] += seg_dur
-                        r["drop"] = True
-                        continue
-                    asr_items.append(r["chunk"])
-                    asr_owner.append((ri, "main"))
-                    if target_np is not None:
-                        asr_items.append(target_np[r["s_i"]:r["e_i"]])
-                        asr_owner.append((ri, "target"))
-                else:
-                    M["n_seen_overlap_segments"] += 1
-                    A["total_seen_overlap_audio_sec"] += seg_dur
-                    A["total_overlap_audio_sec"] += seg_dur
-                    bscores = r.get("branch_scores", {})
-                    if target_vec is None or not bscores:
-                        M["n_missed_segments"] += 1
-                        M["n_missed_overlap_segments"] += 1
-                        A["total_missed_audio_sec"] += seg_dur
-                        r["drop"] = True
-                        continue
-                    best_b = max(bscores, key=bscores.get)
-                    best_score = bscores[best_b]
-                    if best_score < cfg.sv_threshold:
-                        M["n_missed_segments"] += 1
-                        M["n_missed_overlap_segments"] += 1
-                        A["total_missed_audio_sec"] += seg_dur
-                        r["drop"] = True
-                        continue
-                    r["best_branch"] = best_b
-                    r["sv_score"] = best_score
-                    asr_items.append(r["branches"][best_b])
-                    asr_owner.append((ri, "main"))
-                    if target_np is not None:
-                        asr_items.append(target_np[r["s_i"]:r["e_i"]])
-                        asr_owner.append((ri, "target"))
+            asr_owner: List[Tuple[dict, dict, str]] = []
+            for mx in mixtures:
+                for r in mx["rows"]:
+                    self._gate_row(mx, r, M, A, asr_items, asr_owner)
 
-            # ---- ASR stage (single bucketed batch per mixture)
-            texts: List[str] = []
+            texts = []
             asr_elapsed = 0.0
             if asr_items:
                 t_a = time.time()
                 texts = eng.transcribe(asr_items, cfg.language)
                 asr_elapsed = time.time() - t_a
-                time_asr += asr_elapsed
+                self._time["asr"] += asr_elapsed
             total_asr_samples = sum(len(c) for c in asr_items) or 1
-            for (ri, role), text, chunk in zip(asr_owner, texts, asr_items):
+            for (mx, r, role), text, chunk in zip(asr_owner, texts, asr_items):
                 share = asr_elapsed * (len(chunk) / total_asr_samples)
                 if role == "main":
-                    seg_rows[ri]["text"] = text
-                    seg_rows[ri]["asr_time"] = share
+                    r["text"] = text
+                    r["asr_time"] = share
                 else:
-                    seg_rows[ri]["target_text"] = text
+                    r["target_text"] = text
 
             # ---- emit records (field names: overlap3_core.py:667-680,820-833)
-            for r in seg_rows:
-                if r.get("drop") or "text" not in r:
-                    continue
-                tgt_text = r.get("target_text", "") or target_text_fb
-                seg_dur = r["e"] - r["s"]
-                rec = {
-                    "wav": abs_mix_path,
-                    "start": round(r["s"], 3),
-                    "end": round(r["e"], 3),
-                    "kind": r["kind"],
-                    "stream": int(r["best_branch"]) if r["kind"] == "overlap" else None,
-                    "text": r["text"],
-                    "asr_time": round(r.get("asr_time", 0.0), 3),
-                    "sv_score": round(r["sv_score"], 4) if r.get("sv_score") is not None else None,
-                    "target_src": target_abs,
-                    "target_src_text": tgt_text,
-                }
-                segments_out.append(rec)
-                M["n_segments"] += 1
-                M["n_matched_segments"] += 1
-                A["total_matched_audio_sec"] += seg_dur
-                if r["kind"] == "clean":
-                    M["n_clean_segments"] += 1
-                    A["total_clean_audio_sec"] += seg_dur
-                else:
-                    M["n_overlap_segments"] += 1
-                    M["n_separated_streams"] += 1
+            for mx in mixtures:
+                for r in mx["rows"]:
+                    if r.get("drop") or "text" not in r:
+                        continue
+                    tgt_text = r.get("target_text", "") or mx.get("target_text_fb", "")
+                    seg_dur = r["e"] - r["s"]
+                    segments_out.append({
+                        "wav": mx["abs_path"],
+                        "start": round(r["s"], 3),
+                        "end": round(r["e"], 3),
+                        "kind": r["kind"],
+                        "stream": int(r["best_branch"]) if r["kind"] == "overlap" else None,
+                        "text": r["text"],
+                        "asr_time": round(r.get("asr_time", 0.0), 3),
+                        "sv_score": round(r["sv_score"], 4) if r.get("sv_score") is not None else None,
+                        "target_src": mx.get("target_abs"),
+                        "target_src_text": tgt_text,
+                    })
+                    M["n_segments"] += 1
+                    M["n_matched_segments"] += 1
+                    A["total_matched_audio_sec"] += seg_dur
+                    if r["kind"] == "clean":
+                        M["n_clean_segments"] += 1
+                        A["total_clean_audio_sec"] += seg_dur
+                    else:
+                        M["n_overlap_segments"] += 1
+                        M["n_separated_streams"] += 1
 
         elapsed_compute = time.time() - t0_all
         resource_stats: Dict[str, Any] = {}
@@ -391,7 +326,7 @@ class Overlap3Pipeline:
 
         seen = M["n_seen_clean_segments"] + M["n_seen_overlap_segments"]
         rtf_total = elapsed_compute / A["total_audio_sec"] if A["total_audio_sec"] > 0 else None
-        rtf_asr = time_asr / A["total_audio_sec"] if A["total_audio_sec"] > 0 else None
+        rtf_asr = self._time["asr"] / A["total_audio_sec"] if A["total_audio_sec"] > 0 else None
         metrics: Dict[str, Any] = {
             "total_audio_sec": round(A["total_audio_sec"], 3),
             "audio_overlap_sec": round(A["total_overlap_audio_sec"], 3),
@@ -413,9 +348,9 @@ class Overlap3Pipeline:
             "target_hit_rate_segments": (
                 round(M["n_matched_segments"] / seen, 4) if seen > 0 else None
             ),
-            "time_osd_sec": round(time_osd, 3),
-            "time_sep_sec": round(time_sep, 3),
-            "time_asr_sec": round(time_asr, 3),
+            "time_osd_sec": round(self._time["osd"], 3),
+            "time_sep_sec": round(self._time["sep"], 3),
+            "time_asr_sec": round(self._time["asr"], 3),
             "time_compute_total_sec": round(elapsed_compute, 3),
             "rtf_total": maybe_round(rtf_total, 4),
             "rtf_asr": maybe_round(rtf_asr, 4),
@@ -444,6 +379,133 @@ class Overlap3Pipeline:
             processed_mixtures=limit,
             sample_rate=cfg.sample_rate,
         )
+
+    # ------------------------------------------------------------------
+    def _load_mixture(self, idx, file_mode, file_items, ds, refs_map) -> dict:
+        cfg = self.cfg
+        eng = self.engine
+        if file_mode:
+            abs_path, mix_np = file_items[idx]
+            src_paths: List[str] = []
+            sources = None
+            mix_norm = str(Path(abs_path))
+            if mix_norm in refs_map:
+                src_paths = refs_map[mix_norm]
+            elif cfg.ref_wavs and len(file_items) == 1:
+                src_paths = [str(Path(p)) for p in cfg.ref_wavs]
+        else:
+            sr_item, mix_wav, sources = ds[idx]
+            _sr_meta, mix_rel, src_rel = ds.get_metadata(idx)
+            src_paths = list(src_rel)
+            abs_path = str(Path(cfg.librimix_root) / mix_rel)
+            mix_np = eng.resample(mix_wav, sr_item, G_SAMPLE_RATE)
+            if sources is not None:
+                sources = [eng.resample(s, sr_item, G_SAMPLE_RATE) for s in sources]
+        return dict(
+            idx=idx, abs_path=abs_path, mix=mix_np, sources=sources,
+            src_paths=src_paths, dur=len(mix_np) / G_SAMPLE_RATE,
+        )
+
+    def _select_target(self, mx: dict, file_mode: bool, g_target, ds) -> None:
+        """Per-mixture target (dataset mode: seeded random source pick,
+        reference: overlap3_core.py:555-595). Embedding/ASR of dataset-mode
+        targets happens later in a wave batch; here only the pick."""
+        cfg = self.cfg
+        if file_mode:
+            if g_target is not None:
+                mx["target_vec"] = g_target["vec"]
+                mx["target_np"] = g_target["np"]
+                mx["target_abs"] = g_target["abs"]
+                mx["target_text_fb"] = g_target["text"]
+            return
+        mx["target_vec"] = None
+        mx["target_np"] = None
+        mx["target_abs"] = None
+        mx["target_text_fb"] = ""
+        try:
+            t_idx = 0
+            sources = mx["sources"]
+            if sources:
+                t_idx = random.randrange(len(sources))
+            if mx["src_paths"] and len(mx["src_paths"]) > t_idx:
+                mx["target_abs"] = str(Path(cfg.librimix_root) / mx["src_paths"][t_idx])
+            if sources:
+                mx["target_np"] = sources[t_idx]
+        except Exception:
+            mx["target_np"] = None
+
+    def _eval_separation(self, mx: dict, file_mode: bool, ds, sep_sisdr, sep_sisdri, rows_out) -> None:
+        cfg = self.cfg
+        if not mx["src_paths"]:
+            return
+        overlap_rows = [r for r in mx["rows"] if r["kind"] == "overlap" and "branches" in r]
+        if not overlap_rows:
+            return
+        ref_wavs = self._load_ref_sources(file_mode, mx["src_paths"], mx["sources"])
+        if ref_wavs is None or len(ref_wavs) < 2:
+            return
+        k = 3 if len(ref_wavs) >= 3 else len(ref_wavs)
+        mix_rel_path = mx["abs_path"] if file_mode else ds.get_metadata(mx["idx"])[1]
+        for r in overlap_rows:
+            refs = [rw[r["s_i"]:r["e_i"]] for rw in ref_wavs[:k]]
+            best, sdri, idx_sel = sdr_improvement_pit(r["chunk"], refs, r["branches"])
+            if not (np.isnan(best) or np.isnan(sdri)):
+                sep_sisdr.append(float(best))
+                sep_sisdri.append(float(sdri))
+                rows_out.append([
+                    mix_rel_path, f"{r['s']:.3f}", f"{r['e']:.3f}", k,
+                    f"{best:.4f}", f"{sdri:.4f}",
+                    ";".join(str(i) for i in idx_sel),
+                ])
+
+    def _gate_row(self, mx: dict, r: dict, M: dict, A: dict, asr_items, asr_owner) -> None:
+        """SV gating + ASR work collection for one segment row
+        (semantics: overlap3_core.py:611-791)."""
+        cfg = self.cfg
+        seg_dur = r["e"] - r["s"]
+        has_target = mx.get("target_vec") is not None
+        if r["kind"] == "clean":
+            M["n_seen_clean_segments"] += 1
+            A["total_seen_clean_audio_sec"] += seg_dur
+            sv = r.get("sv_score")
+            matched = (sv is not None and sv >= cfg.sv_threshold) if has_target else True
+            if not matched:
+                M["n_missed_segments"] += 1
+                M["n_missed_clean_segments"] += 1
+                A["total_missed_audio_sec"] += seg_dur
+                r["drop"] = True
+                return
+            asr_items.append(r["chunk"])
+            asr_owner.append((mx, r, "main"))
+            if mx.get("target_np") is not None:
+                asr_items.append(mx["target_np"][r["s_i"]:r["e_i"]])
+                asr_owner.append((mx, r, "target"))
+        else:
+            M["n_seen_overlap_segments"] += 1
+            A["total_seen_overlap_audio_sec"] += seg_dur
+            A["total_overlap_audio_sec"] += seg_dur
+            bscores = r.get("branch_scores", {})
+            if not has_target or not bscores:
+                M["n_missed_segments"] += 1
+                M["n_missed_overlap_segments"] += 1
+                A["total_missed_audio_sec"] += seg_dur
+                r["drop"] = True
+                return
+            best_b = max(bscores, key=bscores.get)
+            best_score = bscores[best_b]
+            if best_score < cfg.sv_threshold:
+                M["n_missed_segments"] += 1
+                M["n_missed_overlap_segments"] += 1
+                A["total_missed_audio_sec"] += seg_dur
+                r["drop"] = True
+                return
+            r["best_branch"] = best_b
+            r["sv_score"] = best_score
+            asr_items.append(r["branches"][best_b])
+            asr_owner.append((mx, r, "main"))
+            if mx.get("target_np") is not None:
+                asr_items.append(mx["target_np"][r["s_i"]:r["e_i"]])
+                asr_owner.append((mx, r, "target"))
 
     # ------------------------------------------------------------------
     def _load_refs_csv(self) -> Dict[str, List[str]]:
