@@ -1,0 +1,124 @@
+"""Weight converters: ONNX wire parser + torch ConvTasNet import."""
+import struct
+
+import numpy as np
+import pytest
+
+from audio_classification_tpu.models.convert.onnx_import import (
+    dequantize_int8,
+    load_onnx_weights,
+)
+
+
+def _varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _field(no: int, wire: int, payload: bytes) -> bytes:
+    key = _varint((no << 3) | wire)
+    if wire == 2:
+        return key + _varint(len(payload)) + payload
+    return key + payload
+
+
+def _tensor(name: str, arr: np.ndarray, dtype_code: int) -> bytes:
+    body = b""
+    for d in arr.shape:
+        body += _field(1, 0, _varint(d))
+    body += _field(2, 0, _varint(dtype_code))
+    body += _field(8, 2, name.encode())
+    body += _field(9, 2, arr.tobytes())
+    return body
+
+
+def _onnx_bytes(tensors) -> bytes:
+    graph = b"".join(_field(5, 2, t) for t in tensors)
+    return _field(7, 2, graph)  # ModelProto.graph
+
+
+def test_load_onnx_weights_roundtrip(tmp_path):
+    w1 = np.arange(12, dtype=np.float32).reshape(3, 4)
+    w2 = np.asarray([[-1, 2], [3, -4]], dtype=np.int8)
+    scale = np.asarray([0.5], dtype=np.float32)
+    zp = np.asarray([1], dtype=np.int8)
+    blob = _onnx_bytes([
+        _tensor("enc.weight", w1, 1),
+        _tensor("q.weight", w2, 3),
+        _tensor("q.weight_scale", scale, 1),
+        _tensor("q.weight_zero_point", zp, 3),
+    ])
+    p = tmp_path / "m.onnx"
+    p.write_bytes(blob)
+    weights = load_onnx_weights(str(p))
+    assert set(weights) == {"enc.weight", "q.weight", "q.weight_scale", "q.weight_zero_point"}
+    np.testing.assert_array_equal(weights["enc.weight"], w1)
+    np.testing.assert_array_equal(weights["q.weight"], w2)
+    deq = dequantize_int8(weights, "q.weight")
+    np.testing.assert_allclose(deq, (w2.astype(np.float32) - 1) * 0.5)
+
+
+def test_load_onnx_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.onnx"
+    p.write_bytes(b"\x00\x01\x02garbage")
+    with pytest.raises(ValueError):
+        load_onnx_weights(str(p))
+
+
+def test_torch_convtasnet_import_roundtrip(tmp_path):
+    """Build an asteroid-shaped state dict with torch, import, and check the
+    JAX model consumes it (forward runs, encoder weights land transposed)."""
+    torch = pytest.importorskip("torch")
+    from audio_classification_tpu.models.convert.torch_import import load_convtasnet_torch
+    from audio_classification_tpu.models.convtasnet import ConvTasNet, ConvTasNetConfig
+
+    cfg = ConvTasNetConfig(n_src=2, enc_dim=16, enc_kernel=8, bottleneck=8,
+                           hidden=16, n_blocks=1, n_repeats=1)
+    g = torch.Generator().manual_seed(0)
+    sd = {
+        "encoder.filterbank._filters": torch.randn(16, 1, 8, generator=g),
+        "decoder.filterbank._filters": torch.randn(16, 1, 8, generator=g),
+        "masker.bottleneck.0.gamma": torch.ones(1, 16, 1),
+        "masker.bottleneck.0.beta": torch.zeros(1, 16, 1),
+        "masker.bottleneck.1.weight": torch.randn(8, 16, 1, generator=g),
+        "masker.bottleneck.1.bias": torch.zeros(8),
+        "masker.mask_net.0.weight": torch.full((1,), 0.25),
+        "masker.mask_net.1.weight": torch.randn(2 * 16, 8, 1, generator=g),
+        "masker.mask_net.1.bias": torch.zeros(2 * 16),
+    }
+    for i in range(1):
+        pre = f"masker.TCN.{i}"
+        sd[f"{pre}.shared_block.0.weight"] = torch.randn(16, 8, 1, generator=g)
+        sd[f"{pre}.shared_block.0.bias"] = torch.zeros(16)
+        sd[f"{pre}.shared_block.1.weight"] = torch.full((1,), 0.25)
+        sd[f"{pre}.shared_block.2.gamma"] = torch.ones(1, 16, 1)
+        sd[f"{pre}.shared_block.2.beta"] = torch.zeros(1, 16, 1)
+        sd[f"{pre}.shared_block.3.weight"] = torch.randn(16, 1, 3, generator=g)
+        sd[f"{pre}.shared_block.3.bias"] = torch.zeros(16)
+        sd[f"{pre}.shared_block.4.weight"] = torch.full((1,), 0.25)
+        sd[f"{pre}.shared_block.5.gamma"] = torch.ones(1, 16, 1)
+        sd[f"{pre}.shared_block.5.beta"] = torch.zeros(1, 16, 1)
+        sd[f"{pre}.res_conv.weight"] = torch.randn(8, 16, 1, generator=g)
+        sd[f"{pre}.res_conv.bias"] = torch.zeros(8)
+        sd[f"{pre}.skip_conv.weight"] = torch.randn(8, 16, 1, generator=g)
+        sd[f"{pre}.skip_conv.bias"] = torch.zeros(8)
+    ckpt = tmp_path / "tasnet.bin"
+    torch.save({"state_dict": sd}, ckpt)
+
+    params = load_convtasnet_torch(str(ckpt), cfg)
+    enc = np.asarray(params["params"]["encoder"]["kernel"])
+    np.testing.assert_allclose(
+        enc, sd["encoder.filterbank._filters"].numpy().transpose(2, 1, 0), atol=1e-6
+    )
+    import jax.numpy as jnp
+
+    model = ConvTasNet(cfg)
+    out = model.apply(params, jnp.zeros((1, 1600)) + 0.1, jnp.ones((1, 1600)))
+    assert out.shape == (1, 2, 1600)
+    assert np.isfinite(np.asarray(out)).all()
