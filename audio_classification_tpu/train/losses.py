@@ -7,6 +7,7 @@ The PIT loss reuses the same static assignment enumeration as evaluation
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,6 +27,40 @@ def si_sdr_loss_matrix(refs: jnp.ndarray, ests: jnp.ndarray, mask: jnp.ndarray, 
     proj = scale * scale * r_e[..., None] + eps
     noise = jnp.maximum(e_e[:, None, :] - 2 * scale * dots + scale * scale * r_e[..., None], eps)
     return 10.0 * (jnp.log10(proj) - jnp.log10(noise))
+
+
+def frame_bce_loss(probs: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Masked binary cross-entropy over frames (OSD / VAD heads).
+
+    probs, labels [..., T(, C)], mask broadcastable over the frame axis.
+    """
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    bce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
+    m = mask.astype(bce.dtype)
+    while m.ndim < bce.ndim:
+        m = m[..., None]
+    return jnp.sum(bce * m) / jnp.maximum(jnp.sum(m) * (bce.size / m.size if m.size else 1.0), 1.0)
+
+
+def aam_softmax_loss(
+    embeddings: jnp.ndarray, labels: jnp.ndarray, weight: jnp.ndarray,
+    margin: float = 0.2, scale: float = 30.0,
+) -> jnp.ndarray:
+    """Additive-angular-margin softmax (speaker-embedding training).
+
+    embeddings [B, D] (any norm), labels [B] int, weight [C, D] class
+    centers. The standard ArcFace objective used to train ERes2Net-style
+    speaker models.
+    """
+    e = embeddings / jnp.maximum(jnp.linalg.norm(embeddings, axis=-1, keepdims=True), 1e-12)
+    w = weight / jnp.maximum(jnp.linalg.norm(weight, axis=-1, keepdims=True), 1e-12)
+    cos = e @ w.T  # [B, C]
+    theta = jnp.arccos(jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7))
+    onehot = jax.nn.one_hot(labels, w.shape[0])
+    cos_m = jnp.cos(theta + margin)
+    logits = scale * (onehot * cos_m + (1.0 - onehot) * cos)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
 
 
 def pit_si_sdr_loss(ests: jnp.ndarray, refs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -87,3 +87,39 @@ class SeparatorTrainer:
         params, opt_state, loss = self._step(self.state.params, self.state.opt_state, mix, refs, mask)
         self.state = TrainState(params, opt_state, self.state.step + 1)
         return float(loss)
+
+
+class ModuleTrainer:
+    """Generic DP-sharded trainer for any flax module + loss.
+
+    loss_fn(apply_fn, params, batch) -> scalar; batch is a pytree of arrays
+    with a leading batch dim, sharded over the mesh "data" axis. Covers the
+    non-separator model families (OSD/VAD frame BCE, speaker AAM-softmax,
+    ASR CTC via models/asr/ctc.ctc_loss).
+    """
+
+    def __init__(self, module, params, loss_fn, mesh: Optional[Mesh] = None, lr: float = 1e-3):
+        self.module = module
+        self.mesh = mesh or make_mesh(model_axis=1)
+        self.tx = make_optimizer(lr)
+        self.state = TrainState(params=params, opt_state=self.tx.init(params))
+        dsh = data_sharding(self.mesh)
+
+        def step_fn(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(self.module.apply, p, batch)
+            )(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step = jax.jit(
+            step_fn,
+            in_shardings=(None, None, dsh),
+            out_shardings=(None, None, NamedSharding(self.mesh, P())),
+        )
+
+    def train_step(self, batch) -> float:
+        batch = jax.device_put(batch, data_sharding(self.mesh))
+        params, opt_state, loss = self._step(self.state.params, self.state.opt_state, batch)
+        self.state = TrainState(params, opt_state, self.state.step + 1)
+        return float(loss)
