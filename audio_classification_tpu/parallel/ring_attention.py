@@ -1,0 +1,82 @@
+"""Sequence-parallel ring attention (shard_map + ppermute over ICI).
+
+The reference handles long audio purely by time-domain segmentation
+(SURVEY.md §5.7); this module adds the capability the reference lacks:
+when a single segment's attention no longer fits one chip (SenseVoice-style
+encoders are O(T^2)), the sequence axis shards across the mesh and K/V
+blocks rotate around the ring while each device accumulates its queries'
+attention with a numerically stable streaming softmax — compute overlaps
+the ICI transfers that XLA schedules for the ppermute.
+
+API: ``ring_attention(q, k, v, mesh, axis)`` with q/k/v [B, T, H, D] and T
+divisible by the axis size. Semantics match full softmax attention.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _local_attn_block(q, k, v, scale):
+    """q [B,Ts,H,D] x k,v [B,Tb,H,D] -> (scores-max, exp-sums, weighted v)."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    m = jnp.max(logits, axis=-1)  # [B,H,Ts]
+    p = jnp.exp(logits - m[..., None])
+    l = jnp.sum(p, axis=-1)  # [B,H,Ts]
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32)
+    return m, l, o
+
+
+def _ring_body(q, k, v, axis_name: str):
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    n_dev = jax.lax.psum(1, axis_name)
+
+    m0, l0, o0 = _local_attn_block(q, k, v, scale)
+
+    def step(i, carry):
+        m, l, o, k_cur, v_cur = carry
+        perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        k_new = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_new = jax.lax.ppermute(v_cur, axis_name, perm)
+        m_b, l_b, o_b = _local_attn_block(q, k_new, v_new, scale)
+        m_new = jnp.maximum(m, m_b)
+        c_old = jnp.exp(m - m_new)
+        c_new = jnp.exp(m_b - m_new)
+        l_new = l * c_old + l_b * c_new
+        o_new = o * c_old.transpose(0, 2, 1)[..., None] + o_b * c_new.transpose(0, 2, 1)[..., None]
+        return m_new, l_new, o_new, k_new, v_new
+
+    m, l, o, _, _ = jax.lax.fori_loop(1, n_dev, lambda i, c: step(i, c), (m0, l0, o0, k, v))
+    return o / l.transpose(0, 2, 1)[..., None]
+
+
+def ring_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh: Mesh, axis: str = "data"
+) -> jnp.ndarray:
+    """Full-softmax attention with the sequence axis sharded over ``axis``.
+
+    q, k, v: [B, T, H, D]; T must divide by mesh.shape[axis]. Returns
+    [B, T, H, D] with the same sharding.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(None, axis, None, None)
+    fn = shard_map(
+        partial(_ring_body, axis_name=axis),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)
+
+
+def reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Single-device oracle for tests."""
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
