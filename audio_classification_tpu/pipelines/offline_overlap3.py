@@ -62,6 +62,9 @@ class PipelineResult:
 
 def build_engine(cfg) -> StageEngine:
     """Construct ModelPack + StageEngine from a pipeline config."""
+    from ..runtime.device import enable_compilation_cache
+
+    enable_compilation_cache()
     preset = tiny_preset() if getattr(cfg, "preset", "full") == "tiny" else EnginePreset()
     tokens = None
     tok_path = getattr(cfg, "tokens", "")
