@@ -82,6 +82,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-segment-sec", type=float, default=64.0)
     p.add_argument("--profile-dir", default="", help="Write a jax.profiler device trace here")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="Shard stage batches over N chips (0 = single device)")
     return p.parse_args(argv)
 
 

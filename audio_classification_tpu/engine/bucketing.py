@@ -30,6 +30,7 @@ def default_buckets(sample_rate: int = 16000, min_sec: float = 0.5, max_sec: flo
 class BucketSpec:
     lengths: Tuple[int, ...] = field(default_factory=default_buckets)
     max_batch: int = 8
+    batch_multiple: int = 1   # e.g. mesh data-axis size for even DP sharding
 
     def bucket_for(self, n: int) -> int:
         for b in self.lengths:
@@ -38,10 +39,10 @@ class BucketSpec:
         return self.lengths[-1]
 
     def batch_size_for(self, n_items: int) -> int:
-        b = 1
+        b = self.batch_multiple
         while b < n_items and b < self.max_batch:
             b *= 2
-        return min(b, self.max_batch)
+        return max(min(b, self.max_batch), self.batch_multiple)
 
 
 def pad_batch(

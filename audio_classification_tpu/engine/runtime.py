@@ -142,12 +142,36 @@ class ModelPack:
 
 
 class StageEngine:
-    """Batched, bucketed stage dispatch over a ModelPack."""
+    """Batched, bucketed stage dispatch over a ModelPack.
+
+    With ``mesh`` set (a jax.sharding.Mesh with a "data" axis), every stage
+    batch shards over that axis: params replicate, the batch dim splits
+    across chips, and XLA keeps each chip on its shard — pure DP scale-out
+    over ICI for the inference path (SURVEY.md §2.4). Batch sizes snap to
+    multiples of the data-axis size so shards stay even.
+    """
 
     def __init__(self, pack: ModelPack, buckets: Optional[BucketSpec] = None,
-                 fbank: Optional[FbankConfig] = None):
+                 fbank: Optional[FbankConfig] = None, mesh=None):
         self.pack = pack
-        self.buckets = buckets or BucketSpec()
+        self.mesh = mesh
+        buckets = buckets or BucketSpec()
+        if mesh is not None:
+            import dataclasses as _dc
+
+            data_n = mesh.shape.get("data", 1)
+            buckets = _dc.replace(
+                buckets,
+                batch_multiple=data_n,
+                max_batch=max(buckets.max_batch, data_n),
+            )
+            from ..parallel.mesh import data_sharding, replicated
+
+            self._dsh = data_sharding(mesh)
+            self._rep = replicated(mesh)
+        else:
+            self._dsh = self._rep = None
+        self.buckets = buckets
         self.fbank_cfg = fbank or FbankConfig()
         p = pack
 
@@ -198,13 +222,27 @@ class StageEngine:
             feats, mask = _fbank_mask(wav, lengths)
             return p.vad_model.apply(params, feats, mask.astype(jnp.float32))
 
-        self._osd = jax.jit(osd_fn)
-        self._sep3 = jax.jit(partial(sep_fn, p.sep3_model))
-        self._sep2 = jax.jit(partial(sep_fn, p.sep2_model))
-        self._moss = jax.jit(partial(sep_fn, p.moss_model))
-        self._spk = jax.jit(spk_fn)
-        self._asr = jax.jit(asr_fn, static_argnames=("language_id", "use_itn"))
-        self._vad = jax.jit(vad_fn)
+        if self.mesh is not None:
+            # params replicated, batch dims sharded over the "data" axis
+            shard = dict(in_shardings=(self._rep, self._dsh, self._dsh),
+                         out_shardings=self._dsh)
+            self._osd = jax.jit(osd_fn, **shard)
+            self._sep3 = jax.jit(partial(sep_fn, p.sep3_model), **shard)
+            self._sep2 = jax.jit(partial(sep_fn, p.sep2_model), **shard)
+            self._moss = jax.jit(partial(sep_fn, p.moss_model), **shard)
+            self._spk = jax.jit(spk_fn, **shard)
+            self._asr = jax.jit(asr_fn, static_argnames=("language_id", "use_itn"),
+                                in_shardings=(self._rep, self._dsh, self._dsh),
+                                out_shardings=(self._dsh, self._dsh))
+            self._vad = jax.jit(vad_fn, **shard)
+        else:
+            self._osd = jax.jit(osd_fn)
+            self._sep3 = jax.jit(partial(sep_fn, p.sep3_model))
+            self._sep2 = jax.jit(partial(sep_fn, p.sep2_model))
+            self._moss = jax.jit(partial(sep_fn, p.moss_model))
+            self._spk = jax.jit(spk_fn)
+            self._asr = jax.jit(asr_fn, static_argnames=("language_id", "use_itn"))
+            self._vad = jax.jit(vad_fn)
         self._resample = jax.jit(resample_poly, static_argnums=(1, 2))
 
     # ------------------------------------------------------------- helpers

@@ -96,7 +96,13 @@ def build_engine(cfg) -> StageEngine:
         lengths=default_buckets(sr, 0.5, max_sec),
         max_batch=getattr(cfg, "max_batch", 8),
     )
-    return StageEngine(pack, buckets)
+    mesh = None
+    dp = int(getattr(cfg, "data_parallel", 0) or 0)
+    if dp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp, model_axis=1)
+    return StageEngine(pack, buckets, mesh=mesh)
 
 
 def _load_resampled(engine: StageEngine, path: str) -> Tuple[np.ndarray, int]:

@@ -70,6 +70,7 @@ class Overlap3Config:
     max_batch: int = 8
     max_segment_sec: float = 64.0
     profile_dir: str = ""             # jax.profiler trace output dir
+    data_parallel: int = 0            # shard stage batches over N chips (0 = single device)
 
 
 @dataclass

@@ -1,0 +1,55 @@
+"""DP-sharded StageEngine on the virtual 8-device mesh vs single-device."""
+import numpy as np
+import pytest
+
+from audio_classification_tpu.engine import BucketSpec, ModelPack, StageEngine, tiny_preset
+from audio_classification_tpu.parallel.mesh import make_mesh
+
+
+def _tone(n, hz=440.0, sr=16000):
+    t = np.arange(n) / sr
+    return (0.3 * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def engines():
+    pack = ModelPack(tiny_preset(), seed=0)
+    spec = BucketSpec(lengths=(4000, 8000, 16000), max_batch=8)
+    single = StageEngine(pack, spec)
+    mesh = make_mesh(8, model_axis=1)
+    sharded = StageEngine(pack, spec, mesh=mesh)
+    return single, sharded
+
+
+def test_mesh_engine_batch_multiple(engines):
+    _, sharded = engines
+    assert sharded.buckets.batch_multiple == 8
+    assert sharded.buckets.batch_size_for(1) == 8  # padded to data-axis size
+
+
+def test_mesh_separate_matches_single(engines):
+    single, sharded = engines
+    chunks = [_tone(5000), _tone(7000, 880), _tone(3000, 660)]
+    a = single.separate(chunks, n_src=3)
+    b = sharded.separate(chunks, n_src=3)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-4)
+
+
+def test_mesh_embed_and_transcribe(engines):
+    single, sharded = engines
+    chunks = [_tone(8000), _tone(8000, 1200)]
+    ea = single.embed(chunks)
+    eb = sharded.embed(chunks)
+    np.testing.assert_allclose(ea, eb, atol=5e-3)
+    ta = single.transcribe(chunks)
+    tb = sharded.transcribe(chunks)
+    assert ta == tb
+
+
+def test_mesh_osd_segments(engines):
+    single, sharded = engines
+    wav = _tone(16000 * 2)
+    sa = single.osd_segments(wav, 16000, 0.5, 0.5, 0.1)
+    sb = sharded.osd_segments(wav, 16000, 0.5, 0.5, 0.1)
+    assert sa == sb
