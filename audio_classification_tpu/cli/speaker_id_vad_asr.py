@@ -82,10 +82,12 @@ def create_recognizer(args, engine):
         return create_asr_model(sense_voice=args.wenet_ctc, tokens=args.tokens,
                                 language=args.language, engine=engine)
     if getattr(args, "whisper_encoder", ""):
-        raise NotImplementedError(
-            "whisper encoder-decoder slot: convert a checkpoint and load via "
-            "--checkpoint-dir (non-autoregressive families are available now)"
-        )
+        # engine was already built with asr_family="whisper" (build_engine
+        # reads whisper_encoder); the recognizer handle is family-agnostic
+        return create_asr_model(sense_voice="", paraformer="", encoder="whisper",
+                                decoder=args.whisper_decoder, joiner="x",
+                                tokens=args.tokens, language=args.whisper_language or "auto",
+                                engine=engine)
     raise ValueError("Please specify exactly one ASR model family")
 
 

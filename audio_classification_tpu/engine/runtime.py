@@ -29,6 +29,7 @@ from ..models.asr.paraformer import Paraformer, ParaformerConfig, paraformer_fro
 from ..models.asr.sensevoice import LANGUAGES, SenseVoiceConfig, SenseVoiceEncoder, sensevoice_frontend
 from ..models.asr.tokens import TokenTable
 from ..models.asr.transducer import Transducer, TransducerConfig, transducer_frontend
+from ..models.asr.whisper_style import WhisperStyle, WhisperStyleConfig, whisper_frontend
 from ..models.convtasnet import ConvTasNet, ConvTasNetConfig
 from ..models.mossformer import MossFormer, MossFormerConfig
 from ..models.osd import OSDConfig, OSDNet, probs_to_hop_flags
@@ -56,6 +57,7 @@ class EnginePreset:
     asr: SenseVoiceConfig = field(default_factory=SenseVoiceConfig)
     transducer: TransducerConfig = field(default_factory=TransducerConfig)
     paraformer: ParaformerConfig = field(default_factory=ParaformerConfig)
+    whisper: WhisperStyleConfig = field(default_factory=WhisperStyleConfig)
     vad: VADConfig = field(default_factory=VADConfig)
 
 
@@ -70,6 +72,7 @@ def tiny_preset() -> EnginePreset:
         asr=SenseVoiceConfig(vocab_size=64, dim=64, heads=2, layers=2, conv_kernel=3),
         transducer=TransducerConfig(vocab_size=64, dim=32, heads=2, layers=1, pred_dim=32, joiner_dim=32, conv_kernel=3),
         paraformer=ParaformerConfig(vocab_size=64, dim=32, heads=2, enc_layers=1, dec_layers=1, conv_kernel=3, max_tokens=32),
+        whisper=WhisperStyleConfig(vocab_size=64, dim=32, heads=2, enc_layers=1, dec_layers=1, max_decode_len=16),
         vad=VADConfig(dim=16, layers=2),
     )
 
@@ -96,6 +99,7 @@ class ModelPack:
         self.asr_cfg = dataclasses.replace(preset.asr, vocab_size=vocab)
         self.transducer_cfg = dataclasses.replace(preset.transducer, vocab_size=vocab)
         self.paraformer_cfg = dataclasses.replace(preset.paraformer, vocab_size=vocab)
+        self.whisper_cfg = dataclasses.replace(preset.whisper, vocab_size=vocab)
 
         key = jax.random.PRNGKey(seed)
         k = jax.random.split(key, 8)
@@ -109,6 +113,8 @@ class ModelPack:
             self.asr_model = Transducer(self.transducer_cfg)
         elif asr_family == "paraformer":
             self.asr_model = Paraformer(self.paraformer_cfg)
+        elif asr_family == "whisper":
+            self.asr_model = WhisperStyle(self.whisper_cfg)
         else:
             self.asr_model = SenseVoiceEncoder(self.asr_cfg)
 
@@ -125,6 +131,10 @@ class ModelPack:
         if asr_family == "transducer":
             self.params["asr"] = self.asr_model.init(
                 k[5], feats0, jnp.ones((1, 50), bool), method=Transducer.greedy_decode
+            )
+        elif asr_family == "whisper":
+            self.params["asr"] = self.asr_model.init(
+                k[5], feats0, jnp.ones((1, 50), bool), method=WhisperStyle.greedy_decode
             )
         elif asr_family == "paraformer":
             lfr_dim = self.paraformer_cfg.lfr_m * self.paraformer_cfg.num_mel
@@ -209,6 +219,12 @@ class StageEngine:
                 feats, mask = paraformer_frontend(wav, lengths, p.paraformer_cfg)
                 logits, counts = p.asr_model.apply(params, feats, mask)
                 return paraformer_greedy(logits, counts)
+
+        elif pack.asr_family == "whisper":
+
+            def asr_fn(params, wav, lengths, language_id, use_itn):
+                feats, mask = whisper_frontend(wav, lengths, p.whisper_cfg)
+                return p.asr_model.apply(params, feats, mask, method=WhisperStyle.greedy_decode)
 
         else:
 

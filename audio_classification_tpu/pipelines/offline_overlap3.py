@@ -77,6 +77,8 @@ def build_engine(cfg) -> StageEngine:
         family = "paraformer"
     elif getattr(cfg, "encoder", ""):
         family = "transducer"
+    elif getattr(cfg, "whisper_encoder", ""):
+        family = "whisper"
     else:
         family = "sensevoice"
     pack = ModelPack(preset, seed=max(int(seed), 0), tokens=tokens, asr_family=family)
