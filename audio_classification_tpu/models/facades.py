@@ -28,6 +28,9 @@ def default_engine(preset: str = "full", seed: int = 0) -> StageEngine:
     """Process-wide shared engine so facades reuse compiled programs."""
     global _DEFAULT_ENGINE
     if _DEFAULT_ENGINE is None:
+        from ..runtime.device import enable_compilation_cache
+
+        enable_compilation_cache()
         p = tiny_preset() if preset == "tiny" else EnginePreset()
         _DEFAULT_ENGINE = StageEngine(ModelPack(p, seed=seed))
     return _DEFAULT_ENGINE

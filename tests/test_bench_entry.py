@@ -1,0 +1,51 @@
+"""Sanity checks for the driver entry points (no TPU work)."""
+import importlib.util
+import json
+import subprocess
+import sys
+
+
+def _load(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_make_mixtures():
+    bench = _load("bench.py", "bench_mod")
+    items = bench.make_mixtures(2, 1.0, 16000, seed=0)
+    assert len(items) == 2
+    mix, srcs = items[0]
+    assert mix.shape == (16000,) and len(srcs) == 3
+    import numpy as np
+
+    np.testing.assert_allclose(mix, np.sum(srcs, axis=0), atol=1e-6)
+    # deterministic
+    again = bench.make_mixtures(2, 1.0, 16000, seed=0)
+    np.testing.assert_array_equal(items[0][0], again[0][0])
+
+
+def test_graft_entry_shapes():
+    g = _load("__graft_entry__.py", "graft_mod")
+    fn, args = g.entry()
+    assert callable(fn)
+    params, mix, mask = args
+    assert mix.shape == (2, 32000) and mask.shape == (2, 32000)
+
+
+def test_graft_dryrun_subprocess():
+    # run in a subprocess so the virtual-device env applies cleanly
+    code = (
+        "import os;"
+        "os.environ['JAX_PLATFORMS']='cpu';"
+        "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=4';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import importlib.util;"
+        "s=importlib.util.spec_from_file_location('g','__graft_entry__.py');"
+        "m=importlib.util.module_from_spec(s); s.loader.exec_module(m);"
+        "m.dryrun_multichip(4)"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip ok" in out.stdout
