@@ -186,6 +186,12 @@ class StageEngine:
         p = pack
 
         # ---- jitted stage programs (shape-keyed cache inside jax.jit) ----
+        # Audio crosses host->device as int16 (audio is 16-bit at the
+        # source; halves uplink bytes through the interconnect) and is
+        # dequantized on device.
+        def _dq(wav_i16):
+            return wav_i16.astype(jnp.float32) * (1.0 / 32768.0)
+
         def _fbank_mask(wav, lengths):
             feats = log_mel_fbank(wav, self.fbank_cfg)
             n = feats.shape[1]
@@ -194,49 +200,96 @@ class StageEngine:
             mask = jnp.arange(n)[None, :] < f_len[:, None]
             return feats, mask
 
-        def osd_fn(params, wav, lengths):
-            feats, mask = _fbank_mask(wav, lengths)
+        def osd_fn(params, wav_i16, lengths):
+            feats, mask = _fbank_mask(_dq(wav_i16), lengths)
             return p.osd_model.apply(params, feats, mask)
 
-        def sep_fn(model, params, wav, lengths):
+        def _sep_core(model, params, wav, lengths):
             sm = (jnp.arange(wav.shape[1])[None, :] < lengths[:, None]).astype(jnp.float32)
             return model.apply(params, wav, sm)
 
-        def spk_fn(params, wav, lengths):
+        def sep_fn(model, params, wav_i16, lengths):
+            return _sep_core(model, params, _dq(wav_i16), lengths)
+
+        def _embed_core(params, wav, lengths):
             feats, mask = _fbank_mask(wav, lengths)
             emb = p.spk_model.apply(params, feats, mask)
             return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
 
+        def spk_fn(params, wav_i16, lengths):
+            return _embed_core(params, _dq(wav_i16), lengths)
+
+        TOKEN_CAP = 512  # max token ids shipped back per item
+
         if pack.asr_family == "transducer":
 
-            def asr_fn(params, wav, lengths, language_id, use_itn):
+            def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = transducer_frontend(wav, lengths, p.transducer_cfg)
                 return p.asr_model.apply(params, feats, mask, method=Transducer.greedy_decode)
 
         elif pack.asr_family == "paraformer":
 
-            def asr_fn(params, wav, lengths, language_id, use_itn):
+            def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = paraformer_frontend(wav, lengths, p.paraformer_cfg)
                 logits, counts = p.asr_model.apply(params, feats, mask)
                 return paraformer_greedy(logits, counts)
 
         elif pack.asr_family == "whisper":
 
-            def asr_fn(params, wav, lengths, language_id, use_itn):
+            def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = whisper_frontend(wav, lengths, p.whisper_cfg)
                 return p.asr_model.apply(params, feats, mask, method=WhisperStyle.greedy_decode)
 
         else:
 
-            def asr_fn(params, wav, lengths, language_id, use_itn):
+            def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = sensevoice_frontend(wav, lengths, p.asr_cfg)
                 logits = p.asr_model.apply(params, feats, mask, language_id=language_id, use_itn=use_itn)
                 body = logits[:, p.asr_cfg.num_prompt :]
                 return ctc_greedy_decode(body, mask.astype(jnp.float32), p.tokens.blank_id)
 
-        def vad_fn(params, wav, lengths):
-            feats, mask = _fbank_mask(wav, lengths)
+        def _cap_ids(ids, n):
+            cap = min(ids.shape[1], TOKEN_CAP)
+            return ids[:, :cap].astype(jnp.int32), jnp.minimum(n, cap).astype(jnp.int32)
+
+        def asr_fn(params, wav_i16, lengths, language_id, use_itn):
+            ids, n = _asr_core(params, _dq(wav_i16), lengths, language_id, use_itn)
+            return _cap_ids(ids, n)
+
+        def vad_fn(params, wav_i16, lengths):
+            feats, mask = _fbank_mask(_dq(wav_i16), lengths)
             return p.vad_model.apply(params, feats, mask.astype(jnp.float32))
+
+        # ---- fused path programs: audio goes up once, only scores + token
+        # ids come back; separated branches/embeddings never leave HBM ----
+        def clean_path_fn(params, wav_i16, lengths, target_vec, language_id, use_itn):
+            """wav + per-item target -> (sv_score [B], ids, n_tokens)."""
+            wav = _dq(wav_i16)
+            emb = _embed_core(params["spk"], wav, lengths)
+            score = jnp.sum(emb * target_vec, axis=-1)
+            ids, n = _asr_core(params["asr"], wav, lengths, language_id, use_itn)
+            return (score, *_cap_ids(ids, n))
+
+        def overlap_path_fn(params, wav_i16, lengths, target_vec, language_id, use_itn,
+                            return_branches):
+            """wav -> separate -> per-branch SV -> best-branch ASR, on device.
+
+            -> (branch_scores [B, S], best [B], ids, n_tokens[, branches]).
+            """
+            wav = _dq(wav_i16)
+            est = _sep_core(p.sep3_model, params["sep3"], wav, lengths)  # [B, S, T]
+            b, s, t = est.shape
+            flat = est.reshape(b * s, t)
+            rep_len = jnp.repeat(lengths, s)
+            emb = _embed_core(params["spk"], flat, rep_len).reshape(b, s, -1)
+            scores = jnp.sum(emb * target_vec[:, None, :], axis=-1)  # [B, S]
+            best = jnp.argmax(scores, axis=-1)
+            best_wav = est[jnp.arange(b), best]
+            ids, n = _asr_core(params["asr"], best_wav, lengths, language_id, use_itn)
+            out = (scores, best.astype(jnp.int32), *_cap_ids(ids, n))
+            if return_branches:
+                out = out + (est,)
+            return out
 
         if self.mesh is not None:
             # params replicated, batch dims sharded over the "data" axis
@@ -251,6 +304,15 @@ class StageEngine:
                                 in_shardings=(self._rep, self._dsh, self._dsh),
                                 out_shardings=(self._dsh, self._dsh))
             self._vad = jax.jit(vad_fn, **shard)
+            self._clean_path = jax.jit(
+                clean_path_fn, static_argnames=("language_id", "use_itn"),
+                in_shardings=(self._rep, self._dsh, self._dsh, self._dsh),
+            )
+            self._overlap_path = jax.jit(
+                overlap_path_fn,
+                static_argnames=("language_id", "use_itn", "return_branches"),
+                in_shardings=(self._rep, self._dsh, self._dsh, self._dsh),
+            )
         else:
             self._osd = jax.jit(osd_fn)
             self._sep3 = jax.jit(partial(sep_fn, p.sep3_model))
@@ -259,14 +321,24 @@ class StageEngine:
             self._spk = jax.jit(spk_fn)
             self._asr = jax.jit(asr_fn, static_argnames=("language_id", "use_itn"))
             self._vad = jax.jit(vad_fn)
+            self._clean_path = jax.jit(clean_path_fn, static_argnames=("language_id", "use_itn"))
+            self._overlap_path = jax.jit(
+                overlap_path_fn, static_argnames=("language_id", "use_itn", "return_branches")
+            )
         self._resample = jax.jit(resample_poly, static_argnums=(1, 2))
 
     # ------------------------------------------------------------- helpers
-    def _run_bucketed(self, items: Sequence[np.ndarray], fn) -> List[Any]:
+    @staticmethod
+    def _quantize_i16(wav: np.ndarray) -> np.ndarray:
+        return np.clip(np.rint(wav * 32768.0), -32768, 32767).astype(np.int16)
+
+    def _run_bucketed(self, items: Sequence[np.ndarray], fn, extras: Optional[Sequence] = None) -> List[Any]:
         """Dispatch variable-length 1-D arrays through a batched stage fn.
 
-        fn(wav [B, Tb], lengths [B]) -> per-item results (list aligned with
-        the padded batch). Returns results aligned with `items`.
+        fn(wav_i16 [B, Tb], lengths [B][, extra [B, ...]]) -> per-item
+        results aligned with the padded batch. ``extras`` (optional) is a
+        per-item array stacked alongside the batch (e.g. target vectors).
+        Returns results aligned with `items`.
         """
         out: List[Any] = [None] * len(items)
         for bucket_len, idxs in group_by_bucket(items, self.buckets):
@@ -274,7 +346,14 @@ class StageEngine:
                 chunk_idx = idxs[off : off + self.buckets.max_batch]
                 bs = self.buckets.batch_size_for(len(chunk_idx))
                 wav, lengths = pad_batch([items[i] for i in chunk_idx], bucket_len, bs)
-                res = fn(jnp.asarray(wav), jnp.asarray(lengths))
+                args = [jnp.asarray(self._quantize_i16(wav)), jnp.asarray(lengths)]
+                if extras is not None:
+                    ex = np.stack([np.asarray(extras[i]) for i in chunk_idx])
+                    if len(chunk_idx) < bs:
+                        pad_rows = np.zeros((bs - len(chunk_idx),) + ex.shape[1:], ex.dtype)
+                        ex = np.concatenate([ex, pad_rows])
+                    args.append(jnp.asarray(ex))
+                res = fn(*args)
                 # one D2H transfer for the whole batch, then slice on host —
                 # per-item device reads would pay the transfer latency B times
                 if isinstance(res, tuple):
@@ -355,6 +434,64 @@ class StageEngine:
         for ids, n in outs:
             texts.append(self.pack.tokens.decode(ids[: int(n)]))
         return texts
+
+    def process_clean(
+        self, chunks: Sequence[np.ndarray], target_vecs: Sequence[np.ndarray],
+        language: str = "auto", use_itn: bool = True,
+    ) -> List[Tuple[float, str]]:
+        """Fused clean path: embed + SV score + ASR in ONE device program.
+
+        -> [(sv_score, text)] per chunk; only scores and capped token ids
+        cross back to the host.
+        """
+        if not len(chunks):
+            return []
+        lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
+        outs = self._run_bucketed(
+            list(chunks),
+            lambda w, l, tv: self._clean_path(self.pack.params, w, l, tv, lang_id, use_itn),
+            extras=[np.asarray(v, np.float32) for v in target_vecs],
+        )
+        return [
+            (float(score), self.pack.tokens.decode(ids[: int(n)]))
+            for score, ids, n in outs
+        ]
+
+    def process_overlap(
+        self, chunks: Sequence[np.ndarray], target_vecs: Sequence[np.ndarray],
+        language: str = "auto", use_itn: bool = True, return_branches: bool = False,
+    ) -> List[dict]:
+        """Fused overlap path: 3-src separation + per-branch SV + best-branch
+        ASR in ONE device program; branches stay in HBM unless
+        ``return_branches`` (needed only for host-side separation eval).
+
+        -> [{"scores": [S], "best": int, "text": str[, "branches": [S, T]]}]
+        """
+        if not len(chunks):
+            return []
+        lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
+        outs = self._run_bucketed(
+            list(chunks),
+            lambda w, l, tv: self._overlap_path(
+                self.pack.params, w, l, tv, lang_id, use_itn, return_branches
+            ),
+            extras=[np.asarray(v, np.float32) for v in target_vecs],
+        )
+        results = []
+        for chunk, out in zip(chunks, outs):
+            if return_branches:
+                scores, best, ids, n, est = out
+            else:
+                scores, best, ids, n = out
+            rec = {
+                "scores": scores,
+                "best": int(best),
+                "text": self.pack.tokens.decode(ids[: int(n)]),
+            }
+            if return_branches:
+                rec["branches"] = est[:, : chunk.shape[-1]]
+            results.append(rec)
+        return results
 
     def vad_probs(self, wav: np.ndarray) -> np.ndarray:
         out = self._run_bucketed([np.asarray(wav, np.float32)],

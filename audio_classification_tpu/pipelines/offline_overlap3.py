@@ -236,48 +236,65 @@ class Overlap3Pipeline:
                         mx["target_vec"] = v
                         mx["target_text_fb"] = txt
 
-            # ---- Stage: separation over every overlap segment in the wave
+            # ---- Stage: FUSED overlap path (sep + per-branch SV + best-branch
+            # ASR in one device program; branches stay in HBM unless the
+            # separation eval needs them on host)
             overlap_rows = [
-                (mx, r) for mx in mixtures for r in mx["rows"] if r["kind"] == "overlap"
+                (mx, r) for mx in mixtures for r in mx["rows"]
+                if r["kind"] == "overlap" and mx.get("target_vec") is not None
             ]
             if overlap_rows:
                 t_s = time.time()
-                branch_lists = eng.separate(
-                    [r["chunk"] for _, r in overlap_rows], n_src=3, backend=cfg.sep_backend
+                ov_out = eng.process_overlap(
+                    [r["chunk"] for _, r in overlap_rows],
+                    [mx["target_vec"] for mx, _ in overlap_rows],
+                    cfg.language,
+                    return_branches=cfg.eval_separation,
                 )
-                self._time["sep"] += time.time() - t_s
-                for (_, r), branches in zip(overlap_rows, branch_lists):
-                    r["branches"] = [np.asarray(b) for b in branches]
+                t_ov = time.time() - t_s
+                # the fused program spans sep+SV+ASR; attribute it to
+                # time_sep (separation dominates its FLOPs) and apportion
+                # per-record asr_time by audio share below
+                self._time["sep"] += t_ov
+                total_ov_samples = sum(len(r["chunk"]) for _, r in overlap_rows) or 1
+                for (mx, r), rec in zip(overlap_rows, ov_out):
+                    r["branch_scores"] = {i: float(s) for i, s in enumerate(np.asarray(rec["scores"]))}
+                    r["fused_best"] = rec["best"]
+                    r["fused_text"] = rec["text"]
+                    r["fused_share"] = t_ov * len(r["chunk"]) / total_ov_samples
+                    if "branches" in rec:
+                        r["branches"] = [np.asarray(rec["branches"][i]) for i in range(rec["branches"].shape[0])]
+            # overlap rows with no enrollment still count as seen+missed in
+            # gating below (reference: overlap3_core.py:787-791)
 
             # ---- optional separation quality eval (host PIT, parity oracle)
             if cfg.eval_separation:
                 for mx in mixtures:
                     self._eval_separation(mx, file_mode, ds, sep_sisdr, sep_sisdri, sep_details_rows)
 
-            # ---- Stage: one embedding batch for the whole wave
-            embed_items: List[np.ndarray] = []
-            owners: List[Tuple[dict, dict, int]] = []
-            for mx in mixtures:
-                if mx.get("target_vec") is None:
-                    continue
-                for r in mx["rows"]:
-                    if r["kind"] == "clean":
-                        embed_items.append(r["chunk"])
-                        owners.append((mx, r, -1))
-                    else:
-                        for bi, b in enumerate(r.get("branches", [])):
-                            embed_items.append(b)
-                            owners.append((mx, r, bi))
-            if embed_items:
-                embs = eng.embed(embed_items)
-                for (mx, r, bi), emb in zip(owners, embs):
-                    sc = float(emb @ mx["target_vec"])
-                    if bi < 0:
-                        r["sv_score"] = sc
-                    else:
-                        r.setdefault("branch_scores", {})[bi] = sc
+            # ---- Stage: FUSED clean path (embed + SV + ASR in one program)
+            clean_rows = [
+                (mx, r) for mx in mixtures for r in mx["rows"]
+                if r["kind"] == "clean" and mx.get("target_vec") is not None
+            ]
+            if clean_rows:
+                t_c = time.time()
+                cl_out = eng.process_clean(
+                    [r["chunk"] for _, r in clean_rows],
+                    [mx["target_vec"] for mx, _ in clean_rows],
+                    cfg.language,
+                )
+                t_cl = time.time() - t_c
+                self._time["asr"] += t_cl
+                total_cl_samples = sum(len(r["chunk"]) for _, r in clean_rows) or 1
+                for (mx, r), (score, text) in zip(clean_rows, cl_out):
+                    r["sv_score"] = score
+                    r["fused_text"] = text
+                    r["fused_share"] = t_cl * len(r["chunk"]) / total_cl_samples
 
-            # ---- gate + collect one wave-wide ASR batch
+            # ---- gate (metrics bookkeeping) + collect remaining ASR work:
+            # target spans for matched rows, and pass-through clean rows of
+            # mixtures with no enrollment
             asr_items: List[np.ndarray] = []
             asr_owner: List[Tuple[dict, dict, str]] = []
             for mx in mixtures:
@@ -486,8 +503,12 @@ class Overlap3Pipeline:
                 A["total_missed_audio_sec"] += seg_dur
                 r["drop"] = True
                 return
-            asr_items.append(r["chunk"])
-            asr_owner.append((mx, r, "main"))
+            if "fused_text" in r:
+                r["text"] = r["fused_text"]
+                r["asr_time"] = r.get("fused_share", 0.0)
+            else:  # no enrollment: pass-through clean row, granular ASR
+                asr_items.append(r["chunk"])
+                asr_owner.append((mx, r, "main"))
             if mx.get("target_np") is not None:
                 asr_items.append(mx["target_np"][r["s_i"]:r["e_i"]])
                 asr_owner.append((mx, r, "target"))
@@ -512,8 +533,8 @@ class Overlap3Pipeline:
                 return
             r["best_branch"] = best_b
             r["sv_score"] = best_score
-            asr_items.append(r["branches"][best_b])
-            asr_owner.append((mx, r, "main"))
+            r["text"] = r["fused_text"]
+            r["asr_time"] = r.get("fused_share", 0.0)
             if mx.get("target_np") is not None:
                 asr_items.append(mx["target_np"][r["s_i"]:r["e_i"]])
                 asr_owner.append((mx, r, "target"))
