@@ -139,7 +139,8 @@ class StreamingOverlap3Pipeline:
         if not osd_segments:
             osd_segments = [(0.0, len(audio) / sr, False)]
 
-        # collect work: clean chunks + overlap branch sets + full separation
+        # collect work: clean chunks, overlap chunks, + the unconditional
+        # full-chunk separation (reference: streaming_overlap3_core:179-210)
         clean_items: List[dict] = []
         overlap_rows: List[dict] = []
         for start, end, is_overlap in osd_segments:
@@ -152,64 +153,66 @@ class StreamingOverlap3Pipeline:
             else:
                 clean_items.append(dict(a=a, b=b, chunk=sub))
 
-        sep_inputs = [r["chunk"] for r in overlap_rows] + [audio]
-        sep_outs = eng.separate(sep_inputs, n_src=3, backend=getattr(args, "sep_backend", "convtasnet"))
-        for r, o in zip(overlap_rows, sep_outs[:-1]):
-            r["branches"] = [o[i] for i in range(3)]
-        full_branches = [sep_outs[-1][i] for i in range(3)]
-
-        # one embedding batch: clean chunks + overlap branches + full branches
-        embed_items: List[np.ndarray] = [c["chunk"] for c in clean_items]
-        owners: List[tuple] = [("clean", i, None) for i in range(len(clean_items))]
-        for ri, r in enumerate(overlap_rows):
-            for bi, bwav in enumerate(r["branches"]):
-                embed_items.append(bwav)
-                owners.append(("overlap", ri, bi))
-        for bi, bwav in enumerate(full_branches):
-            embed_items.append(bwav)
-            owners.append(("full", 0, bi))
-        if not embed_items:
-            return
-        embs = eng.embed(embed_items)
-        scores = embs @ self.enrolled_vec_norm
-
-        # gate, then batch every surviving ASR input
-        asr_items: List[np.ndarray] = []
-        asr_meta: List[dict] = []
-        for (kind, ri, bi), sc, wav_item in zip(owners, scores, embed_items):
-            if sc < args.sv_threshold:
-                continue
-            if kind == "clean":
-                c = clean_items[ri]
-                meta = dict(kind="clean", stream=None,
-                            start=segment.start_time + c["a"] / sr,
-                            end=segment.start_time + c["b"] / sr)
-            elif kind == "overlap":
-                r = overlap_rows[ri]
-                meta = dict(kind="overlap", stream=bi,
-                            start=segment.start_time + r["a"] / sr,
-                            end=segment.start_time + r["b"] / sr)
-            else:
-                meta = dict(kind="full_separation", stream=bi,
-                            start=segment.start_time, end=segment.end_time)
-            meta["sv_score"] = float(sc)
-            asr_items.append(wav_item)
-            asr_meta.append(meta)
-        if not asr_items:
-            return
+        tv = self.enrolled_vec_norm
+        lang = getattr(args, "language", "auto")
+        results: List[dict] = []
         t_a = time.time()
-        texts = eng.transcribe(asr_items, getattr(args, "language", "auto"))
+
+        # fused clean path: embed + SV + ASR in one program per bucket
+        if clean_items:
+            for c, (score, text) in zip(
+                clean_items, eng.process_clean([c["chunk"] for c in clean_items],
+                                               [tv] * len(clean_items), lang)
+            ):
+                if score >= args.sv_threshold:
+                    results.append(dict(kind="clean", stream=None, sv_score=float(score),
+                                        text=text,
+                                        start=segment.start_time + c["a"] / sr,
+                                        end=segment.start_time + c["b"] / sr))
+
+        # overlap spans + the whole chunk go through the fused overlap path;
+        # the streaming contract emits EVERY branch clearing the threshold
+        # (reference behavior), so non-best branches above threshold fall
+        # back to a granular branch fetch + transcribe
+        ov_inputs = [r["chunk"] for r in overlap_rows] + [audio]
+        ov_meta = [
+            dict(kind="overlap", start=segment.start_time + r["a"] / sr,
+                 end=segment.start_time + r["b"] / sr)
+            for r in overlap_rows
+        ] + [dict(kind="full_separation", start=segment.start_time, end=segment.end_time)]
+        extra_branch_wavs: List[np.ndarray] = []
+        extra_meta: List[dict] = []
+        for rec, meta, chunk in zip(
+            eng.process_overlap(ov_inputs, [tv] * len(ov_inputs), lang,
+                                return_branches=True),
+            ov_meta, ov_inputs,
+        ):
+            scores = np.asarray(rec["scores"])
+            for bi, sc in enumerate(scores):
+                if sc < args.sv_threshold:
+                    continue
+                if bi == rec["best"]:
+                    results.append(dict(kind=meta["kind"], stream=bi, sv_score=float(sc),
+                                        text=rec["text"], start=meta["start"], end=meta["end"]))
+                else:
+                    extra_branch_wavs.append(rec["branches"][bi])
+                    extra_meta.append(dict(kind=meta["kind"], stream=bi, sv_score=float(sc),
+                                           start=meta["start"], end=meta["end"]))
+        if extra_branch_wavs:
+            for meta, text in zip(extra_meta, eng.transcribe(extra_branch_wavs, lang)):
+                results.append(dict(text=text, **meta))
+
         asr_elapsed = time.time() - t_a
-        total = sum(len(c) for c in asr_items) or 1
-        for meta, text, wav_item in zip(asr_meta, texts, asr_items):
+        total = sum(len(r["text"]) for r in results) or 1
+        for rec in results:
             self.results_queue.put({
-                "start": meta["start"],
-                "end": meta["end"],
-                "kind": meta["kind"],
-                "stream": meta["stream"],
-                "text": text,
-                "asr_time": asr_elapsed * len(wav_item) / total,
-                "sv_score": meta["sv_score"],
+                "start": rec["start"],
+                "end": rec["end"],
+                "kind": rec["kind"],
+                "stream": rec["stream"],
+                "text": rec["text"],
+                "asr_time": asr_elapsed * max(len(rec["text"]), 1) / total,
+                "sv_score": rec["sv_score"],
                 "target_src_text": self.target_src_text,
             })
 
