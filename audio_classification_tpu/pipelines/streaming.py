@@ -166,7 +166,7 @@ class StreamingOverlap3Pipeline:
             ):
                 if score >= args.sv_threshold:
                     results.append(dict(kind="clean", stream=None, sv_score=float(score),
-                                        text=text,
+                                        text=text, samples=len(c["chunk"]),
                                         start=segment.start_time + c["a"] / sr,
                                         end=segment.start_time + c["b"] / sr))
 
@@ -193,17 +193,19 @@ class StreamingOverlap3Pipeline:
                     continue
                 if bi == rec["best"]:
                     results.append(dict(kind=meta["kind"], stream=bi, sv_score=float(sc),
-                                        text=rec["text"], start=meta["start"], end=meta["end"]))
+                                        text=rec["text"], samples=len(chunk),
+                                        start=meta["start"], end=meta["end"]))
                 else:
                     extra_branch_wavs.append(rec["branches"][bi])
                     extra_meta.append(dict(kind=meta["kind"], stream=bi, sv_score=float(sc),
+                                           samples=len(chunk),
                                            start=meta["start"], end=meta["end"]))
         if extra_branch_wavs:
             for meta, text in zip(extra_meta, eng.transcribe(extra_branch_wavs, lang)):
                 results.append(dict(text=text, **meta))
 
         asr_elapsed = time.time() - t_a
-        total = sum(len(r["text"]) for r in results) or 1
+        total = sum(r["samples"] for r in results) or 1
         for rec in results:
             self.results_queue.put({
                 "start": rec["start"],
@@ -211,7 +213,7 @@ class StreamingOverlap3Pipeline:
                 "kind": rec["kind"],
                 "stream": rec["stream"],
                 "text": rec["text"],
-                "asr_time": asr_elapsed * max(len(rec["text"]), 1) / total,
+                "asr_time": asr_elapsed * rec["samples"] / total,
                 "sv_score": rec["sv_score"],
                 "target_src_text": self.target_src_text,
             })
