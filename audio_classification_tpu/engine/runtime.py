@@ -341,6 +341,10 @@ class StageEngine:
         Returns results aligned with `items`.
         """
         out: List[Any] = [None] * len(items)
+        # phase 1: launch every batch — jax dispatch is async, so the
+        # uplink/compute/downlink of different batches pipeline through the
+        # interconnect instead of paying the RPC round trip serially
+        pending: List[Tuple[List[int], Any]] = []
         for bucket_len, idxs in group_by_bucket(items, self.buckets):
             for off in range(0, len(idxs), self.buckets.max_batch):
                 chunk_idx = idxs[off : off + self.buckets.max_batch]
@@ -353,17 +357,18 @@ class StageEngine:
                         pad_rows = np.zeros((bs - len(chunk_idx),) + ex.shape[1:], ex.dtype)
                         ex = np.concatenate([ex, pad_rows])
                     args.append(jnp.asarray(ex))
-                res = fn(*args)
-                # one D2H transfer for the whole batch, then slice on host —
-                # per-item device reads would pay the transfer latency B times
-                if isinstance(res, tuple):
-                    host = tuple(np.asarray(r) for r in res)
-                    for j, i in enumerate(chunk_idx):
-                        out[i] = tuple(h[j] for h in host)
-                else:
-                    host = np.asarray(res)
-                    for j, i in enumerate(chunk_idx):
-                        out[i] = host[j]
+                pending.append((chunk_idx, fn(*args)))
+        # phase 2: block on results; one D2H transfer per batch, sliced on
+        # host (per-item device reads would pay the latency B times)
+        for chunk_idx, res in pending:
+            if isinstance(res, tuple):
+                host = tuple(np.asarray(r) for r in res)
+                for j, i in enumerate(chunk_idx):
+                    out[i] = tuple(h[j] for h in host)
+            else:
+                host = np.asarray(res)
+                for j, i in enumerate(chunk_idx):
+                    out[i] = host[j]
         return out
 
     # ------------------------------------------------------------- stages
