@@ -332,18 +332,13 @@ class StageEngine:
     def _quantize_i16(wav: np.ndarray) -> np.ndarray:
         return np.clip(np.rint(wav * 32768.0), -32768, 32767).astype(np.int16)
 
-    def _run_bucketed(self, items: Sequence[np.ndarray], fn, extras: Optional[Sequence] = None) -> List[Any]:
-        """Dispatch variable-length 1-D arrays through a batched stage fn.
+    def _launch_bucketed(self, items: Sequence[np.ndarray], fn, extras: Optional[Sequence] = None):
+        """Launch every bucket batch asynchronously -> pending handle.
 
-        fn(wav_i16 [B, Tb], lengths [B][, extra [B, ...]]) -> per-item
-        results aligned with the padded batch. ``extras`` (optional) is a
-        per-item array stacked alongside the batch (e.g. target vectors).
-        Returns results aligned with `items`.
+        jax dispatch is async, so uplink/compute/downlink of different
+        batches (and of different stages launched back to back) pipeline
+        through the interconnect instead of paying RPC round trips serially.
         """
-        out: List[Any] = [None] * len(items)
-        # phase 1: launch every batch — jax dispatch is async, so the
-        # uplink/compute/downlink of different batches pipeline through the
-        # interconnect instead of paying the RPC round trip serially
         pending: List[Tuple[List[int], Any]] = []
         for bucket_len, idxs in group_by_bucket(items, self.buckets):
             for off in range(0, len(idxs), self.buckets.max_batch):
@@ -358,8 +353,17 @@ class StageEngine:
                         ex = np.concatenate([ex, pad_rows])
                     args.append(jnp.asarray(ex))
                 pending.append((chunk_idx, fn(*args)))
-        # phase 2: block on results; one D2H transfer per batch, sliced on
-        # host (per-item device reads would pay the latency B times)
+        return pending, len(items)
+
+    @staticmethod
+    def _collect_bucketed(handle) -> List[Any]:
+        """Block on a _launch_bucketed handle -> per-item results.
+
+        One D2H transfer per batch, sliced on host (per-item device reads
+        would pay the latency B times).
+        """
+        pending, n = handle
+        out: List[Any] = [None] * n
         for chunk_idx, res in pending:
             if isinstance(res, tuple):
                 host = tuple(np.asarray(r) for r in res)
@@ -370,6 +374,9 @@ class StageEngine:
                 for j, i in enumerate(chunk_idx):
                     out[i] = host[j]
         return out
+
+    def _run_bucketed(self, items: Sequence[np.ndarray], fn, extras: Optional[Sequence] = None) -> List[Any]:
+        return self._collect_bucketed(self._launch_bucketed(items, fn, extras))
 
     # ------------------------------------------------------------- stages
     def resample(self, wav: np.ndarray, orig_sr: int, new_sr: int = G_SAMPLE_RATE) -> np.ndarray:
@@ -425,20 +432,26 @@ class StageEngine:
         outs = self._run_bucketed(list(chunks), lambda w, l: self._spk(self.pack.params["spk"], w, l))
         return np.stack(outs)
 
+    def launch_transcribe(self, chunks: Sequence[np.ndarray], language: str = "auto",
+                          use_itn: bool = True):
+        lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
+        return self._launch_bucketed(
+            list(chunks),
+            lambda w, l: self._asr(self.pack.params["asr"], w, l, lang_id, use_itn),
+        )
+
+    def collect_transcribe(self, handle) -> List[str]:
+        return [
+            self.pack.tokens.decode(ids[: int(n)])
+            for ids, n in self._collect_bucketed(handle)
+        ]
+
     def transcribe(self, chunks: Sequence[np.ndarray], language: str = "auto",
                    use_itn: bool = True) -> List[str]:
         """[n][T] -> decoded text per chunk."""
         if not len(chunks):
             return []
-        lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
-        outs = self._run_bucketed(
-            list(chunks),
-            lambda w, l: self._asr(self.pack.params["asr"], w, l, lang_id, use_itn),
-        )
-        texts = []
-        for ids, n in outs:
-            texts.append(self.pack.tokens.decode(ids[: int(n)]))
-        return texts
+        return self.collect_transcribe(self.launch_transcribe(chunks, language, use_itn))
 
     def process_clean(
         self, chunks: Sequence[np.ndarray], target_vecs: Sequence[np.ndarray],
@@ -451,15 +464,20 @@ class StageEngine:
         """
         if not len(chunks):
             return []
+        return self.collect_clean(self.launch_clean(chunks, target_vecs, language, use_itn))
+
+    def launch_clean(self, chunks, target_vecs, language: str = "auto", use_itn: bool = True):
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
-        outs = self._run_bucketed(
+        return self._launch_bucketed(
             list(chunks),
             lambda w, l, tv: self._clean_path(self.pack.params, w, l, tv, lang_id, use_itn),
             extras=[np.asarray(v, np.float32) for v in target_vecs],
         )
+
+    def collect_clean(self, handle) -> List[Tuple[float, str]]:
         return [
             (float(score), self.pack.tokens.decode(ids[: int(n)]))
-            for score, ids, n in outs
+            for score, ids, n in self._collect_bucketed(handle)
         ]
 
     def process_overlap(
@@ -474,14 +492,22 @@ class StageEngine:
         """
         if not len(chunks):
             return []
+        handle = self.launch_overlap(chunks, target_vecs, language, use_itn, return_branches)
+        return self.collect_overlap(handle, chunks, return_branches)
+
+    def launch_overlap(self, chunks, target_vecs, language: str = "auto",
+                       use_itn: bool = True, return_branches: bool = False):
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
-        outs = self._run_bucketed(
+        return self._launch_bucketed(
             list(chunks),
             lambda w, l, tv: self._overlap_path(
                 self.pack.params, w, l, tv, lang_id, use_itn, return_branches
             ),
             extras=[np.asarray(v, np.float32) for v in target_vecs],
         )
+
+    def collect_overlap(self, handle, chunks, return_branches: bool = False) -> List[dict]:
+        outs = self._collect_bucketed(handle)
         results = []
         for chunk, out in zip(chunks, outs):
             if return_branches:

@@ -236,25 +236,53 @@ class Overlap3Pipeline:
                         mx["target_vec"] = v
                         mx["target_text_fb"] = txt
 
-            # ---- Stage: FUSED overlap path (sep + per-branch SV + best-branch
-            # ASR in one device program; branches stay in HBM unless the
-            # separation eval needs them on host)
+            # ---- Stages: launch the three independent device paths back to
+            # back so their RPC/compute pipelines overlap, then collect:
+            #   A. fused overlap path (sep + per-branch SV + best-branch ASR;
+            #      branches stay in HBM unless the separation eval needs them)
+            #   B. fused clean path (embed + SV + ASR)
+            #   C. target-span ASR for every row with an enrolled source
+            #      (speculative: launched before gating; discards are cheap
+            #      compared to a serialized post-gate round trip)
             overlap_rows = [
                 (mx, r) for mx in mixtures for r in mx["rows"]
                 if r["kind"] == "overlap" and mx.get("target_vec") is not None
             ]
+            clean_rows = [
+                (mx, r) for mx in mixtures for r in mx["rows"]
+                if r["kind"] == "clean" and mx.get("target_vec") is not None
+            ]
+            tspan_rows = [
+                (mx, r) for mx in mixtures for r in mx["rows"]
+                if mx.get("target_np") is not None
+            ]
+            t_launch = time.time()
+            h_ov = h_cl = h_tg = None
             if overlap_rows:
-                t_s = time.time()
-                ov_out = eng.process_overlap(
+                h_ov = eng.launch_overlap(
                     [r["chunk"] for _, r in overlap_rows],
                     [mx["target_vec"] for mx, _ in overlap_rows],
-                    cfg.language,
-                    return_branches=cfg.eval_separation,
+                    cfg.language, return_branches=cfg.eval_separation,
                 )
-                t_ov = time.time() - t_s
-                # the fused program spans sep+SV+ASR; attribute it to
-                # time_sep (separation dominates its FLOPs) and apportion
-                # per-record asr_time by audio share below
+            if clean_rows:
+                h_cl = eng.launch_clean(
+                    [r["chunk"] for _, r in clean_rows],
+                    [mx["target_vec"] for mx, _ in clean_rows],
+                    cfg.language,
+                )
+            if tspan_rows:
+                h_tg = eng.launch_transcribe(
+                    [mx["target_np"][r["s_i"]:r["e_i"]] for mx, r in tspan_rows],
+                    cfg.language,
+                )
+
+            # collect A (stage times are disjoint wall segments; with the
+            # overlapped launches the per-stage split is an attribution of
+            # the shared device timeline, rtf_total stays exact)
+            if h_ov is not None:
+                ov_out = eng.collect_overlap(h_ov, [r["chunk"] for _, r in overlap_rows],
+                                             cfg.eval_separation)
+                t_ov = time.time() - t_launch
                 self._time["sep"] += t_ov
                 total_ov_samples = sum(len(r["chunk"]) for _, r in overlap_rows) or 1
                 for (mx, r), rec in zip(overlap_rows, ov_out):
@@ -272,50 +300,39 @@ class Overlap3Pipeline:
                 for mx in mixtures:
                     self._eval_separation(mx, file_mode, ds, sep_sisdr, sep_sisdri, sep_details_rows)
 
-            # ---- Stage: FUSED clean path (embed + SV + ASR in one program)
-            clean_rows = [
-                (mx, r) for mx in mixtures for r in mx["rows"]
-                if r["kind"] == "clean" and mx.get("target_vec") is not None
-            ]
-            if clean_rows:
-                t_c = time.time()
-                cl_out = eng.process_clean(
-                    [r["chunk"] for _, r in clean_rows],
-                    [mx["target_vec"] for mx, _ in clean_rows],
-                    cfg.language,
-                )
-                t_cl = time.time() - t_c
-                self._time["asr"] += t_cl
+            # collect B + C
+            t_bc = time.time()
+            if h_cl is not None:
+                cl_out = eng.collect_clean(h_cl)
                 total_cl_samples = sum(len(r["chunk"]) for _, r in clean_rows) or 1
+                t_cl = time.time() - t_bc
                 for (mx, r), (score, text) in zip(clean_rows, cl_out):
                     r["sv_score"] = score
                     r["fused_text"] = text
                     r["fused_share"] = t_cl * len(r["chunk"]) / total_cl_samples
+            if h_tg is not None:
+                for (mx, r), text in zip(tspan_rows, eng.collect_transcribe(h_tg)):
+                    r["target_text"] = text
+            self._time["asr"] += time.time() - t_bc
 
-            # ---- gate (metrics bookkeeping) + collect remaining ASR work:
-            # target spans for matched rows, and pass-through clean rows of
-            # mixtures with no enrollment
+            # ---- gate (metrics bookkeeping) + granular ASR for pass-through
+            # clean rows of mixtures with no enrollment
             asr_items: List[np.ndarray] = []
             asr_owner: List[Tuple[dict, dict, str]] = []
             for mx in mixtures:
                 for r in mx["rows"]:
                     self._gate_row(mx, r, M, A, asr_items, asr_owner)
 
-            texts = []
-            asr_elapsed = 0.0
             if asr_items:
                 t_a = time.time()
                 texts = eng.transcribe(asr_items, cfg.language)
                 asr_elapsed = time.time() - t_a
                 self._time["asr"] += asr_elapsed
-            total_asr_samples = sum(len(c) for c in asr_items) or 1
-            for (mx, r, role), text, chunk in zip(asr_owner, texts, asr_items):
-                share = asr_elapsed * (len(chunk) / total_asr_samples)
-                if role == "main":
-                    r["text"] = text
-                    r["asr_time"] = share
-                else:
-                    r["target_text"] = text
+                total_asr_samples = sum(len(c) for c in asr_items) or 1
+                for (mx, r, role), text, chunk in zip(asr_owner, texts, asr_items):
+                    if role == "main":
+                        r["text"] = text
+                        r["asr_time"] = asr_elapsed * (len(chunk) / total_asr_samples)
 
             # ---- emit records (field names: overlap3_core.py:667-680,820-833)
             for mx in mixtures:
@@ -509,9 +526,6 @@ class Overlap3Pipeline:
             else:  # no enrollment: pass-through clean row, granular ASR
                 asr_items.append(r["chunk"])
                 asr_owner.append((mx, r, "main"))
-            if mx.get("target_np") is not None:
-                asr_items.append(mx["target_np"][r["s_i"]:r["e_i"]])
-                asr_owner.append((mx, r, "target"))
         else:
             M["n_seen_overlap_segments"] += 1
             A["total_seen_overlap_audio_sec"] += seg_dur
@@ -535,9 +549,6 @@ class Overlap3Pipeline:
             r["sv_score"] = best_score
             r["text"] = r["fused_text"]
             r["asr_time"] = r.get("fused_share", 0.0)
-            if mx.get("target_np") is not None:
-                asr_items.append(mx["target_np"][r["s_i"]:r["e_i"]])
-                asr_owner.append((mx, r, "target"))
 
     # ------------------------------------------------------------------
     def _load_refs_csv(self) -> Dict[str, List[str]]:
