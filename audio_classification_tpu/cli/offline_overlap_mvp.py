@@ -21,8 +21,6 @@ from datetime import datetime
 from pathlib import Path
 from typing import Dict, List
 
-import numpy as np
-
 from ..data.librimix import LibriMixDataset
 from ..engine.runtime import G_SAMPLE_RATE
 from ..metrics.aggregate import maybe_round

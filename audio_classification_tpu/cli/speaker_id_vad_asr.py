@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import csv
-from collections import defaultdict
 from datetime import datetime
 from pathlib import Path
 from typing import Dict, List, Tuple

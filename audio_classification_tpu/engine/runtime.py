@@ -33,10 +33,10 @@ from ..models.asr.whisper_style import WhisperStyle, WhisperStyleConfig, whisper
 from ..models.convtasnet import ConvTasNet, ConvTasNetConfig
 from ..models.mossformer import MossFormer, MossFormerConfig
 from ..models.osd import OSDConfig, OSDNet, probs_to_hop_flags
-from ..models.speaker import SpeakerBank, SpeakerEmbedder, SpeakerEmbedderConfig
+from ..models.speaker import SpeakerEmbedder, SpeakerEmbedderConfig
 from ..models.vad import VADConfig, VADNet
 from ..ops.fbank import FbankConfig, log_mel_fbank
-from ..ops.resample import resample_linear, resample_poly
+from ..ops.resample import resample_poly
 from .bucketing import BucketSpec, group_by_bucket, pad_batch
 from .segments import flags_to_segments
 

@@ -15,7 +15,6 @@ upgrade when long transcripts matter.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ sherpa-onnx/pyannote/asteroid C++:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

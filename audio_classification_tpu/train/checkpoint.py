@@ -8,7 +8,7 @@ pipeline's weights load in one call.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import orbax.checkpoint as ocp
