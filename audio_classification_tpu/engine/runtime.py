@@ -149,6 +149,7 @@ class ModelPack:
 
     def load_params(self, name: str, params: Any) -> None:
         self.params[name] = params
+        self.version = getattr(self, "version", 0) + 1
 
 
 class StageEngine:
@@ -162,9 +163,13 @@ class StageEngine:
     """
 
     def __init__(self, pack: ModelPack, buckets: Optional[BucketSpec] = None,
-                 fbank: Optional[FbankConfig] = None, mesh=None):
+                 fbank: Optional[FbankConfig] = None, mesh=None,
+                 compute_dtype: str = "float32"):
         self.pack = pack
         self.mesh = mesh
+        self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        self._cast_cache = None
+        self._cast_version = -1
         buckets = buckets or BucketSpec()
         if mesh is not None:
             import dataclasses as _dc
@@ -184,11 +189,14 @@ class StageEngine:
         self.buckets = buckets
         self.fbank_cfg = fbank or FbankConfig()
         p = pack
+        self._p_ref = pack
 
         # ---- jitted stage programs (shape-keyed cache inside jax.jit) ----
         # Audio crosses host->device as int16 (audio is 16-bit at the
         # source; halves uplink bytes through the interconnect) and is
         # dequantized on device.
+        cdt = self.compute_dtype
+
         def _dq(wav_i16):
             return wav_i16.astype(jnp.float32) * (1.0 / 32768.0)
 
@@ -202,18 +210,18 @@ class StageEngine:
 
         def osd_fn(params, wav_i16, lengths):
             feats, mask = _fbank_mask(_dq(wav_i16), lengths)
-            return p.osd_model.apply(params, feats, mask)
+            return p.osd_model.apply(params, feats.astype(cdt), mask).astype(jnp.float32)
 
         def _sep_core(model, params, wav, lengths):
-            sm = (jnp.arange(wav.shape[1])[None, :] < lengths[:, None]).astype(jnp.float32)
-            return model.apply(params, wav, sm)
+            sm = (jnp.arange(wav.shape[1])[None, :] < lengths[:, None]).astype(cdt)
+            return model.apply(params, wav.astype(cdt), sm).astype(jnp.float32)
 
         def sep_fn(model, params, wav_i16, lengths):
             return _sep_core(model, params, _dq(wav_i16), lengths)
 
         def _embed_core(params, wav, lengths):
             feats, mask = _fbank_mask(wav, lengths)
-            emb = p.spk_model.apply(params, feats, mask)
+            emb = p.spk_model.apply(params, feats.astype(cdt), mask).astype(jnp.float32)
             return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
 
         def spk_fn(params, wav_i16, lengths):
@@ -225,27 +233,27 @@ class StageEngine:
 
             def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = transducer_frontend(wav, lengths, p.transducer_cfg)
-                return p.asr_model.apply(params, feats, mask, method=Transducer.greedy_decode)
+                return p.asr_model.apply(params, feats.astype(cdt), mask, method=Transducer.greedy_decode)
 
         elif pack.asr_family == "paraformer":
 
             def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = paraformer_frontend(wav, lengths, p.paraformer_cfg)
-                logits, counts = p.asr_model.apply(params, feats, mask)
-                return paraformer_greedy(logits, counts)
+                logits, counts = p.asr_model.apply(params, feats.astype(cdt), mask)
+                return paraformer_greedy(logits.astype(jnp.float32), counts)
 
         elif pack.asr_family == "whisper":
 
             def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = whisper_frontend(wav, lengths, p.whisper_cfg)
-                return p.asr_model.apply(params, feats, mask, method=WhisperStyle.greedy_decode)
+                return p.asr_model.apply(params, feats.astype(cdt), mask, method=WhisperStyle.greedy_decode)
 
         else:
 
             def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = sensevoice_frontend(wav, lengths, p.asr_cfg)
-                logits = p.asr_model.apply(params, feats, mask, language_id=language_id, use_itn=use_itn)
-                body = logits[:, p.asr_cfg.num_prompt :]
+                logits = p.asr_model.apply(params, feats.astype(cdt), mask, language_id=language_id, use_itn=use_itn)
+                body = logits[:, p.asr_cfg.num_prompt :].astype(jnp.float32)
                 return ctc_greedy_decode(body, mask.astype(jnp.float32), p.tokens.blank_id)
 
         def _cap_ids(ids, n):
@@ -328,6 +336,23 @@ class StageEngine:
         self._resample = jax.jit(resample_poly, static_argnums=(1, 2))
 
     # ------------------------------------------------------------- helpers
+    @property
+    def exec_params(self):
+        """Live params view: f32 mode reads the pack directly (so
+        load_params after engine construction is visible); bf16 mode keeps a
+        cast copy refreshed when the pack version changes."""
+        if self.compute_dtype == jnp.float32:
+            return self.pack.params
+        version = getattr(self.pack, "version", 0)
+        if self._cast_version != version:
+            self._cast_cache = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+                dict(self.pack.params),
+            )
+            self._cast_version = version
+        return self._cast_cache
+
     @staticmethod
     def _quantize_i16(wav: np.ndarray) -> np.ndarray:
         return np.clip(np.rint(wav * 32768.0), -32768, 32767).astype(np.int16)
@@ -399,7 +424,7 @@ class StageEngine:
         nonempty = [i for i, w in enumerate(wavs) if len(w) > 0 and sr]
         probs_all = self._run_bucketed(
             [wavs[i] for i in nonempty],
-            lambda w, l: self._osd(self.pack.params["osd"], w, l),
+            lambda w, l: self._osd(self.exec_params["osd"], w, l),
         )
         cfg = self.pack.preset.osd
         out: List[List[Tuple[float, float, bool]]] = [[] for _ in wavs]
@@ -417,11 +442,11 @@ class StageEngine:
                  backend: str = "convtasnet") -> List[np.ndarray]:
         """Each chunk [T] -> [n_src, T]; whole call is one or few programs."""
         if backend == "mossformer":
-            fn, params = self._moss, self.pack.params["mossformer"]
+            fn, params = self._moss, self.exec_params["mossformer"]
         elif n_src == 3:
-            fn, params = self._sep3, self.pack.params["sep3"]
+            fn, params = self._sep3, self.exec_params["sep3"]
         else:
-            fn, params = self._sep2, self.pack.params["sep2"]
+            fn, params = self._sep2, self.exec_params["sep2"]
         outs = self._run_bucketed(list(chunks), lambda w, l: fn(params, w, l))
         return [o[:, : c.shape[-1]] for o, c in zip(outs, chunks)]
 
@@ -429,7 +454,7 @@ class StageEngine:
         """[n][T] -> l2-normalized embeddings [n, D]."""
         if not len(chunks):
             return np.zeros((0, self.pack.preset.spk.embed_dim), np.float32)
-        outs = self._run_bucketed(list(chunks), lambda w, l: self._spk(self.pack.params["spk"], w, l))
+        outs = self._run_bucketed(list(chunks), lambda w, l: self._spk(self.exec_params["spk"], w, l))
         return np.stack(outs)
 
     def launch_transcribe(self, chunks: Sequence[np.ndarray], language: str = "auto",
@@ -437,7 +462,7 @@ class StageEngine:
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
         return self._launch_bucketed(
             list(chunks),
-            lambda w, l: self._asr(self.pack.params["asr"], w, l, lang_id, use_itn),
+            lambda w, l: self._asr(self.exec_params["asr"], w, l, lang_id, use_itn),
         )
 
     def collect_transcribe(self, handle) -> List[str]:
@@ -470,7 +495,7 @@ class StageEngine:
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
         return self._launch_bucketed(
             list(chunks),
-            lambda w, l, tv: self._clean_path(self.pack.params, w, l, tv, lang_id, use_itn),
+            lambda w, l, tv: self._clean_path(self.exec_params, w, l, tv, lang_id, use_itn),
             extras=[np.asarray(v, np.float32) for v in target_vecs],
         )
 
@@ -501,7 +526,7 @@ class StageEngine:
         return self._launch_bucketed(
             list(chunks),
             lambda w, l, tv: self._overlap_path(
-                self.pack.params, w, l, tv, lang_id, use_itn, return_branches
+                self.exec_params, w, l, tv, lang_id, use_itn, return_branches
             ),
             extras=[np.asarray(v, np.float32) for v in target_vecs],
         )
@@ -526,6 +551,6 @@ class StageEngine:
 
     def vad_probs(self, wav: np.ndarray) -> np.ndarray:
         out = self._run_bucketed([np.asarray(wav, np.float32)],
-                                 lambda w, l: self._vad(self.pack.params["vad"], w, l))[0]
+                                 lambda w, l: self._vad(self.exec_params["vad"], w, l))[0]
         n = self.fbank_cfg.frames_for(len(wav))
         return out[:n]

@@ -30,16 +30,18 @@ class GlobalLayerNorm(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
         beta = self.param("beta", nn.initializers.zeros, (self.channels,))
+        # statistics in f32 (mixed-precision recipe), output in input dtype
+        xf = x.astype(jnp.float32)
         if mask is None:
-            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-            var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+            mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+            var = jnp.mean((xf - mean) ** 2, axis=(1, 2), keepdims=True)
         else:
-            m = mask[..., None].astype(x.dtype)  # [B, T, 1]
+            m = mask[..., None].astype(jnp.float32)  # [B, T, 1]
             count = jnp.maximum(jnp.sum(m, axis=(1, 2), keepdims=True) * x.shape[-1], 1.0)
-            mean = jnp.sum(x * m, axis=(1, 2), keepdims=True) / count
-            var = jnp.sum(((x - mean) * m) ** 2, axis=(1, 2), keepdims=True) / count
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * gamma + beta
+            mean = jnp.sum(xf * m, axis=(1, 2), keepdims=True) / count
+            var = jnp.sum(((xf - mean) * m) ** 2, axis=(1, 2), keepdims=True) / count
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
 
 
 class ChannelLayerNorm(nn.Module):
@@ -52,9 +54,11 @@ class ChannelLayerNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
         beta = self.param("beta", nn.initializers.zeros, (self.channels,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
 
 
 class PReLU(nn.Module):
@@ -65,7 +69,7 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         a = self.param("alpha", nn.initializers.constant(self.init), (1,))
-        return jnp.where(x >= 0, x, a * x)
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
 
 
 def conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1, dilation: int = 1,
@@ -100,10 +104,12 @@ class Conv1d(nn.Module):
             nn.initializers.lecun_normal(),
             (self.kernel_size, cin // self.groups, self.features),
         )
-        y = conv1d(x, k, self.stride, self.dilation, self.padding, self.groups)
+        # harmonize with the activation dtype (mixed-precision safety: conv
+        # requires identical lhs/rhs dtypes)
+        y = conv1d(x, k.astype(x.dtype), self.stride, self.dilation, self.padding, self.groups)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + b
+            y = y + b.astype(x.dtype)
         return y
 
 

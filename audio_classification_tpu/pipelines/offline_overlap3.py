@@ -104,7 +104,8 @@ def build_engine(cfg) -> StageEngine:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(dp, model_axis=1)
-    return StageEngine(pack, buckets, mesh=mesh)
+    return StageEngine(pack, buckets, mesh=mesh,
+                       compute_dtype=getattr(cfg, "compute_dtype", "float32"))
 
 
 def _load_resampled(engine: StageEngine, path: str) -> Tuple[np.ndarray, int]:

@@ -71,6 +71,7 @@ class Overlap3Config:
     max_segment_sec: float = 64.0
     profile_dir: str = ""             # jax.profiler trace output dir
     data_parallel: int = 0            # shard stage batches over N chips (0 = single device)
+    compute_dtype: str = "float32"    # "bfloat16" halves MXU cost (norm stats stay f32)
 
 
 @dataclass
