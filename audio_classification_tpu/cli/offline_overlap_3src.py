@@ -86,6 +86,8 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Shard stage batches over N chips (0 = single device)")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="bfloat16 halves MXU cost; norm statistics stay f32")
+    p.add_argument("--wave-mixtures", type=int, default=0,
+                   help="Mixtures per processing wave (0 = 4x max-batch)")
     return p.parse_args(argv)
 
 

@@ -187,7 +187,9 @@ class Overlap3Pipeline:
             self._time["asr"] += time.time() - t_a
             g_target = dict(vec=vec, np=t_np, abs=str(Path(cfg.target_wav)), text=text)
 
-        wave_size = max(int(getattr(cfg, "max_batch", 8)), 1)
+        wave_size = int(getattr(cfg, "wave_mixtures", 0) or 0)
+        if wave_size <= 0:
+            wave_size = 4 * max(int(getattr(cfg, "max_batch", 8)), 1)
         for wave_start in range(0, limit, wave_size):
             wave_idx = list(range(wave_start, min(wave_start + wave_size, limit)))
             mixtures = [

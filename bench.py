@@ -54,7 +54,7 @@ def main():
     from audio_classification_tpu.utils.config import Overlap3Config
 
     sr = 16000
-    n_mix, dur = 8, 10.0
+    n_mix, dur = 16, 10.0
     items = make_mixtures(n_mix, dur, sr)
 
     with tempfile.TemporaryDirectory() as td:
