@@ -409,6 +409,41 @@ class StageEngine:
             return np.asarray(wav, dtype=np.float32)
         return np.asarray(self._resample(jnp.asarray(wav, dtype=jnp.float32), orig_sr, new_sr))
 
+    def resample_batch(self, wavs: Sequence[np.ndarray], orig_sr: int,
+                       new_sr: int = G_SAMPLE_RATE) -> List[np.ndarray]:
+        """Resample many variable-length wavs in bucketed batches.
+
+        The polyphase filter is local, so zero-padding to a bucket only
+        perturbs samples within half a filter length of each item's end —
+        those are sliced off exactly because output lengths are computed
+        from the true input lengths.
+        """
+        if orig_sr == new_sr:
+            return [np.asarray(w, np.float32) for w in wavs]
+        items = [np.asarray(w, np.float32) for w in wavs]
+        nonempty = [i for i, w in enumerate(items) if w.size > 1]
+        # bucket on input length; batch the fixed-ratio resampler
+        pending = []
+        for bucket_len, idxs in group_by_bucket([items[i] for i in nonempty], self.buckets):
+            orig_idx = [nonempty[j] for j in idxs]
+            for off in range(0, len(orig_idx), self.buckets.max_batch):
+                chunk_idx = orig_idx[off : off + self.buckets.max_batch]
+                bs = self.buckets.batch_size_for(len(chunk_idx))
+                wav, _lengths = pad_batch([items[i] for i in chunk_idx], bucket_len, bs)
+                pending.append((chunk_idx, self._resample(jnp.asarray(wav), orig_sr, new_sr)))
+        import math
+
+        g = math.gcd(orig_sr, new_sr)
+        up, down = new_sr // g, orig_sr // g
+        out = [np.asarray(w, np.float32) if w.size <= 1 else None for w in items]
+        for chunk_idx, res in pending:
+            host = np.asarray(res)
+            for j, i in enumerate(chunk_idx):
+                # same output-length convention as ops.resample.resample_poly
+                n_out = -(-items[i].shape[-1] * up // down)
+                out[i] = host[j, :n_out]
+        return out
+
     def osd_segments(
         self, wav: np.ndarray, sr: int, threshold: float, win_sec: float, hop_sec: float
     ) -> List[Tuple[float, float, bool]]:

@@ -196,6 +196,28 @@ class Overlap3Pipeline:
                 self._load_mixture(i, file_mode, file_items, ds, refs_map)
                 for i in wave_idx
             ]
+            # batch-resample the whole wave (dataset mode: one bucketed
+            # dispatch instead of one device call per mixture/source)
+            for src_sr in sorted({mx["sr_item"] for mx in mixtures if mx["sr_item"] != G_SAMPLE_RATE}):
+                need = [mx for mx in mixtures if mx["sr_item"] == src_sr]
+                flat: List[np.ndarray] = []
+                owners: List[Tuple[dict, int]] = []
+                for mx in need:
+                    flat.append(mx["mix"])
+                    owners.append((mx, -1))
+                    if mx["sources"]:
+                        for si, s in enumerate(mx["sources"]):
+                            flat.append(s)
+                            owners.append((mx, si))
+                res = eng.resample_batch(flat, src_sr, G_SAMPLE_RATE)
+                for (mx, si), w in zip(owners, res):
+                    if si < 0:
+                        mx["mix"] = w
+                    else:
+                        mx["sources"][si] = w
+                for mx in need:
+                    mx["dur"] = len(mx["mix"]) / G_SAMPLE_RATE
+                    mx["sr_item"] = G_SAMPLE_RATE
             for mx in mixtures:
                 A["total_audio_sec"] += mx["dur"]
 
@@ -446,12 +468,16 @@ class Overlap3Pipeline:
             _sr_meta, mix_rel, src_rel = ds.get_metadata(idx)
             src_paths = list(src_rel)
             abs_path = str(Path(cfg.librimix_root) / mix_rel)
-            mix_np = eng.resample(mix_wav, sr_item, G_SAMPLE_RATE)
-            if sources is not None:
-                sources = [eng.resample(s, sr_item, G_SAMPLE_RATE) for s in sources]
+            mix_np = mix_wav  # resampled wave-batched by the caller
+            return dict(
+                idx=idx, abs_path=abs_path, mix=mix_np, sources=sources,
+                src_paths=src_paths, sr_item=sr_item,
+                dur=len(mix_np) / sr_item,
+            )
         return dict(
             idx=idx, abs_path=abs_path, mix=mix_np, sources=sources,
-            src_paths=src_paths, dur=len(mix_np) / G_SAMPLE_RATE,
+            src_paths=src_paths, sr_item=G_SAMPLE_RATE,
+            dur=len(mix_np) / G_SAMPLE_RATE,
         )
 
     def _select_target(self, mx: dict, file_mode: bool, g_target, ds) -> None:
