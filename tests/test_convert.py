@@ -71,6 +71,32 @@ def test_load_onnx_rejects_garbage(tmp_path):
         load_onnx_weights(str(p))
 
 
+def test_convert_models_cli(tmp_path):
+    """ONNX inventory + checkpoint dir output through the converter CLI."""
+    from audio_classification_tpu.cli.convert_models import main
+
+    w = np.arange(6, dtype=np.float32).reshape(2, 3)
+    blob = _onnx_bytes([_tensor("layer.w", w, 1)])
+    onnx_p = tmp_path / "model.onnx"
+    onnx_p.write_bytes(blob)
+    out = tmp_path / "ckpt"
+    main(["--out", str(out), "--preset", "tiny", "--onnx", str(onnx_p)])
+    assert out.is_dir()
+    inv = (tmp_path / "model.inventory.json").read_text()
+    assert "layer.w" in inv
+    import numpy as _np
+
+    z = _np.load(tmp_path / "model.weights.npz")
+    _np.testing.assert_array_equal(z["layer.w"], w)
+    # the checkpoint dir loads back into an engine
+    from audio_classification_tpu.pipelines.offline_overlap3 import build_engine
+    from audio_classification_tpu.utils.config import Overlap3Config
+
+    cfg = Overlap3Config(preset="tiny", checkpoint_dir=str(out), seed=5)
+    engine = build_engine(cfg)
+    assert engine.pack.asr_family == "sensevoice"
+
+
 def test_torch_convtasnet_import_roundtrip(tmp_path):
     """Build an asteroid-shaped state dict with torch, import, and check the
     JAX model consumes it (forward runs, encoder weights land transposed)."""
