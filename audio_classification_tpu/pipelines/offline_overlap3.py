@@ -322,6 +322,20 @@ class Overlap3Pipeline:
 
             # ---- optional separation quality eval (host PIT, parity oracle)
             if cfg.eval_separation:
+                # the reference separates before SV gating, so overlap rows of
+                # mixtures with no enrollment still get evaluated — run their
+                # separation granularly (rare: enrollment failure)
+                orphan = [
+                    (mx, r) for mx in mixtures for r in mx["rows"]
+                    if r["kind"] == "overlap" and mx.get("target_vec") is None and mx["src_paths"]
+                ]
+                if orphan:
+                    t_s = time.time()
+                    outs = eng.separate([r["chunk"] for _, r in orphan], n_src=3,
+                                        backend=cfg.sep_backend)
+                    self._time["sep"] += time.time() - t_s
+                    for (_, r), est in zip(orphan, outs):
+                        r["branches"] = [np.asarray(est[i]) for i in range(est.shape[0])]
                 for mx in mixtures:
                     self._eval_separation(mx, file_mode, ds, sep_sisdr, sep_sisdri, sep_details_rows)
 
