@@ -279,13 +279,17 @@ class StageEngine:
             return (score, *_cap_ids(ids, n))
 
         def overlap_path_fn(params, wav_i16, lengths, target_vec, language_id, use_itn,
-                            return_branches):
+                            return_branches, backend="convtasnet"):
             """wav -> separate -> per-branch SV -> best-branch ASR, on device.
 
             -> (branch_scores [B, S], best [B], ids, n_tokens[, branches]).
             """
             wav = _dq(wav_i16)
-            est = _sep_core(p.sep3_model, params["sep3"], wav, lengths)  # [B, S, T]
+            if backend == "mossformer":
+                sep_model, sep_key = p.moss_model, "mossformer"
+            else:  # convtasnet (and the reference's "asteroid" alias)
+                sep_model, sep_key = p.sep3_model, "sep3"
+            est = _sep_core(sep_model, params[sep_key], wav, lengths)  # [B, S, T]
             b, s, t = est.shape
             flat = est.reshape(b * s, t)
             rep_len = jnp.repeat(lengths, s)
@@ -318,7 +322,7 @@ class StageEngine:
             )
             self._overlap_path = jax.jit(
                 overlap_path_fn,
-                static_argnames=("language_id", "use_itn", "return_branches"),
+                static_argnames=("language_id", "use_itn", "return_branches", "backend"),
                 in_shardings=(self._rep, self._dsh, self._dsh, self._dsh),
             )
         else:
@@ -331,7 +335,8 @@ class StageEngine:
             self._vad = jax.jit(vad_fn)
             self._clean_path = jax.jit(clean_path_fn, static_argnames=("language_id", "use_itn"))
             self._overlap_path = jax.jit(
-                overlap_path_fn, static_argnames=("language_id", "use_itn", "return_branches")
+                overlap_path_fn,
+                static_argnames=("language_id", "use_itn", "return_branches", "backend"),
             )
         self._resample = jax.jit(resample_poly, static_argnums=(1, 2))
 
@@ -543,6 +548,7 @@ class StageEngine:
     def process_overlap(
         self, chunks: Sequence[np.ndarray], target_vecs: Sequence[np.ndarray],
         language: str = "auto", use_itn: bool = True, return_branches: bool = False,
+        backend: str = "convtasnet",
     ) -> List[dict]:
         """Fused overlap path: 3-src separation + per-branch SV + best-branch
         ASR in ONE device program; branches stay in HBM unless
@@ -552,16 +558,19 @@ class StageEngine:
         """
         if not len(chunks):
             return []
-        handle = self.launch_overlap(chunks, target_vecs, language, use_itn, return_branches)
+        handle = self.launch_overlap(chunks, target_vecs, language, use_itn,
+                                     return_branches, backend)
         return self.collect_overlap(handle, chunks, return_branches)
 
     def launch_overlap(self, chunks, target_vecs, language: str = "auto",
-                       use_itn: bool = True, return_branches: bool = False):
+                       use_itn: bool = True, return_branches: bool = False,
+                       backend: str = "convtasnet"):
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
         return self._launch_bucketed(
             list(chunks),
             lambda w, l, tv: self._overlap_path(
-                self.exec_params, w, l, tv, lang_id, use_itn, return_branches
+                self.exec_params, w, l, tv, lang_id, use_itn, return_branches,
+                backend,
             ),
             extras=[np.asarray(v, np.float32) for v in target_vecs],
         )

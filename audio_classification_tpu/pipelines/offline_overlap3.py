@@ -288,6 +288,7 @@ class Overlap3Pipeline:
                     [r["chunk"] for _, r in overlap_rows],
                     [mx["target_vec"] for mx, _ in overlap_rows],
                     cfg.language, return_branches=cfg.eval_separation,
+                    backend=cfg.sep_backend,
                 )
             if clean_rows:
                 h_cl = eng.launch_clean(

@@ -184,7 +184,8 @@ class StreamingOverlap3Pipeline:
         extra_meta: List[dict] = []
         for rec, meta, chunk in zip(
             eng.process_overlap(ov_inputs, [tv] * len(ov_inputs), lang,
-                                return_branches=True),
+                                return_branches=True,
+                                backend=getattr(args, "sep_backend", "convtasnet")),
             ov_meta, ov_inputs,
         ):
             scores = np.asarray(rec["scores"])
