@@ -1,16 +1,16 @@
-"""Whisper-style encoder-decoder ASR (autoregressive family slot).
+"""Whisper-style encoder-decoder ASR (autoregressive family).
 
 The reference registers a Whisper recognizer branch
 (reference: speaker-identification-with-vad-non-streaming-asr.py:316-345,
 `from_whisper(encoder, decoder, ...)`). This module implements the family
 natively: mel-spectrogram encoder (transformer over the shared fbank
-frontend) and a causal decoder with cross-attention, decoded greedily on
-device with one lax.scan over output positions.
+frontend) and a causal decoder with cross-attention.
 
-Decode keeps static shapes by re-running the (small) decoder over the full
-max_decode_len prefix each step with a causal mask — O(L^2) recompute that
-is trivially fused by XLA at these sizes; a KV-cache variant is the obvious
-upgrade when long transcripts matter.
+Greedy decode runs on device as one lax.scan over output positions with
+per-layer KV caches: self-attention K/V append into [B, L, H, Dh] cache
+arrays carried through the scan, and cross-attention K/V are precomputed
+once from the encoder memory — O(L) decode instead of full-prefix
+recompute.
 """
 from __future__ import annotations
 
@@ -40,51 +40,73 @@ class WhisperStyleConfig:
     fbank: FbankConfig = field(default_factory=FbankConfig)
 
 
-class CrossAttention(nn.Module):
-    dim: int
-    heads: int
-
-    @nn.compact
-    def __call__(self, x, mem, mem_mask):
-        d_head = self.dim // self.heads
-        q = nn.Dense(self.dim, name="q")(x)
-        k = nn.Dense(self.dim, name="k")(mem)
-        v = nn.Dense(self.dim, name="v")(mem)
-
-        def split(t):
-            return t.reshape(t.shape[0], t.shape[1], self.heads, d_head).transpose(0, 2, 1, 3)
-
-        q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d_head)
-        logits = logits + jnp.where(mem_mask[:, None, None, :], 0.0, -1e9)
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], self.dim)
-        return nn.Dense(self.dim, name="out")(out)
+def _split_heads(t, heads):
+    b, l, d = t.shape
+    return t.reshape(b, l, heads, d // heads)
 
 
 class CausalSelfAttention(nn.Module):
     dim: int
     heads: int
 
-    @nn.compact
+    def setup(self):
+        self.qkv = nn.Dense(3 * self.dim, name="qkv")
+        self.out = nn.Dense(self.dim, name="out")
+
     def __call__(self, x):
+        """Full-sequence causal attention (teacher forcing)."""
         t = x.shape[1]
-        d_head = self.dim // self.heads
-        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def split(z):
-            return z.reshape(z.shape[0], z.shape[1], self.heads, d_head).transpose(0, 2, 1, 3)
-
-        q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d_head)
+        q, k, v = jnp.split(self.qkv(x), 3, axis=-1)
+        q, k, v = (_split_heads(z, self.heads) for z in (q, k, v))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(self.dim // self.heads)
         causal = jnp.tril(jnp.ones((t, t), bool))
-        logits = jnp.where(causal[None, None], logits, -1e9)
+        attn = jax.nn.softmax(jnp.where(causal[None, None], logits, -1e9), axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(x.shape)
+        return self.out(o)
+
+    def step(self, x_t, k_cache, v_cache, pos):
+        """One token with KV cache.
+
+        x_t [B, 1, D]; k_cache/v_cache [B, L, H, Dh]; pos scalar int.
+        -> (y_t [B, 1, D], k_cache, v_cache)
+        """
+        q, k, v = jnp.split(self.qkv(x_t), 3, axis=-1)
+        q = _split_heads(q, self.heads)  # [B, 1, H, Dh]
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, _split_heads(k, self.heads), pos, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, _split_heads(v, self.heads), pos, axis=1)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache) / np.sqrt(self.dim // self.heads)
+        valid = (jnp.arange(k_cache.shape[1]) <= pos)[None, None, None, :]
+        attn = jax.nn.softmax(jnp.where(valid, logits, -1e9), axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v_cache).reshape(x_t.shape)
+        return self.out(o), k_cache, v_cache
+
+
+class CrossAttention(nn.Module):
+    dim: int
+    heads: int
+
+    def setup(self):
+        self.q_proj = nn.Dense(self.dim, name="q")
+        self.k_proj = nn.Dense(self.dim, name="k")
+        self.v_proj = nn.Dense(self.dim, name="v")
+        self.out = nn.Dense(self.dim, name="out")
+
+    def precompute(self, mem):
+        return _split_heads(self.k_proj(mem), self.heads), _split_heads(self.v_proj(mem), self.heads)
+
+    def attend(self, x, mem_k, mem_v, mem_mask):
+        q = _split_heads(self.q_proj(x), self.heads)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, mem_k) / np.sqrt(self.dim // self.heads)
+        logits = logits + jnp.where(mem_mask[:, None, None, :], 0.0, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], t, self.dim)
-        return nn.Dense(self.dim, name="out")(out)
+        o = jnp.einsum("bhqk,bkhd->bqhd", attn, mem_v).reshape(x.shape)
+        return self.out(o)
+
+    def __call__(self, x, mem, mem_mask):
+        mem_k, mem_v = self.precompute(mem)
+        return self.attend(x, mem_k, mem_v, mem_mask)
 
 
 class DecoderBlock(nn.Module):
@@ -92,12 +114,42 @@ class DecoderBlock(nn.Module):
     heads: int
     ffn_mult: int
 
-    @nn.compact
+    def setup(self):
+        self.ln1 = nn.LayerNorm()
+        self.ln2 = nn.LayerNorm()
+        self.ln3 = nn.LayerNorm()
+        self.self_attn = CausalSelfAttention(self.dim, self.heads, name="self_attn")
+        self.cross_attn = CrossAttention(self.dim, self.heads, name="cross_attn")
+        self.fc1 = nn.Dense(self.dim * self.ffn_mult)
+        self.fc2 = nn.Dense(self.dim)
+
+    def _ffn(self, x):
+        return x + self.fc2(jax.nn.gelu(self.fc1(self.ln3(x))))
+
     def __call__(self, x, mem, mem_mask):
-        x = x + CausalSelfAttention(self.dim, self.heads, name="self_attn")(nn.LayerNorm()(x))
-        x = x + CrossAttention(self.dim, self.heads, name="cross_attn")(nn.LayerNorm()(x), mem, mem_mask)
+        x = x + self.self_attn(self.ln1(x))
+        x = x + self.cross_attn(self.ln2(x), mem, mem_mask)
+        return self._ffn(x)
+
+    def step(self, x_t, k_cache, v_cache, pos, mem_k, mem_v, mem_mask):
+        a, k_cache, v_cache = self.self_attn.step(self.ln1(x_t), k_cache, v_cache, pos)
+        x_t = x_t + a
+        x_t = x_t + self.cross_attn.attend(self.ln2(x_t), mem_k, mem_v, mem_mask)
+        return self._ffn(x_t), k_cache, v_cache
+
+
+class _EncBlock(nn.Module):
+    dim: int
+    heads: int
+    ffn_mult: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = x + MultiHeadSelfAttention(self.dim, self.heads, name="attn")(nn.LayerNorm()(x), mask)
         h = nn.LayerNorm()(x)
         x = x + nn.Dense(self.dim)(jax.nn.gelu(nn.Dense(self.dim * self.ffn_mult)(h)))
+        if mask is not None:
+            x = x * mask[..., None]
         return x
 
 
@@ -134,63 +186,71 @@ class WhisperStyle(nn.Module):
         return self.enc_ln(x), mask
 
     def decode_logits(self, tokens, mem, mem_mask):
-        """tokens [B, L] -> logits [B, L, V] (teacher forcing / decode)."""
+        """tokens [B, L] -> logits [B, L, V] (teacher forcing)."""
         c = self.cfg
         y = self.tok_embed(tokens)
         y = y + jnp.asarray(sinusoidal_positions(tokens.shape[1], c.dim))[None]
         for blk in self.dec_blocks:
             y = blk(y, mem, mem_mask)
-        y = self.dec_ln(y)
-        return y @ self.tok_embed.embedding.T
+        return self.dec_ln(y) @ self.tok_embed.embedding.T
 
     def __call__(self, feats, frame_mask, tokens):
         mem, mem_mask = self.encode(feats, frame_mask)
         return self.decode_logits(tokens, mem, mem_mask)
 
     def greedy_decode(self, feats, frame_mask):
-        """-> (ids [B, max_decode_len], lengths [B]); BOS/EOS stripped."""
+        """-> (ids [B, max_decode_len-1], lengths [B]); BOS/EOS stripped."""
         c = self.cfg
         mem, mem_mask = self.encode(feats, frame_mask)
         b = mem.shape[0]
         l = c.max_decode_len
+        heads, d_head = c.heads, c.dim // c.heads
+        n_layers = len(self.dec_blocks)
 
-        # materialize decoder params OUTSIDE the scan (flax init inside
-        # lax.scan leaks tracers)
-        _ = self.decode_logits(jnp.full((b, l), c.eos_id, jnp.int32), mem, mem_mask)
+        # cross-attention K/V once per layer; positional table as a constant
+        cross = [blk.cross_attn.precompute(mem) for blk in self.dec_blocks]
+        pos_table = jnp.asarray(sinusoidal_positions(l, c.dim))
+
+        # materialize every decoder param OUTSIDE the scan (flax init inside
+        # lax.scan leaks tracers): one throwaway step at position 0
+        k0 = jnp.zeros((b, l, heads, d_head))
+        v0 = jnp.zeros((b, l, heads, d_head))
+        x_warm = self.tok_embed(jnp.full((b, 1), c.bos_id, jnp.int32)) + pos_table[0]
+        for li, blk in enumerate(self.dec_blocks):
+            x_warm, _, _ = blk.step(x_warm, k0, v0, 0, cross[li][0], cross[li][1], mem_mask)
+        _ = self.dec_ln(x_warm)
 
         def step(carry, i):
-            tokens, done, count = carry
-            logits = self.decode_logits(tokens, mem, mem_mask)  # [B, L, V]
-            nxt = jnp.argmax(logits[:, i], axis=-1).astype(jnp.int32)
+            tokens, done, count, caches = carry
+            prev = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)  # [B, 1]
+            x_t = self.tok_embed(prev) + pos_table[i]
+            new_caches = []
+            for li, blk in enumerate(self.dec_blocks):
+                kc, vc = caches[li]
+                x_t, kc, vc = blk.step(x_t, kc, vc, i, cross[li][0], cross[li][1], mem_mask)
+                new_caches.append((kc, vc))
+            logits = (self.dec_ln(x_t) @ self.tok_embed.embedding.T)[:, 0]  # [B, V]
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             nxt = jnp.where(done, c.eos_id, nxt)
-            tokens = tokens.at[:, i + 1].set(jnp.where(i + 1 < l, nxt, tokens[:, -1]))
+            tokens = jax.lax.dynamic_update_slice_in_dim(
+                tokens, nxt[:, None], jnp.minimum(i + 1, l - 1), axis=1)
             emitted = (~done) & (nxt != c.eos_id)
             count = count + emitted.astype(jnp.int32)
             done = done | (nxt == c.eos_id)
-            return (tokens, done, count), None
+            return (tokens, done, count, tuple(new_caches)), None
 
         tokens0 = jnp.full((b, l), c.eos_id, jnp.int32).at[:, 0].set(c.bos_id)
-        (tokens, done, count), _ = jax.lax.scan(
-            step, (tokens0, jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32)),
+        caches0 = tuple(
+            (jnp.zeros((b, l, heads, d_head)), jnp.zeros((b, l, heads, d_head)))
+            for _ in range(n_layers)
+        )
+        (tokens, done, count, _), _ = jax.lax.scan(
+            step,
+            (tokens0, jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32), caches0),
             jnp.arange(l - 1),
         )
         # strip BOS; positions beyond count hold EOS
         return tokens[:, 1:], count
-
-
-class _EncBlock(nn.Module):
-    dim: int
-    heads: int
-    ffn_mult: int
-
-    @nn.compact
-    def __call__(self, x, mask):
-        x = x + MultiHeadSelfAttention(self.dim, self.heads, name="attn")(nn.LayerNorm()(x), mask)
-        h = nn.LayerNorm()(x)
-        x = x + nn.Dense(self.dim)(jax.nn.gelu(nn.Dense(self.dim * self.ffn_mult)(h)))
-        if mask is not None:
-            x = x * mask[..., None]
-        return x
 
 
 def whisper_frontend(wav: jnp.ndarray, wav_lengths: jnp.ndarray, cfg: WhisperStyleConfig):

@@ -40,6 +40,30 @@ def test_greedy_decode_shapes_and_eos():
             assert (row[first:] == TINY.eos_id).all()
 
 
+def test_kv_cache_matches_full_recompute():
+    """Cached greedy decode must equal argmax decoding with full-prefix
+    teacher-forcing logits (the KV cache is an optimization, not a change
+    in semantics)."""
+    wav = jnp.asarray(np.random.default_rng(3).standard_normal((2, 8000)).astype(np.float32) * 0.1)
+    feats, mask = whisper_frontend(wav, jnp.asarray([8000, 5000]), TINY)
+    model = WhisperStyle(TINY)
+    params = model.init(jax.random.PRNGKey(0), feats, mask, method=WhisperStyle.greedy_decode)
+    ids_cached, counts = model.apply(params, feats, mask, method=WhisperStyle.greedy_decode)
+
+    # reference: greedy via repeated full decode_logits
+    l = TINY.max_decode_len
+    tokens = np.full((2, l), TINY.eos_id, np.int32)
+    tokens[:, 0] = TINY.bos_id
+    done = np.zeros(2, bool)
+    for i in range(l - 1):
+        logits = model.apply(params, feats, mask, jnp.asarray(tokens))
+        nxt = np.asarray(jnp.argmax(logits[:, i], axis=-1)).astype(np.int32)
+        nxt = np.where(done, TINY.eos_id, nxt)
+        tokens[:, i + 1] = nxt
+        done = done | (nxt == TINY.eos_id)
+    np.testing.assert_array_equal(np.asarray(ids_cached), tokens[:, 1:])
+
+
 def test_engine_whisper_family():
     from audio_classification_tpu.pipelines.offline_overlap3 import build_engine
     from audio_classification_tpu.utils.config import Overlap3Config
