@@ -455,17 +455,20 @@ class StageEngine:
         """Full-coverage (start, end, is_overlap) list for one utterance."""
         return self.osd_segments_batch([wav], sr, threshold, win_sec, hop_sec)[0]
 
-    def osd_segments_batch(
-        self, wavs: Sequence[np.ndarray], sr: int, threshold: float,
-        win_sec: float, hop_sec: float,
-    ) -> List[List[Tuple[float, float, bool]]]:
-        """OSD over many utterances in bucketed batches -> segment lists."""
+    def launch_osd_batch(self, wavs: Sequence[np.ndarray], sr: int):
         wavs = [np.asarray(w, np.float32) for w in wavs]
         nonempty = [i for i, w in enumerate(wavs) if len(w) > 0 and sr]
-        probs_all = self._run_bucketed(
+        handle = self._launch_bucketed(
             [wavs[i] for i in nonempty],
             lambda w, l: self._osd(self.exec_params["osd"], w, l),
         )
+        return (handle, nonempty, wavs, sr)
+
+    def collect_osd_batch(
+        self, osd_handle, threshold: float, win_sec: float, hop_sec: float
+    ) -> List[List[Tuple[float, float, bool]]]:
+        handle, nonempty, wavs, sr = osd_handle
+        probs_all = self._collect_bucketed(handle)
         cfg = self.pack.preset.osd
         out: List[List[Tuple[float, float, bool]]] = [[] for _ in wavs]
         for i, probs in zip(nonempty, probs_all):
@@ -477,6 +480,15 @@ class StageEngine:
             )
             out[i] = flags_to_segments(flags, dur, win_sec, hop_sec)
         return out
+
+    def osd_segments_batch(
+        self, wavs: Sequence[np.ndarray], sr: int, threshold: float,
+        win_sec: float, hop_sec: float,
+    ) -> List[List[Tuple[float, float, bool]]]:
+        """OSD over many utterances in bucketed batches -> segment lists."""
+        return self.collect_osd_batch(
+            self.launch_osd_batch(wavs, sr), threshold, win_sec, hop_sec
+        )
 
     def separate(self, chunks: Sequence[np.ndarray], n_src: int = 3,
                  backend: str = "convtasnet") -> List[np.ndarray]:

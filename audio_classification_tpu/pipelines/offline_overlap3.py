@@ -190,7 +190,13 @@ class Overlap3Pipeline:
         wave_size = int(getattr(cfg, "wave_mixtures", 0) or 0)
         if wave_size <= 0:
             wave_size = 4 * max(int(getattr(cfg, "max_batch", 8)), 1)
-        for wave_start in range(0, limit, wave_size):
+
+        def prepare_wave(wave_start: int):
+            """Load + batch-resample a wave and launch its OSD batch.
+
+            Called one wave ahead of processing so the next wave's host I/O
+            and OSD dispatch overlap the current wave's device phases.
+            """
             wave_idx = list(range(wave_start, min(wave_start + wave_size, limit)))
             mixtures = [
                 self._load_mixture(i, file_mode, file_items, ds, refs_map)
@@ -218,15 +224,21 @@ class Overlap3Pipeline:
                 for mx in need:
                     mx["dur"] = len(mx["mix"]) / G_SAMPLE_RATE
                     mx["sr_item"] = G_SAMPLE_RATE
+            h_osd = eng.launch_osd_batch([mx["mix"] for mx in mixtures], G_SAMPLE_RATE)
+            return mixtures, h_osd
+
+        wave_starts = list(range(0, limit, wave_size))
+        prefetched = prepare_wave(wave_starts[0]) if wave_starts else None
+        for wi, wave_start in enumerate(wave_starts):
+            mixtures, h_osd = prefetched
+            if wi + 1 < len(wave_starts):
+                prefetched = prepare_wave(wave_starts[wi + 1])
             for mx in mixtures:
                 A["total_audio_sec"] += mx["dur"]
 
-            # ---- Stage: OSD over the whole wave
+            # ---- Stage: OSD over the whole wave (launched in prepare_wave)
             t_o = time.time()
-            osd_lists = eng.osd_segments_batch(
-                [mx["mix"] for mx in mixtures], G_SAMPLE_RATE,
-                cfg.osd_thr, cfg.osd_win, cfg.osd_hop,
-            )
+            osd_lists = eng.collect_osd_batch(h_osd, cfg.osd_thr, cfg.osd_win, cfg.osd_hop)
             self._time["osd"] += time.time() - t_o
 
             # ---- host: exclusivity + segment rows; target selection
