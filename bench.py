@@ -54,7 +54,7 @@ def main():
     from audio_classification_tpu.utils.config import Overlap3Config
 
     sr = 16000
-    n_mix, dur = 16, 10.0
+    n_mix, dur = 32, 10.0
     items = make_mixtures(n_mix, dur, sr)
 
     with tempfile.TemporaryDirectory() as td:
@@ -77,6 +77,7 @@ def main():
             min_overlap_dur=0.4,
             max_batch=8,
             max_segment_sec=16.0,
+            wave_mixtures=16,
             enable_metrics=False,
         )
 
