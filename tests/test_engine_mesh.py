@@ -47,6 +47,23 @@ def test_mesh_embed_and_transcribe(engines):
     assert ta == tb
 
 
+def test_mesh_fused_paths_match_single(engines):
+    single, sharded = engines
+    chunks = [_tone(5000), _tone(7000, 880)]
+    tv = single.embed([_tone(8000)])[0]
+    a = single.process_clean(chunks, [tv, tv])
+    b = sharded.process_clean(chunks, [tv, tv])
+    for (sa, ta), (sb, tb) in zip(a, b):
+        assert abs(sa - sb) < 5e-3
+        assert ta == tb
+    oa = single.process_overlap(chunks, [tv, tv])
+    ob = sharded.process_overlap(chunks, [tv, tv])
+    for ra, rb in zip(oa, ob):
+        assert ra["best"] == rb["best"]
+        assert ra["text"] == rb["text"]
+        np.testing.assert_allclose(ra["scores"], rb["scores"], atol=5e-3)
+
+
 def test_mesh_osd_segments(engines):
     single, sharded = engines
     wav = _tone(16000 * 2)
