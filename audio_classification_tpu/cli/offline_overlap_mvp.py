@@ -96,29 +96,36 @@ def main(argv=None):
     t0_all = time.time()
     processed = 0
 
-    for idx in range(limit):
-        sr_item, mix, _sources = ds[idx]
-        wav_path = str(ds.items[idx].mix_path)
-        samples = engine.resample(mix, sr_item, G_SAMPLE_RATE)
-        sr = G_SAMPLE_RATE
-        dur = len(samples) / sr
-        total_audio += dur
+    # wave-batched execution (same architecture as the flagship pipeline):
+    # per wave, each stage dispatches once over everything that needs it
+    wave_size = 4 * int(getattr(args, "max_batch", 8))
+    sr = G_SAMPLE_RATE
+    for wave_start in range(0, limit, wave_size):
+        wave_idx = list(range(wave_start, min(wave_start + wave_size, limit)))
+        raw = [ds[i] for i in wave_idx]
+        paths = [str(ds.items[i].mix_path) for i in wave_idx]
+        samples_list = engine.resample_batch([mix for _, mix, _ in raw], raw[0][0], sr) \
+            if raw and raw[0][0] != sr else [mix for _, mix, _ in raw]
 
         t_o = time.time()
-        segs = engine.osd_segments(samples, sr, args.osd_thr, args.osd_win, args.osd_hop)
+        seg_lists = engine.osd_segments_batch(samples_list, sr, args.osd_thr,
+                                              args.osd_win, args.osd_hop)
         time_osd += time.time() - t_o
-        if not segs:
-            segs = [(0.0, dur, False)]
 
-        rows: List[dict] = []
-        for s, e, is_olap in segs:
-            if e - s <= 0:
-                continue
-            chunk = samples[int(s * sr):int(e * sr)]
-            kind = "overlap" if (is_olap and (e - s) >= args.min_overlap_dur) else "clean"
-            rows.append(dict(s=s, e=e, chunk=chunk, kind=kind))
+        wave_rows: List[dict] = []
+        for wav_path, samples, segs in zip(paths, samples_list, seg_lists):
+            dur = len(samples) / sr
+            total_audio += dur
+            if not segs:
+                segs = [(0.0, dur, False)]
+            for s, e, is_olap in segs:
+                if e - s <= 0:
+                    continue
+                chunk = samples[int(s * sr):int(e * sr)]
+                kind = "overlap" if (is_olap and (e - s) >= args.min_overlap_dur) else "clean"
+                wave_rows.append(dict(wav=wav_path, s=s, e=e, chunk=chunk, kind=kind))
 
-        over = [r for r in rows if r["kind"] == "overlap"]
+        over = [r for r in wave_rows if r["kind"] == "overlap"]
         if over:
             t_s = time.time()
             outs = engine.separate([r["chunk"] for r in over], n_src=2, backend=args.sep_backend)
@@ -127,7 +134,7 @@ def main(argv=None):
                 r["branches"] = [o[0], o[1]]
 
         asr_items, owners = [], []
-        for r in rows:
+        for r in wave_rows:
             if r["kind"] == "clean":
                 asr_items.append(r["chunk"]); owners.append((r, None))
                 total_clean += r["e"] - r["s"]
@@ -146,7 +153,7 @@ def main(argv=None):
         for (r, k), text, chunk in zip(owners, texts, asr_items):
             share = asr_elapsed * len(chunk) / total_samples
             rec = {
-                "wav": wav_path,
+                "wav": r["wav"],
                 "start": round(r["s"], 3),
                 "end": round(r["e"], 3),
                 "kind": r["kind"],
@@ -155,7 +162,7 @@ def main(argv=None):
                 "asr_time": round(share, 3),
             }
             seg_jsonl.write(json.dumps(rec, ensure_ascii=False) + "\n")
-            w.writerow([wav_path, f"{r['s']:.3f}", f"{r['e']:.3f}", r["kind"],
+            w.writerow([r["wav"], f"{r['s']:.3f}", f"{r['e']:.3f}", r["kind"],
                         "" if k is None else k, text, f"{share:.3f}"])
             n_segments += 1
             if r["kind"] == "clean":
@@ -163,8 +170,8 @@ def main(argv=None):
             else:
                 n_overlap += 1
                 n_streams += 1
-        processed += 1
-        if processed % 50 == 0:
+        processed += len(wave_idx)
+        if processed % 50 < len(wave_idx):
             print(f"[overlap_mvp] Processed {processed}/{limit} mixtures")
 
     seg_jsonl.close()
