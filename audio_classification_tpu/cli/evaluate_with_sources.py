@@ -124,8 +124,8 @@ def main(argv=None):
         if sources is None or len(sources) < 2:
             continue
         mix_p = str(ds.items[idx].mix_path)
-        mix = engine.resample(mix_raw, sr_item, G_SAMPLE_RATE)
-        srcs = [engine.resample(s, sr_item, G_SAMPLE_RATE) for s in sources]
+        resampled = engine.resample_batch([mix_raw] + list(sources), sr_item, G_SAMPLE_RATE)
+        mix, srcs = resampled[0], resampled[1:]
         have_s3 = len(srcs) >= 3
         m = min(len(mix), *(len(s) for s in srcs))
         mix = mix[:m]
@@ -202,43 +202,54 @@ def main(argv=None):
                 active[i] & ~np.any(np.delete(active, i, axis=0), axis=0)
                 for i in range(k_srcs)
             ]
-            overlap_segs = masks_to_segments(gt_overlap_mask, args.osd_hop, args.osd_win, dur)
-            for s_t, e_t in overlap_segs:
-                if (e_t - s_t) < args.min_overlap_dur:
-                    continue
-                a, b = int(s_t * sr), int(e_t * sr)
-                if b <= a:
-                    continue
-                t_a = time.time()
-                chunks = [srcs[0][a:b], srcs[1][a:b], mix[a:b]]
-                ref1_txt, ref2_txt, mix_hyp = engine.transcribe(chunks, args.language)
-                if int(args.sep_nsrc) == 2 and not have_s3:
-                    pw = engine.separate([mix[a:b]], n_src=2, backend=args.sep_backend)[0]
-                    hyp1, hyp2 = engine.transcribe([pw[0], pw[1]], args.language)
-                    asr_time += time.time() - t_a
+            overlap_segs = [
+                (int(s_t * sr), int(e_t * sr))
+                for s_t, e_t in masks_to_segments(gt_overlap_mask, args.osd_hop, args.osd_win, dur)
+                if (e_t - s_t) >= args.min_overlap_dur and int(e_t * sr) > int(s_t * sr)
+            ]
+            clean_segs = [
+                (i, int(s_t * sr), int(e_t * sr))
+                for i in range(k_srcs)
+                for s_t, e_t in masks_to_segments(only[i], args.osd_hop, args.osd_win, dur)
+                if (e_t - s_t) >= 0.05 and int(e_t * sr) > int(s_t * sr)
+            ]
+            # one separate call for every GT overlap segment, then ONE
+            # transcribe batch covering all of this mixture's ASR work
+            t_a = time.time()
+            want_sep_asr = int(args.sep_nsrc) == 2 and not have_s3
+            pw_all = (
+                engine.separate([mix[a:b] for a, b in overlap_segs], n_src=2,
+                                backend=args.sep_backend)
+                if (want_sep_asr and overlap_segs) else []
+            )
+            items: List[np.ndarray] = []
+            for j, (a, b) in enumerate(overlap_segs):
+                items += [srcs[0][a:b], srcs[1][a:b], mix[a:b]]
+                if want_sep_asr:
+                    items += [pw_all[j][0], pw_all[j][1]]
+            for i, a, b in clean_segs:
+                items += [srcs[i][a:b], mix[a:b]]
+            texts = engine.transcribe(items, args.language) if items else []
+            asr_time += time.time() - t_a
+            pos = 0
+            for _ in overlap_segs:
+                ref1_txt, ref2_txt, mix_hyp = texts[pos:pos + 3]
+                pos += 3
+                if want_sep_asr:
+                    hyp1, hyp2 = texts[pos:pos + 2]
+                    pos += 2
                     cost_12 = cer(ref1_txt, hyp1) + cer(ref2_txt, hyp2)
                     cost_21 = cer(ref1_txt, hyp2) + cer(ref2_txt, hyp1)
                     hyp_pair = hyp2 + " " + hyp1 if cost_21 < cost_12 else hyp1 + " " + hyp2
-                    overlap_mix_refs.append(ref1_txt + " " + ref2_txt)
-                    overlap_mix_hyps.append(mix_hyp)
                     overlap_sep_refs.append(ref1_txt + " " + ref2_txt)
                     overlap_sep_hyps.append(hyp_pair)
-                else:
-                    asr_time += time.time() - t_a
-                    overlap_mix_refs.append(ref1_txt + " " + ref2_txt)
-                    overlap_mix_hyps.append(mix_hyp)
-            for i in range(k_srcs):
-                for s_t, e_t in masks_to_segments(only[i], args.osd_hop, args.osd_win, dur):
-                    if (e_t - s_t) < 0.05:
-                        continue
-                    a, b = int(s_t * sr), int(e_t * sr)
-                    if b <= a:
-                        continue
-                    t_a = time.time()
-                    ref_txt, mix_txt = engine.transcribe([srcs[i][a:b], mix[a:b]], args.language)
-                    asr_time += time.time() - t_a
-                    clean_refs.append(ref_txt)
-                    clean_hyps.append(mix_txt)
+                overlap_mix_refs.append(ref1_txt + " " + ref2_txt)
+                overlap_mix_hyps.append(mix_hyp)
+            for _ in clean_segs:
+                ref_txt, mix_txt = texts[pos:pos + 2]
+                pos += 2
+                clean_refs.append(ref_txt)
+                clean_hyps.append(mix_txt)
 
         if (idx + 1) % 20 == 0:
             _log(f"Processed {idx+1}/{limit}")
