@@ -21,52 +21,74 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _local_attn_block(q, k, v, scale):
-    """q [B,Ts,H,D] x k,v [B,Tb,H,D] -> (scores-max, exp-sums, weighted v)."""
+def _local_attn_block(q, k, v, scale, kv_mask=None):
+    """q [B,Ts,H,D] x k,v [B,Tb,H,D] -> (scores-max, exp-sums, weighted v).
+
+    kv_mask [B,Tb] (True = valid key) masks padded positions of this block.
+    """
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, -1e30)
     m = jnp.max(logits, axis=-1)  # [B,H,Ts]
     p = jnp.exp(logits - m[..., None])
+    if kv_mask is not None:
+        p = p * kv_mask[:, None, None, :].astype(p.dtype)
     l = jnp.sum(p, axis=-1)  # [B,H,Ts]
     o = jnp.einsum("bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32)
     return m, l, o
 
 
-def _ring_body(q, k, v, axis_name: str):
+def _ring_body(q, k, v, kv_mask, axis_name: str):
     scale = 1.0 / np.sqrt(q.shape[-1])
     n_dev = jax.lax.psum(1, axis_name)
 
-    m0, l0, o0 = _local_attn_block(q, k, v, scale)
+    m0, l0, o0 = _local_attn_block(q, k, v, scale, kv_mask)
 
     def step(i, carry):
-        m, l, o, k_cur, v_cur = carry
+        m, l, o, k_cur, v_cur, mask_cur = carry
         perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
         k_new = jax.lax.ppermute(k_cur, axis_name, perm)
         v_new = jax.lax.ppermute(v_cur, axis_name, perm)
-        m_b, l_b, o_b = _local_attn_block(q, k_new, v_new, scale)
+        mask_new = (jax.lax.ppermute(mask_cur, axis_name, perm)
+                    if mask_cur is not None else None)
+        m_b, l_b, o_b = _local_attn_block(q, k_new, v_new, scale, mask_new)
         m_new = jnp.maximum(m, m_b)
         c_old = jnp.exp(m - m_new)
         c_new = jnp.exp(m_b - m_new)
         l_new = l * c_old + l_b * c_new
         o_new = o * c_old.transpose(0, 2, 1)[..., None] + o_b * c_new.transpose(0, 2, 1)[..., None]
-        return m_new, l_new, o_new, k_new, v_new
+        return m_new, l_new, o_new, k_new, v_new, mask_new
 
-    m, l, o, _, _ = jax.lax.fori_loop(1, n_dev, lambda i, c: step(i, c), (m0, l0, o0, k, v))
-    return o / l.transpose(0, 2, 1)[..., None]
+    m, l, o, _, _, _ = jax.lax.fori_loop(
+        1, n_dev, lambda i, c: step(i, c), (m0, l0, o0, k, v, kv_mask))
+    return o / jnp.maximum(l.transpose(0, 2, 1)[..., None], 1e-30)
 
 
 def ring_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh: Mesh, axis: str = "data"
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh: Mesh, axis: str = "data",
+    kv_mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Full-softmax attention with the sequence axis sharded over ``axis``.
 
-    q, k, v: [B, T, H, D]; T must divide by mesh.shape[axis]. Returns
-    [B, T, H, D] with the same sharding.
+    q, k, v: [B, T, H, D]; T must divide by mesh.shape[axis]. Optional
+    kv_mask [B, T] (True = valid key) masks padded positions — the mask
+    blocks rotate around the ring alongside K/V. Returns [B, T, H, D] with
+    the same sharding.
     """
     from jax.experimental.shard_map import shard_map
 
     spec = P(None, axis, None, None)
+    mask_spec = P(None, axis)
+    if kv_mask is not None:
+        fn = shard_map(
+            partial(_ring_body, axis_name=axis),
+            mesh=mesh,
+            in_specs=(spec, spec, spec, mask_spec),
+            out_specs=spec,
+        )
+        return fn(q, k, v, kv_mask)
     fn = shard_map(
-        partial(_ring_body, axis_name=axis),
+        lambda q_, k_, v_: _ring_body(q_, k_, v_, None, axis_name=axis),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
@@ -74,9 +96,12 @@ def ring_attention(
     return fn(q, k, v)
 
 
-def reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        kv_mask: jnp.ndarray = None) -> jnp.ndarray:
     """Single-device oracle for tests."""
     scale = 1.0 / np.sqrt(q.shape[-1])
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, -1e30)
     w = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bkhd->bqhd", w, v)

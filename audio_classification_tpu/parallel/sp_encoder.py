@@ -9,10 +9,8 @@ This is the capability SURVEY.md §5.7 calls out as NEW relative to the
 reference (which only ever time-segments long audio): when one segment's
 O(T^2) attention exceeds a chip, shard T instead of splitting the segment.
 
-Limitations (round 1): full bidirectional attention without frame masking —
-callers pad to the sharded length with silence, which the fbank frontend
-maps to near-floor features; mask-aware ring attention is the planned
-upgrade.
+The underlying primitive supports a kv_mask whose blocks rotate the ring
+with K/V (parallel/ring_attention), so padded frames are excluded exactly.
 """
 from __future__ import annotations
 
