@@ -179,6 +179,11 @@ class StreamingApplication:
         self.pipeline.drain()
         for rec in self.pipeline.get_results():
             self.all_results.append(rec)
+        stats = self.pipeline.latency_stats()
+        if stats:
+            print(f"chunk latency: mean {stats['latency_mean_sec']}s "
+                  f"p95 {stats['latency_p95_sec']}s over {stats['chunks']} chunks "
+                  f"(chunk duration {self.args.process_seconds}s)")
         self.pipeline.close()
         self._save_results()
 

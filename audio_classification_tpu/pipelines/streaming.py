@@ -46,6 +46,7 @@ class StreamingOverlap3Pipeline:
         self.args = args
         self.engine = engine or build_engine(args)
         self.audio_buffer: List[np.ndarray] = []
+        self.chunk_latencies: List[float] = []   # per-chunk processing wall time
         self.results_queue: "queue.Queue[Dict[str, Any]]" = queue.Queue()
         self._work: "queue.Queue[Optional[StreamingSegment]]" = queue.Queue(maxsize=8)
         self._worker = threading.Thread(target=self._worker_loop, daemon=True, name="overlap3-worker")
@@ -122,7 +123,9 @@ class StreamingOverlap3Pipeline:
             if seg is None or self._stopped:
                 return
             try:
+                t0 = time.time()
                 self._analyze_segment(seg)
+                self.chunk_latencies.append(time.time() - t0)
             except Exception as e:  # keep the worker alive on bad chunks
                 print(f"Segment analysis error: {e}")
 
@@ -218,6 +221,22 @@ class StreamingOverlap3Pipeline:
                 "sv_score": rec["sv_score"],
                 "target_src_text": self.target_src_text,
             })
+
+    def latency_stats(self) -> Dict[str, float]:
+        """Per-chunk processing latency summary (seconds).
+
+        Chunk latency vs chunk duration is the streaming real-time margin;
+        the reference has no equivalent observability (SURVEY.md §5.1).
+        """
+        if not self.chunk_latencies:
+            return {}
+        arr = np.asarray(self.chunk_latencies)
+        return {
+            "chunks": int(arr.size),
+            "latency_mean_sec": round(float(arr.mean()), 4),
+            "latency_p95_sec": round(float(np.percentile(arr, 95)), 4),
+            "latency_max_sec": round(float(arr.max()), 4),
+        }
 
     # ------------------------------------------------------------- output
     def get_results(self) -> List[Dict[str, Any]]:
