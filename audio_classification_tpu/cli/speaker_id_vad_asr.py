@@ -155,27 +155,29 @@ def main(argv=None):
 
     total = correct = unknown_cnt = 0
     rows: List[Tuple[str, str, str, str, float]] = []
-    for spk_true, wavs in test_map.items():
-        for wav in wavs:
-            samples, sr, _ = load_audio(wav)
-            embedding = extractor.compute(samples, sr)
-            emb_n = _l2(np.asarray(embedding, dtype=np.float32))
-            pred = manager.search(embedding, threshold=args.threshold) or "unknown"
-            text = recognizer.transcribe(samples, sr)
-            if enrolled_norm:
-                names = list(enrolled_norm.keys())
-                mat = np.stack([enrolled_norm[n] for n in names])
-                scores = mat @ emb_n
-                top1 = float(scores[int(np.argmax(scores))])
-            else:
-                top1 = float("nan")
-            total += 1
-            if pred == spk_true:
-                correct += 1
-            elif pred == "unknown":
-                unknown_cnt += 1
-            print(f"{total}: true={spk_true} pred={pred} text={text} file={Path(wav).name}")
-            rows.append((str(wav), spk_true, pred, text, top1))
+    flat = [(spk, wav) for spk, wavs in test_map.items() for wav in wavs]
+    # batch the whole test list through the device: one embedding batch +
+    # one transcribe batch (the per-utterance prints/rows are unchanged)
+    loaded = [load_audio(wav) for _, wav in flat]
+    embs = extractor.compute_batch([s for s, _, _ in loaded], 16000)
+    texts = recognizer.transcribe_batch([s for s, _, _ in loaded], 16000)
+    for (spk_true, wav), embedding, text in zip(flat, embs, texts):
+        emb_n = _l2(np.asarray(embedding, dtype=np.float32))
+        pred = manager.search(embedding, threshold=args.threshold) or "unknown"
+        if enrolled_norm:
+            names = list(enrolled_norm.keys())
+            mat = np.stack([enrolled_norm[n] for n in names])
+            scores = mat @ emb_n
+            top1 = float(scores[int(np.argmax(scores))])
+        else:
+            top1 = float("nan")
+        total += 1
+        if pred == spk_true:
+            correct += 1
+        elif pred == "unknown":
+            unknown_cnt += 1
+        print(f"{total}: true={spk_true} pred={pred} text={text} file={Path(wav).name}")
+        rows.append((str(wav), spk_true, pred, text, top1))
 
     acc = correct / total if total else 0.0
     print(f"Eval done. Accuracy: {acc:.4f} ({correct}/{total}), unknown: {unknown_cnt}")
