@@ -46,6 +46,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--batch-mode", action="store_true",
+                   help="Batch the whole test list through the device (per-"
+                        "utterance times become apportioned batch shares)")
     return p.parse_args(argv)
 
 
@@ -70,8 +73,11 @@ def main(argv=None):
 
     runner = BenchmarkRunner(args, models)
     runner.set_total_items(len(flat))
-    for spk_true, wav in flat:
-        runner.process_one(spk_true, wav, refs)
+    if args.batch_mode:
+        runner.process_batch(flat, refs)
+    else:
+        for spk_true, wav in flat:
+            runner.process_one(spk_true, wav, refs)
 
     asr_type = ("paraformer" if args.paraformer else
                 "sense_voice" if args.sense_voice else

@@ -174,6 +174,45 @@ class BenchmarkRunner:
         asr_time = asr_end - sid_end
         total_time = asr_end - t0
         rtf = asr_time / dur if dur > 0 else 0.0
+        self._record(spk_true, wav, refs, dur, pred, score, text,
+                     sid_time, asr_time, total_time, rtf, cpu_before, cpu_after)
+
+    def process_batch(self, flat, refs: Dict[str, str]):
+        """Batched variant (--batch-mode): one embedding batch + one ASR
+        batch for the whole test list; per-utterance times are the batch
+        wall-clock apportioned by audio share (deviation from the
+        reference's serial per-utterance timing, outputs otherwise equal).
+        """
+        loaded = [load_audio(w) for _, w in flat]
+        cpu_before = self._cpu()
+        t_sid0 = time.time()
+        embs = self.models.extractor.compute_batch([s for s, _, _ in loaded], 16000)
+        sid_elapsed = time.time() - t_sid0
+        t_asr0 = time.time()
+        texts = self.models.asr.transcribe_batch([s for s, _, _ in loaded], 16000)
+        asr_elapsed = time.time() - t_asr0
+        cpu_after = self._cpu()
+        total_dur = sum(d for _, _, d in loaded) or 1.0
+        from ..ops.signal import l2norm
+
+        for (spk_true, wav), (samples, sr, dur), emb, text in zip(flat, loaded, embs, texts):
+            pred = self.models.manager.search(emb, threshold=self.args.threshold) or "unknown"
+            if self.models.enrolled_norm:
+                names = list(self.models.enrolled_norm.keys())
+                mat = np.stack([self.models.enrolled_norm[n] for n in names])
+                score = float((mat @ np.asarray(l2norm(emb))).max())
+            else:
+                score = float("nan")
+            share = dur / total_dur
+            sid_time = sid_elapsed * share
+            asr_time = asr_elapsed * share
+            rtf = asr_time / dur if dur > 0 else 0.0
+            self._record(spk_true, wav, refs, dur, pred, score, text,
+                         sid_time, asr_time, sid_time + asr_time, rtf,
+                         cpu_before, cpu_after)
+
+    def _record(self, spk_true, wav, refs, dur, pred, score, text,
+                sid_time, asr_time, total_time, rtf, cpu_before, cpu_after):
         self.total += 1
         if pred == spk_true:
             self.correct += 1

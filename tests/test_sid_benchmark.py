@@ -66,6 +66,29 @@ def test_load_refs_core_id_broadcast(tmp_path):
     assert refs == {w: "你好世界" for w in wavs}
 
 
+def test_benchmark_batch_mode(bench_fixtures, tmp_path):
+    from audio_classification_tpu.cli.benchmark_pipeline import main
+    import audio_classification_tpu.models.facades as facades
+
+    facades._DEFAULT_ENGINE = None
+    out = tmp_path / "bm"
+    main([
+        "--speaker-file", str(bench_fixtures / "speakers.txt"),
+        "--test-list", str(bench_fixtures / "test.txt"),
+        "--ref-text-list", str(bench_fixtures / "refs.tsv"),
+        "--threshold", "-1",
+        "--preset", "tiny",
+        "--out-dir", str(out),
+        "--batch-mode",
+    ])
+    d = list(out.iterdir())[0]
+    summary = json.loads((d / "summary.json").read_text())
+    assert summary["total_utts"] == 2
+    assert summary["avg_rtf"] >= 0
+    rows = (d / "predictions.csv").read_text().splitlines()
+    assert len(rows) == 3
+
+
 def test_benchmark_cli_end_to_end(bench_fixtures, tmp_path):
     from audio_classification_tpu.cli.benchmark_pipeline import main
     import audio_classification_tpu.models.facades as facades
