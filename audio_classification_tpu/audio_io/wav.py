@@ -171,6 +171,10 @@ def read_wav(path: str | os.PathLike, always_2d: bool = False) -> Tuple[np.ndarr
         rc = lib.wav_read_info(path.encode(), ctypes.byref(sr), ctypes.byref(ch), ctypes.byref(nf))
         if rc == 0:
             n = nf.value * ch.value
+            # Belt over the native header clamp: never allocate more samples
+            # than the file could physically hold (>=1 byte per sample), so a
+            # corrupt frame count can't trigger a multi-GB np.empty.
+            n = min(n, os.path.getsize(path))
             buf = np.empty(n, dtype=np.float32)
             got = lib.wav_read_f32(path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
             if got >= 0:

@@ -177,6 +177,10 @@ class StreamingApplication:
             t.join(timeout=10)
         self.pipeline.flush_buffer()
         self.pipeline.drain()
+        # close() joins the worker, so the in-flight chunk's results are all
+        # enqueued before the final harvest (drain() only waits for the work
+        # queue to empty, not for the last _analyze_segment to finish).
+        self.pipeline.close()
         for rec in self.pipeline.get_results():
             self.all_results.append(rec)
         stats = self.pipeline.latency_stats()
@@ -184,7 +188,6 @@ class StreamingApplication:
             print(f"chunk latency: mean {stats['latency_mean_sec']}s "
                   f"p95 {stats['latency_p95_sec']}s over {stats['chunks']} chunks "
                   f"(chunk duration {self.args.process_seconds}s)")
-        self.pipeline.close()
         self._save_results()
 
     def run_until_done(self):

@@ -9,6 +9,7 @@ O(#buckets x log2(max_batch)) and every program is reused across the run.
 """
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, field
 from typing import List, Sequence, Tuple
 
@@ -36,7 +37,21 @@ class BucketSpec:
         for b in self.lengths:
             if n <= b:
                 return b
-        return self.lengths[-1]
+        # Longer than the configured cap: keep doubling geometrically so the
+        # item is processed at full length (the reference runs every segment
+        # at native length — overlap3_core.py:604-840). This costs one extra
+        # compiled program per rare oversized bucket instead of silently
+        # truncating the tail of the audio.
+        b = self.lengths[-1]
+        while b < n:
+            b *= 2
+        warnings.warn(
+            f"input of {n} samples exceeds the largest configured bucket "
+            f"({self.lengths[-1]}); extending to an ad-hoc {b}-sample bucket "
+            "(one-time XLA compile for this shape)",
+            stacklevel=2,
+        )
+        return b
 
     def batch_size_for(self, n_items: int) -> int:
         b = self.batch_multiple
@@ -50,14 +65,21 @@ def pad_batch(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Stack 1-D arrays into [batch_size, bucket_len] + lengths [batch_size].
 
-    Items longer than the bucket are truncated (callers pick the bucket from
-    the max length, so that only happens at the global cap).
+    Items must fit the bucket: callers pick the bucket via
+    ``BucketSpec.bucket_for`` on the item lengths, which never returns a
+    bucket smaller than the item, so an overflow here is a caller bug —
+    raise rather than silently truncate audio.
     """
     assert len(items) <= batch_size
     wav = np.zeros((batch_size, bucket_len), dtype=np.float32)
     lengths = np.zeros((batch_size,), dtype=np.int32)
     for i, x in enumerate(items):
-        n = min(x.shape[-1], bucket_len)
+        n = x.shape[-1]
+        if n > bucket_len:
+            raise ValueError(
+                f"item {i} has {n} samples > bucket {bucket_len}; pick the "
+                "bucket with BucketSpec.bucket_for to avoid truncating audio"
+            )
         wav[i, :n] = x[..., :n]
         lengths[i] = n
     return wav, lengths

@@ -9,6 +9,7 @@
 // Supported: PCM 8/16/24/32-bit and IEEE float32/float64, any channel count.
 // Build: make -C audio_classification_tpu/native
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -33,6 +34,13 @@ bool read_exact(FILE* f, void* buf, size_t n) { return fread(buf, 1, n, f) == n;
 
 // Walk RIFF chunks; fill fmt + data locations.
 bool parse_header(FILE* f, WavInfo* info) {
+  // Real file size: the declared data-chunk size must be clamped to it, or a
+  // corrupt/streaming header (csize = 0xFFFFFFFF) would make callers allocate
+  // gigabytes for a tiny file.
+  if (fseek(f, 0, SEEK_END) != 0) return false;
+  long long file_size = ftell(f);
+  if (file_size < 0 || fseek(f, 0, SEEK_SET) != 0) return false;
+
   char magic[4];
   uint32_t riff_size;
   if (!read_exact(f, magic, 4) || memcmp(magic, "RIFF", 4) != 0) return false;
@@ -68,7 +76,9 @@ bool parse_header(FILE* f, WavInfo* info) {
       have_fmt = true;
     } else if (memcmp(cid, "data", 4) == 0) {
       info->data_offset = body;
-      info->data_size = csize;
+      long long avail = file_size - body;
+      if (avail < 0) avail = 0;
+      info->data_size = (long long)csize < avail ? (long long)csize : avail;
       have_data = true;
     }
     if (fseek(f, body + (long)csize + (csize & 1), SEEK_SET) != 0) break;
@@ -181,8 +191,9 @@ int wav_write_pcm16(const char* path, const float* samples, long long n,
     float v = samples[i];
     if (v > 1.0f) v = 1.0f;
     if (v < -1.0f) v = -1.0f;
-    float scaled = v * 32767.0f;
-    pcm[(size_t)i] = (int16_t)(scaled >= 0 ? scaled + 0.5f : scaled - 0.5f);
+    // Round-half-to-even, matching the numpy fallback's np.rint so both
+    // write paths produce byte-identical files.
+    pcm[(size_t)i] = (int16_t)nearbyintf(v * 32767.0f);
   }
   size_t wrote = fwrite(pcm.data(), 2, (size_t)n, f);
   fclose(f);

@@ -26,7 +26,10 @@ def load_model_pack(pack, ckpt_dir: str) -> None:
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path, target)
     for k, v in restored.items():
-        pack.params[k] = v
+        # load_params bumps pack.version, which invalidates any StageEngine's
+        # bfloat16 cast-params cache (engine keys exec_params on the version;
+        # a raw dict write would keep serving stale casted weights).
+        pack.load_params(k, v)
 
 
 def save_params(params: Any, path: str) -> None:

@@ -17,10 +17,19 @@ def test_bucket_spec():
     assert spec.bucket_for(100) == 8000
     assert spec.bucket_for(8000) == 8000
     assert spec.bucket_for(8001) == 16000
-    assert spec.bucket_for(99999) == 32000
     assert spec.batch_size_for(1) == 1
     assert spec.batch_size_for(3) == 4
     assert spec.batch_size_for(100) == 8
+
+
+def test_bucket_extends_past_cap_instead_of_truncating():
+    # Items longer than the configured cap get an ad-hoc doubled bucket (with
+    # a warning) so no audio is ever silently truncated (ADVICE round 1).
+    spec = BucketSpec(lengths=(8000, 16000, 32000), max_batch=8)
+    with pytest.warns(UserWarning, match="exceeds the largest configured bucket"):
+        assert spec.bucket_for(99999) == 128000
+    with pytest.warns(UserWarning):
+        assert spec.bucket_for(32001) == 64000
 
 
 def test_pad_batch():
@@ -28,6 +37,23 @@ def test_pad_batch():
     assert wav.shape == (4, 8)
     assert list(lengths) == [5, 3, 0, 0]
     assert wav[0, :5].sum() == 5 and wav[0, 5:].sum() == 0
+
+
+def test_pad_batch_rejects_overflow():
+    with pytest.raises(ValueError, match="bucket"):
+        pad_batch([np.ones(9, np.float32)], 8, 1)
+
+
+def test_overlong_item_processed_at_full_length():
+    # End-to-end: an item longer than every configured bucket still comes
+    # back at its native length from a stage call (separate slices to the
+    # true chunk length, which only works if nothing truncated).
+    pack = ModelPack(tiny_preset(), seed=0)
+    eng = StageEngine(pack, BucketSpec(lengths=(4000, 8000), max_batch=2))
+    chunk = _tone(9000)
+    with pytest.warns(UserWarning):
+        out = eng.separate([chunk], n_src=3)
+    assert out[0].shape == (3, 9000)
 
 
 def test_group_by_bucket():

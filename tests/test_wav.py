@@ -102,3 +102,43 @@ def test_bad_file_raises(tmp_path):
     p.write_bytes(b"not a wav at all")
     with pytest.raises(ValueError):
         read_wav(p)
+
+
+def test_corrupt_giant_data_size_is_clamped(tmp_path):
+    # A streaming-style header declaring csize=0xFFFFFFFF must not trigger a
+    # multi-GB allocation; decode is bounded by the actual file size.
+    import struct
+
+    x = _sine(dur=0.01)
+    pcm = np.rint(np.clip(x, -1, 1) * 32767.0).astype("<i2").tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE" + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+    )
+    p = tmp_path / "giant.wav"
+    p.write_bytes(hdr + pcm)
+    y, sr = read_wav(p)
+    assert sr == 16000
+    assert y.shape[0] == x.shape[0]
+    assert np.max(np.abs(y - x)) < 1.0 / 32000
+
+
+def test_pcm16_write_paths_byte_identical(tmp_path, monkeypatch):
+    # Native and numpy pcm16 writers must round identically (half-to-even) so
+    # the same float input yields byte-identical files either way.
+    rng = np.random.default_rng(7)
+    # include exact .5-LSB cases where the rounding rules differ
+    x = np.concatenate([
+        rng.uniform(-1, 1, 1000).astype(np.float32),
+        np.array([0.5 / 32767, -0.5 / 32767, 1.5 / 32767, -1.5 / 32767], np.float32),
+    ])
+    p_nat = tmp_path / "nat.wav"
+    p_np = tmp_path / "np.wav"
+    if wav_mod._native_lib() is None:
+        pytest.skip("native wavcodec not built")
+    write_wav(p_nat, x, 16000, encoding="pcm16")
+    monkeypatch.setattr(wav_mod, "_NATIVE_LIB", None)
+    monkeypatch.setattr(wav_mod, "_NATIVE_TRIED", True)
+    write_wav(p_np, x, 16000, encoding="pcm16")
+    assert p_nat.read_bytes() == p_np.read_bytes()
