@@ -16,6 +16,7 @@ come back.
 from __future__ import annotations
 
 import dataclasses
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -150,6 +151,58 @@ class ModelPack:
     def load_params(self, name: str, params: Any) -> None:
         self.params[name] = params
         self.version = getattr(self, "version", 0) + 1
+
+
+class _AotProgram:
+    """Explicit AOT compile cache around one jitted stage function.
+
+    Owning the compiled executables (instead of relying on jax.jit's opaque
+    internal cache) gives per-program observability: compile wall time, the
+    XLA FLOP/bytes estimate (``compiled.cost_analysis()``), and invocation
+    counts — the inputs to bench.py's MFU and compile-vs-execute reporting
+    (the reference has wall-clock timing only, overlap3_core.py:371-373).
+
+    Static arguments MUST be passed as keywords; they are baked into the
+    executable at lowering time. With ``param_leading`` the first positional
+    arg (the params pytree) is excluded from the cache key — its shapes are
+    fixed per engine, and hashing hundreds of leaf shapes per dispatch would
+    tax the single-core host.
+    """
+
+    def __init__(self, name: str, fn, registry: Dict, static_argnames=(),
+                 param_leading: bool = True):
+        self.name = name
+        self._jit = jax.jit(fn, static_argnames=tuple(static_argnames))
+        self._registry = registry
+        self._param_leading = param_leading
+
+    def __call__(self, *args, **statics):
+        dyn = args[1:] if self._param_leading else args
+        key = (
+            self.name,
+            tuple((tuple(a.shape), str(a.dtype)) for a in dyn),
+            tuple(sorted(statics.items())),
+        )
+        ent = self._registry.get(key)
+        if ent is None:
+            t0 = time.perf_counter()
+            compiled = self._jit.lower(*args, **statics).compile()
+            dt = time.perf_counter() - t0
+            flops = bytes_acc = 0.0
+            try:
+                cost = compiled.cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0] if cost else {}
+                flops = float(cost.get("flops", 0.0) or 0.0)
+                bytes_acc = float(cost.get("bytes accessed", 0.0) or 0.0)
+            except Exception:
+                pass
+            ent = {"name": self.name, "key": key, "exe": compiled,
+                   "compile_s": dt, "flops": flops, "bytes": bytes_acc,
+                   "calls": 0}
+            self._registry[key] = ent
+        ent["calls"] += 1
+        return ent["exe"](*args)
 
 
 class StageEngine:
@@ -303,8 +356,19 @@ class StageEngine:
                 out = out + (est,)
             return out
 
+        def _kw_to_pos(fn, names):
+            """pjit with in_shardings rejects kwargs; reorder the call sites'
+            static keywords into positional args for the mesh path."""
+            def call(*args, **kw):
+                return fn(*args, *[kw[n] for n in names])
+            return call
+
+        self._programs: Dict[Any, Dict[str, Any]] = {}  # AOT cache + stats
         if self.mesh is not None:
-            # params replicated, batch dims sharded over the "data" axis
+            # params replicated, batch dims sharded over the "data" axis.
+            # (Plain jit here: AOT-compiled executables are strict about
+            # input shardings; the observability path targets the
+            # single-chip serving engine.)
             shard = dict(in_shardings=(self._rep, self._dsh, self._dsh),
                          out_shardings=self._dsh)
             self._osd = jax.jit(osd_fn, **shard)
@@ -312,33 +376,44 @@ class StageEngine:
             self._sep2 = jax.jit(partial(sep_fn, p.sep2_model), **shard)
             self._moss = jax.jit(partial(sep_fn, p.moss_model), **shard)
             self._spk = jax.jit(spk_fn, **shard)
-            self._asr = jax.jit(asr_fn, static_argnames=("language_id", "use_itn"),
-                                in_shardings=(self._rep, self._dsh, self._dsh),
-                                out_shardings=(self._dsh, self._dsh))
+            self._asr = _kw_to_pos(
+                jax.jit(asr_fn, static_argnames=("language_id", "use_itn"),
+                        in_shardings=(self._rep, self._dsh, self._dsh),
+                        out_shardings=(self._dsh, self._dsh)),
+                ("language_id", "use_itn"))
             self._vad = jax.jit(vad_fn, **shard)
-            self._clean_path = jax.jit(
-                clean_path_fn, static_argnames=("language_id", "use_itn"),
-                in_shardings=(self._rep, self._dsh, self._dsh, self._dsh),
-            )
-            self._overlap_path = jax.jit(
-                overlap_path_fn,
-                static_argnames=("language_id", "use_itn", "return_branches", "backend"),
-                in_shardings=(self._rep, self._dsh, self._dsh, self._dsh),
-            )
+            self._clean_path = _kw_to_pos(
+                jax.jit(clean_path_fn, static_argnames=("language_id", "use_itn"),
+                        in_shardings=(self._rep, self._dsh, self._dsh, self._dsh)),
+                ("language_id", "use_itn"))
+            self._overlap_path = _kw_to_pos(
+                jax.jit(overlap_path_fn,
+                        static_argnames=("language_id", "use_itn", "return_branches", "backend"),
+                        in_shardings=(self._rep, self._dsh, self._dsh, self._dsh)),
+                ("language_id", "use_itn", "return_branches", "backend"))
+            self._resample = jax.jit(resample_poly, static_argnames=("orig_sr", "new_sr"))
         else:
-            self._osd = jax.jit(osd_fn)
-            self._sep3 = jax.jit(partial(sep_fn, p.sep3_model))
-            self._sep2 = jax.jit(partial(sep_fn, p.sep2_model))
-            self._moss = jax.jit(partial(sep_fn, p.moss_model))
-            self._spk = jax.jit(spk_fn)
-            self._asr = jax.jit(asr_fn, static_argnames=("language_id", "use_itn"))
-            self._vad = jax.jit(vad_fn)
-            self._clean_path = jax.jit(clean_path_fn, static_argnames=("language_id", "use_itn"))
-            self._overlap_path = jax.jit(
-                overlap_path_fn,
+            reg = self._programs
+
+            def AOT(name, fn, static_argnames=(), param_leading=True):
+                return _AotProgram(name, fn, reg, static_argnames, param_leading)
+
+            self._osd = AOT("osd", osd_fn)
+            self._sep3 = AOT("sep3", partial(sep_fn, p.sep3_model))
+            self._sep2 = AOT("sep2", partial(sep_fn, p.sep2_model))
+            self._moss = AOT("mossformer", partial(sep_fn, p.moss_model))
+            self._spk = AOT("spk", spk_fn)
+            self._asr = AOT("asr", asr_fn, static_argnames=("language_id", "use_itn"))
+            self._vad = AOT("vad", vad_fn)
+            self._clean_path = AOT("clean_path", clean_path_fn,
+                                   static_argnames=("language_id", "use_itn"))
+            self._overlap_path = AOT(
+                "overlap_path", overlap_path_fn,
                 static_argnames=("language_id", "use_itn", "return_branches", "backend"),
             )
-        self._resample = jax.jit(resample_poly, static_argnums=(1, 2))
+            self._resample = AOT("resample", resample_poly,
+                                 static_argnames=("orig_sr", "new_sr"),
+                                 param_leading=False)
 
     # ------------------------------------------------------------- helpers
     @property
@@ -357,6 +432,30 @@ class StageEngine:
             )
             self._cast_version = version
         return self._cast_cache
+
+    # ------------------------------------------------- program observability
+    def program_stats(self) -> List[Dict[str, Any]]:
+        """Per compiled program: stage name, compile seconds, XLA FLOP and
+        bytes-accessed estimates, and invocation count. Empty in mesh mode
+        (plain jit there)."""
+        return [
+            {k: v for k, v in ent.items() if k not in ("exe", "key")}
+            | {"shapes": str(ent["key"][1]), "static": str(ent["key"][2])}
+            for ent in self._programs.values()
+        ]
+
+    def executed_flops(self) -> float:
+        """Cumulative XLA-estimated FLOPs executed (Σ program_flops × calls).
+
+        Take a snapshot before and after a measured window to get the
+        window's FLOPs for MFU = flops / (elapsed × chip peak)."""
+        return float(sum(e["flops"] * e["calls"] for e in self._programs.values()))
+
+    def compile_summary(self) -> Dict[str, float]:
+        return {
+            "n_programs": len(self._programs),
+            "compile_total_s": round(sum(e["compile_s"] for e in self._programs.values()), 3),
+        }
 
     @staticmethod
     def _quantize_i16(wav: np.ndarray) -> np.ndarray:
@@ -412,7 +511,8 @@ class StageEngine:
     def resample(self, wav: np.ndarray, orig_sr: int, new_sr: int = G_SAMPLE_RATE) -> np.ndarray:
         if orig_sr == new_sr or wav.size <= 1:
             return np.asarray(wav, dtype=np.float32)
-        return np.asarray(self._resample(jnp.asarray(wav, dtype=jnp.float32), orig_sr, new_sr))
+        return np.asarray(self._resample(jnp.asarray(wav, dtype=jnp.float32),
+                                         orig_sr=orig_sr, new_sr=new_sr))
 
     def resample_batch(self, wavs: Sequence[np.ndarray], orig_sr: int,
                        new_sr: int = G_SAMPLE_RATE) -> List[np.ndarray]:
@@ -435,7 +535,8 @@ class StageEngine:
                 chunk_idx = orig_idx[off : off + self.buckets.max_batch]
                 bs = self.buckets.batch_size_for(len(chunk_idx))
                 wav, _lengths = pad_batch([items[i] for i in chunk_idx], bucket_len, bs)
-                pending.append((chunk_idx, self._resample(jnp.asarray(wav), orig_sr, new_sr)))
+                pending.append((chunk_idx, self._resample(
+                    jnp.asarray(wav), orig_sr=orig_sr, new_sr=new_sr)))
         import math
 
         g = math.gcd(orig_sr, new_sr)
@@ -514,7 +615,8 @@ class StageEngine:
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
         return self._launch_bucketed(
             list(chunks),
-            lambda w, l: self._asr(self.exec_params["asr"], w, l, lang_id, use_itn),
+            lambda w, l: self._asr(self.exec_params["asr"], w, l,
+                                   language_id=lang_id, use_itn=use_itn),
         )
 
     def collect_transcribe(self, handle) -> List[str]:
@@ -547,7 +649,8 @@ class StageEngine:
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
         return self._launch_bucketed(
             list(chunks),
-            lambda w, l, tv: self._clean_path(self.exec_params, w, l, tv, lang_id, use_itn),
+            lambda w, l, tv: self._clean_path(self.exec_params, w, l, tv,
+                                              language_id=lang_id, use_itn=use_itn),
             extras=[np.asarray(v, np.float32) for v in target_vecs],
         )
 
@@ -581,8 +684,8 @@ class StageEngine:
         return self._launch_bucketed(
             list(chunks),
             lambda w, l, tv: self._overlap_path(
-                self.exec_params, w, l, tv, lang_id, use_itn, return_branches,
-                backend,
+                self.exec_params, w, l, tv, language_id=lang_id, use_itn=use_itn,
+                return_branches=return_branches, backend=backend,
             ),
             extras=[np.asarray(v, np.float32) for v in target_vecs],
         )
