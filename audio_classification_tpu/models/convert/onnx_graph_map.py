@@ -1,0 +1,348 @@
+"""Graph-aware ONNX -> flax parameter-tree mapping.
+
+The reference runs its speaker embedder / SenseVoice ASR / silero VAD as
+ONNX graphs under onnxruntime (reference: src/model.py:79-124,
+install.sh:52-61, speaker-identification-...py:510-520). This module turns
+a parsed ONNX graph (onnx_import.load_onnx_graph) into the matching JAX
+module's parameter tree so those checkpoints load into the engine:
+
+- weights are assigned by STRUCTURAL POSITION: ops of each kind (Conv,
+  Gemm/MatMul, BatchNormalization, LayerNormalization, Gather) are consumed
+  in graph/topological order, which for these feed-forward nets is the
+  execution order — robust to stripped/renamed tensor names;
+- every assignment validates the tensor shape against the module config, so
+  a topology mismatch fails loudly instead of loading garbage;
+- int8-quantized graphs resolve through DequantizeLinear (per-tensor or
+  per-axis scale/zero-point), plus Identity/Transpose/Reshape chains.
+
+Layout conversions:
+  ONNX Conv2d W [O, I/g, kh, kw] -> flax nn.Conv kernel [kh, kw, I/g, O]
+  ONNX Conv1d W [O, I/g, k]      -> Conv1d kernel [k, I/g, O]
+  ONNX Gemm  W [out, in] (transB=1) or [in, out] -> Dense kernel [in, out]
+  BatchNormalization (scale, B, mean, var) -> params{scale,bias} +
+      batch_stats{mean,var}
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .onnx_import import OnnxGraph, OnnxNode
+
+
+class GraphMapper:
+    """Tensor resolution + ordered op queues over one ONNX graph."""
+
+    def __init__(self, graph: OnnxGraph):
+        self.g = graph
+        self.producer: Dict[str, OnnxNode] = {
+            o: n for n in graph.nodes for o in n.outputs
+        }
+        self.consumers: Dict[str, List[OnnxNode]] = {}
+        for n in graph.nodes:
+            for i in n.inputs:
+                self.consumers.setdefault(i, []).append(n)
+
+    # ------------------------------------------------------------ tensors
+    def tensor(self, name: str) -> Optional[np.ndarray]:
+        """Resolve a value name to a constant array, following
+        Identity/DequantizeLinear/Transpose/Reshape producers."""
+        if name in self.g.initializers:
+            return self.g.initializers[name]
+        node = self.producer.get(name)
+        if node is None:
+            return None
+        if node.op_type == "Identity":
+            return self.tensor(node.inputs[0])
+        if node.op_type == "Constant":
+            v = node.attrs.get("value")
+            return np.asarray(v) if v is not None else None
+        if node.op_type == "DequantizeLinear":
+            w = self.tensor(node.inputs[0])
+            scale = self.tensor(node.inputs[1])
+            zp = self.tensor(node.inputs[2]) if len(node.inputs) > 2 else None
+            if w is None or scale is None:
+                return None
+            wf = w.astype(np.float32)
+            zf = zp.astype(np.float32) if zp is not None else np.float32(0.0)
+            sf = scale.astype(np.float32)
+            if sf.ndim >= 1 and sf.size > 1:  # per-axis
+                axis = int(node.attrs.get("axis", 1))
+                shape = [1] * wf.ndim
+                shape[axis] = sf.size
+                sf = sf.reshape(shape)
+                zf = zf.reshape(shape) if np.ndim(zf) >= 1 and zf.size > 1 else zf
+            return (wf - zf) * sf
+        if node.op_type == "Transpose":
+            x = self.tensor(node.inputs[0])
+            perm = node.attrs.get("perm")
+            return None if x is None else np.transpose(x, perm)
+        if node.op_type == "Reshape":
+            x = self.tensor(node.inputs[0])
+            shp = self.tensor(node.inputs[1])
+            return None if x is None or shp is None else x.reshape(shp.astype(int))
+        return None
+
+    def need(self, name: str, what: str) -> np.ndarray:
+        t = self.tensor(name)
+        if t is None:
+            raise ValueError(f"cannot resolve {what} tensor '{name}' to a constant")
+        return t
+
+    # ------------------------------------------------------------ weights
+    def conv2d(self, node: OnnxNode, out_ch: int) -> Dict[str, np.ndarray]:
+        w = self.need(node.inputs[1], "Conv weight")
+        if w.ndim != 4 or w.shape[0] != out_ch:
+            raise ValueError(f"Conv '{node.name}': weight {w.shape}, expected out={out_ch}, 4-D")
+        b = (self.need(node.inputs[2], "Conv bias") if len(node.inputs) > 2
+             else np.zeros(out_ch, np.float32))
+        return {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0), np.float32),
+                "bias": b.astype(np.float32)}
+
+    def conv1d(self, node: OnnxNode, out_ch: int) -> Dict[str, np.ndarray]:
+        w = self.need(node.inputs[1], "Conv weight")
+        if w.ndim != 3 or w.shape[0] != out_ch:
+            raise ValueError(f"Conv '{node.name}': weight {w.shape}, expected out={out_ch}, 3-D")
+        b = (self.need(node.inputs[2], "Conv bias") if len(node.inputs) > 2
+             else np.zeros(out_ch, np.float32))
+        return {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0), np.float32),
+                "bias": b.astype(np.float32)}
+
+    def dense(self, node: OnnxNode, out_dim: int) -> Dict[str, np.ndarray]:
+        w = self.need(node.inputs[1], "Gemm/MatMul weight")
+        if node.op_type == "Gemm" and int(node.attrs.get("transB", 0)):
+            w = w.T
+        if w.ndim != 2 or w.shape[1] != out_dim:
+            raise ValueError(f"{node.op_type} '{node.name}': weight {w.shape} "
+                             f"(after transB), expected [*, {out_dim}]")
+        b = None
+        if node.op_type == "Gemm" and len(node.inputs) > 2:
+            b = self.need(node.inputs[2], "Gemm bias")
+        elif node.op_type == "MatMul":
+            # torch MatMul+Add export: bias lives on the consumer Add
+            for c in self.consumers.get(node.outputs[0], []):
+                if c.op_type == "Add":
+                    other = [i for i in c.inputs if i != node.outputs[0]]
+                    if other:
+                        t = self.tensor(other[0])
+                        if t is not None and t.ndim == 1:
+                            b = t
+                            break
+        if b is None:
+            b = np.zeros(out_dim, np.float32)
+        return {"kernel": np.ascontiguousarray(w, np.float32), "bias": b.astype(np.float32)}
+
+    def batchnorm(self, node: OnnxNode, ch: int):
+        s, b, mean, var = (self.need(i, "BatchNormalization input") for i in node.inputs[1:5])
+        for t in (s, b, mean, var):
+            if t.shape != (ch,):
+                raise ValueError(f"BatchNormalization '{node.name}': {t.shape} != ({ch},)")
+        return ({"scale": s.astype(np.float32), "bias": b.astype(np.float32)},
+                {"mean": mean.astype(np.float32), "var": var.astype(np.float32)})
+
+    def layernorm(self, node: OnnxNode, ch: int) -> Dict[str, np.ndarray]:
+        s = self.need(node.inputs[1], "LayerNormalization scale")
+        b = (self.need(node.inputs[2], "LayerNormalization bias")
+             if len(node.inputs) > 2 else np.zeros(ch, np.float32))
+        if s.shape != (ch,):
+            raise ValueError(f"LayerNormalization '{node.name}': {s.shape} != ({ch},)")
+        return {"scale": s.astype(np.float32), "bias": b.astype(np.float32)}
+
+
+def _drained(name: str, *queues) -> None:
+    left = [f"{q[0].op_type}('{q[0].name}')" for q in queues if q]
+    if left:
+        raise ValueError(f"{name}: unconsumed weight-bearing ops remain: {left} "
+                         "(graph topology does not match the module config)")
+
+
+# ---------------------------------------------------------------------------
+# Speaker embedder (ERes2Net-style): models/speaker.SpeakerEmbedder
+# ---------------------------------------------------------------------------
+
+def map_speaker_onnx(graph: OnnxGraph, cfg) -> dict:
+    """ONNX graph (stem conv/bn -> Res2 blocks -> ASP -> proj, in execution
+    order) -> SpeakerEmbedder variables {params, batch_stats}.
+
+    Replaces the reference's sherpa-onnx SpeakerEmbeddingExtractor session
+    build (src/model.py:103-124) with a weight conversion.
+    """
+    m = GraphMapper(graph)
+    convs = deque(graph.ops("Conv"))
+    bns = deque(graph.ops("BatchNormalization"))
+    denses = deque(graph.ops("Gemm", "MatMul"))
+
+    def conv(out_ch):
+        if not convs:
+            raise ValueError("speaker map: ran out of Conv nodes")
+        return m.conv2d(convs.popleft(), out_ch)
+
+    def bn(ch):
+        if not bns:
+            raise ValueError("speaker map: ran out of BatchNormalization nodes")
+        return m.batchnorm(bns.popleft(), ch)
+
+    def dense(out_dim):
+        if not denses:
+            raise ValueError("speaker map: ran out of Gemm/MatMul nodes")
+        return m.dense(denses.popleft(), out_dim)
+
+    params: Dict[str, dict] = {}
+    stats: Dict[str, dict] = {}
+    params["stem"] = conv(cfg.channels[0])
+    params["bn0"], stats["bn0"] = bn(cfg.channels[0])
+    cin = cfg.channels[0]
+    for i, ch in enumerate(cfg.channels):
+        stride = 1 if i == 0 else 2
+        bp: Dict[str, dict] = {}
+        bs: Dict[str, dict] = {}
+        bp["in_conv"] = conv(ch)
+        bp["bn_in"], bs["bn_in"] = bn(ch)
+        width = ch // cfg.scale
+        for j in range(1, cfg.scale):
+            bp[f"conv_{j}"] = conv(width)
+            bp[f"bn_{j}"], bs[f"bn_{j}"] = bn(width)
+        bp["out_conv"] = conv(ch)
+        bp["bn_out"], bs["bn_out"] = bn(ch)
+        if stride > 1 or cin != ch:
+            bp["short"] = conv(ch)
+        params[f"block_{i}"] = bp
+        stats[f"block_{i}"] = bs
+        cin = ch
+    def peek_out_dim() -> int:
+        """Out-dim of the next queued Dense (ASP's hidden width isn't in the
+        module config, so read it off the graph)."""
+        if not denses:
+            raise ValueError("speaker map: missing attentive-pooling Dense nodes")
+        n = denses[0]
+        w = m.need(n.inputs[1], "Dense weight")
+        if n.op_type == "Gemm" and int(n.attrs.get("transB", 0)):
+            return int(w.shape[0])
+        return int(w.shape[1])
+
+    params["asp"] = {"Dense_0": dense(peek_out_dim())}
+    params["asp"]["Dense_1"] = dense(peek_out_dim())
+    params["proj"] = dense(cfg.embed_dim)
+    _drained("speaker map", convs, bns, denses)
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# SenseVoice CTC encoder: models/asr/sensevoice.SenseVoiceEncoder
+# ---------------------------------------------------------------------------
+
+def map_sensevoice_onnx(graph: OnnxGraph, cfg) -> dict:
+    """ONNX graph -> SenseVoiceEncoder variables {params}.
+
+    Execution-order convention per block: ln -> qkv -> out -> ln -> dwconv
+    -> ln -> ffn_up -> ffn_down; then final ln + ctc head. Prompt embeddings
+    are identified by usage: lang/itn matrices feed Gather nodes, the
+    prompt pad feeds a Concat directly. Handles the int8 export through
+    DequantizeLinear resolution (the reference ships SenseVoice int8,
+    install.sh:57-61).
+    """
+    from ...models.asr.sensevoice import LANGUAGES
+
+    m = GraphMapper(graph)
+    denses = deque(graph.ops("Gemm", "MatMul"))
+    lns = deque(graph.ops("LayerNormalization"))
+    convs = deque(graph.ops("Conv"))
+
+    def dense(out_dim):
+        if not denses:
+            raise ValueError("sensevoice map: ran out of Gemm/MatMul nodes")
+        return m.dense(denses.popleft(), out_dim)
+
+    def ln():
+        if not lns:
+            raise ValueError("sensevoice map: ran out of LayerNormalization nodes")
+        return m.layernorm(lns.popleft(), cfg.dim)
+
+    params: Dict[str, object] = {}
+    params["in_proj"] = dense(cfg.dim)
+
+    # prompt embeddings by usage + shape
+    lang = itn = pad = None
+    for n in graph.ops("Gather"):
+        t = m.tensor(n.inputs[0])
+        if t is None or t.ndim != 2 or t.shape[1] != cfg.dim:
+            continue
+        if t.shape[0] == len(LANGUAGES):
+            lang = t
+        elif t.shape[0] == 2:
+            itn = t
+    for n in graph.ops("Concat"):
+        for i in n.inputs:
+            t = m.tensor(i)
+            if (t is not None and t.ndim == 2
+                    and t.shape == (cfg.num_prompt - 2, cfg.dim)
+                    and not any(c.op_type == "Gather" and c.inputs[0] == i
+                                for c in m.consumers.get(i, []))):
+                pad = t
+    if lang is None or itn is None or pad is None:
+        raise ValueError("sensevoice map: prompt embeddings not found "
+                         f"(lang={lang is not None}, itn={itn is not None}, "
+                         f"pad={pad is not None})")
+    params["lang_embed"] = lang.astype(np.float32)
+    params["itn_embed"] = itn.astype(np.float32)
+    params["prompt_pad"] = pad.astype(np.float32)
+
+    for i in range(cfg.layers):
+        blk: Dict[str, object] = {}
+        blk["LayerNorm_0"] = ln()
+        blk["MultiHeadSelfAttention_0"] = {
+            "qkv": dense(3 * cfg.dim),
+            "out": dense(cfg.dim),
+        }
+        blk["LayerNorm_1"] = ln()
+        if not convs:
+            raise ValueError("sensevoice map: ran out of Conv (dwconv) nodes")
+        blk["dwconv"] = m.conv1d(convs.popleft(), cfg.dim)
+        blk["LayerNorm_2"] = ln()
+        blk["Dense_0"] = dense(cfg.dim * cfg.ffn_mult)
+        blk["Dense_1"] = dense(cfg.dim)
+        params[f"block_{i}"] = blk
+    params["final_ln"] = ln()
+    params["ctc_head"] = dense(cfg.vocab_size)
+    _drained("sensevoice map", denses, lns, convs)
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# VAD: models/vad.VADNet
+# ---------------------------------------------------------------------------
+
+def map_vad_onnx(graph: OnnxGraph, cfg) -> dict:
+    """ONNX graph (dilated Conv1d stack + head) -> VADNet variables
+    (silero-VAD slot, reference sp-id script:510-520)."""
+    m = GraphMapper(graph)
+    convs = deque(graph.ops("Conv"))
+    denses = deque(graph.ops("Gemm", "MatMul"))
+    params: Dict[str, dict] = {}
+    for i in range(cfg.layers):
+        if not convs:
+            raise ValueError("vad map: ran out of Conv nodes")
+        params[f"conv_{i}"] = m.conv1d(convs.popleft(), cfg.dim)
+    if not denses:
+        raise ValueError("vad map: missing head Gemm/MatMul")
+    params["head"] = m.dense(denses.popleft(), 1)
+    _drained("vad map", convs, denses)
+    return {"params": params}
+
+
+MAPPERS = {
+    "speaker": map_speaker_onnx,
+    "sensevoice": map_sensevoice_onnx,
+    "vad": map_vad_onnx,
+}
+
+
+def import_onnx(path: str, target: str, cfg) -> dict:
+    """Load an ONNX file and map it onto the `target` module's variables."""
+    from .onnx_import import load_onnx_graph
+
+    if target not in MAPPERS:
+        raise ValueError(f"unknown map target '{target}' (have {sorted(MAPPERS)})")
+    return MAPPERS[target](load_onnx_graph(path), cfg)

@@ -1,13 +1,15 @@
-"""ONNX weight extraction without the onnx package (pure protobuf parsing).
+"""ONNX parsing without the onnx package (pure protobuf wire reading).
 
 The reference's model zoo ships as ONNX graphs executed by onnxruntime
 (reference: SURVEY.md §2.2-2.3 — 3D-Speaker ERes2Net embedder, SenseVoice
-int8, silero VAD). Converting those weights into JAX pytrees only needs the
-initializer tensors, so this module implements a minimal protobuf wire
-reader for ModelProto -> GraphProto -> TensorProto and returns
-{tensor_name: np.ndarray}. No third-party deps; int8-quantized tensors are
-returned raw together with any scale/zero-point tensors so callers can
-dequantize to bf16/f32.
+int8, silero VAD). Converting those weights into JAX pytrees needs the
+initializer tensors plus the graph structure (node op types, inputs,
+attributes) so weights can be assigned to module parameters by structural
+position; this module implements a minimal protobuf wire reader for
+ModelProto -> GraphProto -> {TensorProto, NodeProto, AttributeProto}.
+No third-party deps; int8-quantized tensors are returned raw together with
+any scale/zero-point tensors so callers can dequantize to bf16/f32 (the
+graph walker in onnx_graph_map resolves DequantizeLinear chains).
 
 Wire format reference: protobuf encoding docs (varint, 64-bit, length-
 delimited, 32-bit field types).
@@ -15,6 +17,7 @@ delimited, 32-bit field types).
 from __future__ import annotations
 
 import struct
+from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
@@ -149,18 +152,124 @@ def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
     return name, arr
 
 
-def load_onnx_weights(path: str) -> Dict[str, np.ndarray]:
-    """Extract initializer tensors from an ONNX file -> {name: array}."""
+def _signed64(v: int) -> int:
+    """Protobuf varints encode negative int64 as two's-complement 64-bit."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _parse_attribute(buf: memoryview):
+    """AttributeProto -> (name, python value).
+
+    Handled: f(2), i(3), s(4), t(5, TensorProto), floats(7), ints(8),
+    strings(9). Graph-valued attributes are skipped (returned as None).
+    """
+    name = ""
+    val = None
+    floats: List[float] = []
+    ints: List[int] = []
+    strings: List[bytes] = []
+    for field_no, wire, v in _iter_fields(buf):
+        if field_no == 1 and wire == 2:
+            name = bytes(v).decode("utf-8", errors="replace")
+        elif field_no == 2 and wire == 5:  # f
+            val = struct.unpack("<f", v)[0]
+        elif field_no == 3 and wire == 0:  # i
+            val = _signed64(int(v))
+        elif field_no == 4 and wire == 2:  # s
+            val = bytes(v)
+        elif field_no == 5 and wire == 2:  # t
+            val = _parse_tensor(v)[1]
+        elif field_no == 7:  # floats
+            if wire == 2:
+                floats.extend(np.frombuffer(bytes(v), dtype="<f4").tolist())
+            else:
+                floats.append(struct.unpack("<f", v)[0])
+        elif field_no == 8:  # ints
+            if wire == 2:
+                pos = 0
+                while pos < len(v):
+                    x, pos = _read_varint(v, pos)
+                    ints.append(_signed64(x))
+            else:
+                ints.append(_signed64(int(v)))
+        elif field_no == 9 and wire == 2:  # strings
+            strings.append(bytes(v))
+    if floats:
+        val = floats
+    elif ints:
+        val = ints
+    elif strings:
+        val = strings
+    return name, val
+
+
+@dataclass
+class OnnxNode:
+    op_type: str
+    inputs: List[str] = field(default_factory=list)
+    outputs: List[str] = field(default_factory=list)
+    name: str = ""
+    attrs: Dict[str, object] = field(default_factory=dict)
+
+
+def _parse_node(buf: memoryview) -> OnnxNode:
+    """NodeProto: input=1, output=2, name=3, op_type=4, attribute=5."""
+    node = OnnxNode(op_type="")
+    for field_no, wire, v in _iter_fields(buf):
+        if field_no == 1 and wire == 2:
+            node.inputs.append(bytes(v).decode("utf-8", errors="replace"))
+        elif field_no == 2 and wire == 2:
+            node.outputs.append(bytes(v).decode("utf-8", errors="replace"))
+        elif field_no == 3 and wire == 2:
+            node.name = bytes(v).decode("utf-8", errors="replace")
+        elif field_no == 4 and wire == 2:
+            node.op_type = bytes(v).decode("utf-8", errors="replace")
+        elif field_no == 5 and wire == 2:
+            k, val = _parse_attribute(v)
+            if k:
+                node.attrs[k] = val
+    return node
+
+
+@dataclass
+class OnnxGraph:
+    """Parsed GraphProto: nodes in file order (ONNX requires topological
+    order) + initializer tensors."""
+
+    nodes: List[OnnxNode]
+    initializers: Dict[str, np.ndarray]
+
+    def ops(self, *op_types: str) -> List[OnnxNode]:
+        """Nodes of the given op types, in graph (execution) order."""
+        want = set(op_types)
+        return [n for n in self.nodes if n.op_type in want]
+
+
+def _graph_body(path: str) -> memoryview:
     data = memoryview(open(path, "rb").read())
-    graph = None
     for field_no, wire, val in _iter_fields(data):  # ModelProto
         if field_no == 7 and wire == 2:  # graph
-            graph = val
-            break
-    if graph is None:
-        raise ValueError(f"{path}: no GraphProto found (not an ONNX model?)")
+            return val
+    raise ValueError(f"{path}: no GraphProto found (not an ONNX model?)")
+
+
+def load_onnx_graph(path: str) -> OnnxGraph:
+    """Parse an ONNX file -> nodes (topological order) + initializers."""
+    nodes: List[OnnxNode] = []
+    init: Dict[str, np.ndarray] = {}
+    for field_no, wire, val in _iter_fields(_graph_body(path)):  # GraphProto
+        if field_no == 1 and wire == 2:  # node
+            nodes.append(_parse_node(val))
+        elif field_no == 5 and wire == 2:  # initializer
+            name, arr = _parse_tensor(val)
+            init[name] = arr
+    return OnnxGraph(nodes=nodes, initializers=init)
+
+
+def load_onnx_weights(path: str) -> Dict[str, np.ndarray]:
+    """Extract initializer tensors from an ONNX file -> {name: array}."""
     out: Dict[str, np.ndarray] = {}
-    for field_no, wire, val in _iter_fields(graph):  # GraphProto
+    for field_no, wire, val in _iter_fields(_graph_body(path)):  # GraphProto
         if field_no == 5 and wire == 2:  # initializer (TensorProto)
             name, arr = _parse_tensor(val)
             out[name] = arr

@@ -29,6 +29,7 @@ class SpeakerEmbedderConfig:
     channels: tuple = (32, 64, 128, 256)
     scale: int = 4           # res2net split count
     embed_dim: int = 192
+    asp_hidden: int = 128    # attentive-stats-pool attention width
     sample_rate: int = 16000
 
 
@@ -104,7 +105,7 @@ class SpeakerEmbedder(nn.Module):
         # fold freq into channels: [B, T', F'*C]
         b, t, f, ch = x.shape
         x = x.reshape(b, t, f * ch)
-        pooled = AttentiveStatsPool(name="asp")(x, mask)
+        pooled = AttentiveStatsPool(c.asp_hidden, name="asp")(x, mask)
         emb = nn.Dense(c.embed_dim, name="proj")(pooled)
         return emb
 

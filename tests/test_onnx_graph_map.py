@@ -1,0 +1,365 @@
+"""Graph-aware ONNX import oracle tests.
+
+Each test synthesizes an ONNX graph with the documented topology and random
+weights (tests/helpers_onnx), imports it with models/convert/onnx_graph_map,
+and compares the JAX module forward under the imported tree against an
+INDEPENDENT numpy forward computed from the raw ONNX-layout arrays — so a
+wrong transpose, a swapped assignment, or a dequantization slip breaks the
+agreement (VERDICT round 1, item 4)."""
+import numpy as np
+import pytest
+
+from helpers_onnx import GraphBuilder
+
+from audio_classification_tpu.models.convert.onnx_graph_map import import_onnx
+from audio_classification_tpu.models.speaker import SpeakerEmbedder, SpeakerEmbedderConfig
+from audio_classification_tpu.models.asr.sensevoice import (
+    LANGUAGES,
+    SenseVoiceConfig,
+    SenseVoiceEncoder,
+)
+from audio_classification_tpu.models.vad import VADConfig, VADNet
+
+
+# ---------------------------------------------------------------- numpy ops
+
+def _conv2d_same_onnx(x, w, b, stride):
+    """x [B,H,W,C], w ONNX [O,I,kh,kw] -> [B,H',W',O] (jax SAME padding)."""
+    o, i_, kh, kw = w.shape
+    bsz, h, wd, c = x.shape
+    assert c == i_
+    oh = -(-h // stride)
+    ow = -(-wd // stride)
+    ph = max((oh - 1) * stride + kh - h, 0)
+    pw = max((ow - 1) * stride + kw - wd, 0)
+    xp = np.pad(x, ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0)))
+    out = np.zeros((bsz, oh, ow, o), np.float64)
+    for a in range(kh):
+        for bb in range(kw):
+            xs = xp[:, a : a + stride * oh : stride, bb : bb + stride * ow : stride, :]
+            out += np.einsum("bhwc,oc->bhwo", xs, w[:, :, a, bb])
+    return out + b
+
+
+def _conv1d_same_onnx(x, w, b, dilation=1, groups=1):
+    """x [B,T,C], w ONNX [O,I/g,k] -> [B,T,O]."""
+    o, ig, k = w.shape
+    bsz, t, c = x.shape
+    span = (k - 1) * dilation
+    xp = np.pad(x, ((0, 0), (span // 2, span - span // 2), (0, 0)))
+    out = np.zeros((bsz, t, o), np.float64)
+    cpg_in = c // groups
+    opg = o // groups
+    for tap in range(k):
+        xs = xp[:, tap * dilation : tap * dilation + t, :]
+        for g in range(groups):
+            xg = xs[..., g * cpg_in : (g + 1) * cpg_in]
+            wg = w[g * opg : (g + 1) * opg, :, tap]
+            out[..., g * opg : (g + 1) * opg] += np.einsum("btc,oc->bto", xg, wg)
+    return out + b
+
+
+def _bn(x, s, b, m, v, eps=1e-5):
+    return (x - m) / np.sqrt(v + eps) * s + b
+
+
+def _ln(x, s, b, eps=1e-6):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * s + b
+
+
+def _gemm(x, w_out_in, b):
+    return x @ w_out_in.T + b
+
+
+def _softmax(x, axis):
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _gelu_tanh(x):
+    return 0.5 * x * (1 + np.tanh(np.sqrt(2 / np.pi) * (x + 0.044715 * x**3)))
+
+
+def _silu(x):
+    return x / (1 + np.exp(-x))
+
+
+# ------------------------------------------------------------ speaker model
+
+def _build_speaker_fixture(cfg, rng, gb):
+    """Emit ops in the module's execution order; return raw arrays for the
+    numpy oracle."""
+
+    def rconv(cin, cout, k):
+        w = (rng.standard_normal((cout, cin, k, k)) * 0.3).astype(np.float32)
+        b = (rng.standard_normal(cout) * 0.1).astype(np.float32)
+        gb.conv(w, b)
+        return w, b
+
+    def rbn(ch):
+        s = rng.uniform(0.5, 1.5, ch).astype(np.float32)
+        b = (rng.standard_normal(ch) * 0.1).astype(np.float32)
+        m = (rng.standard_normal(ch) * 0.1).astype(np.float32)
+        v = rng.uniform(0.5, 1.5, ch).astype(np.float32)
+        gb.batchnorm(s, b, m, v)
+        return s, b, m, v
+
+    def rgemm(din, dout):
+        w = (rng.standard_normal((dout, din)) * 0.2).astype(np.float32)
+        b = (rng.standard_normal(dout) * 0.1).astype(np.float32)
+        gb.gemm(w, b)
+        return w, b
+
+    spec = {"stem": rconv(1, cfg.channels[0], 3), "bn0": rbn(cfg.channels[0])}
+    cin = cfg.channels[0]
+    blocks = []
+    for i, ch in enumerate(cfg.channels):
+        stride = 1 if i == 0 else 2
+        blk = {"in_conv": rconv(cin, ch, 1), "bn_in": rbn(ch)}
+        width = ch // cfg.scale
+        for j in range(1, cfg.scale):
+            blk[f"conv_{j}"] = rconv(width, width, 3)
+            blk[f"bn_{j}"] = rbn(width)
+        blk["out_conv"] = rconv(ch, ch, 1)
+        blk["bn_out"] = rbn(ch)
+        if stride > 1 or cin != ch:
+            blk["short"] = rconv(cin, ch, 1)
+        blk["stride"] = stride
+        blocks.append(blk)
+        cin = ch
+    spec["blocks"] = blocks
+    # pooled dims after the conv trunk
+    f = cfg.num_mel
+    for i in range(1, len(cfg.channels)):
+        f = -(-f // 2)
+    pooled_c = f * cfg.channels[-1]
+    hidden = cfg.asp_hidden
+    spec["asp0"] = rgemm(pooled_c, hidden)
+    spec["asp1"] = rgemm(hidden, pooled_c)
+    spec["proj"] = rgemm(2 * pooled_c, cfg.embed_dim)
+    return spec
+
+
+def _speaker_oracle(spec, feats):
+    relu = lambda x: np.maximum(x, 0)
+    x = feats[..., None].astype(np.float64)
+    x = relu(_bn(_conv2d_same_onnx(x, *spec["stem"], 1), *spec["bn0"]))
+    for blk in spec["blocks"]:
+        stride = blk["stride"]
+        y = relu(_bn(_conv2d_same_onnx(x, *blk["in_conv"], stride), *blk["bn_in"]))
+        scale = sum(1 for k in blk if k.startswith("conv_")) + 1
+        parts = np.split(y, scale, axis=-1)
+        outs = [parts[0]]
+        prev = None
+        for j in range(1, scale):
+            inp = parts[j] if prev is None else parts[j] + prev
+            prev = relu(_bn(_conv2d_same_onnx(inp, *blk[f"conv_{j}"], 1), *blk[f"bn_{j}"]))
+            outs.append(prev)
+        y = np.concatenate(outs, axis=-1)
+        y = _bn(_conv2d_same_onnx(y, *blk["out_conv"], 1), *blk["bn_out"])
+        sc = _conv2d_same_onnx(x, *blk["short"], stride) if "short" in blk else x
+        x = relu(sc + y)
+    b, t, f, ch = x.shape
+    x = x.reshape(b, t, f * ch)
+    a = np.tanh(_gemm(x, *spec["asp0"]))
+    a = _gemm(a, *spec["asp1"])
+    w = _softmax(a, axis=1)
+    mean = (w * x).sum(axis=1)
+    var = (w * (x - mean[:, None, :]) ** 2).sum(axis=1)
+    pooled = np.concatenate([mean, np.sqrt(var + 1e-7)], axis=-1)
+    return _gemm(pooled, *spec["proj"])
+
+
+def test_speaker_onnx_import_matches_numpy_oracle(tmp_path):
+    import jax
+
+    cfg = SpeakerEmbedderConfig(num_mel=8, channels=(4, 8), scale=2, embed_dim=16,
+                                asp_hidden=24)
+    rng = np.random.default_rng(0)
+    gb = GraphBuilder()
+    spec = _build_speaker_fixture(cfg, rng, gb)
+    path = gb.write(tmp_path / "spk.onnx")
+
+    variables = import_onnx(path, "speaker", cfg)
+    model = SpeakerEmbedder(cfg)
+    # same tree structure as a fresh init
+    ref = model.init(jax.random.PRNGKey(0), np.zeros((1, 6, cfg.num_mel), np.float32), None)
+    assert jax.tree_util.tree_structure(ref) == jax.tree_util.tree_structure(variables)
+
+    feats = (rng.standard_normal((2, 12, cfg.num_mel)) * 0.5).astype(np.float32)
+    got = np.asarray(model.apply(variables, feats, None))
+    want = _speaker_oracle(spec, feats)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+# --------------------------------------------------------------- sensevoice
+
+def _build_sensevoice_fixture(cfg, feat_dim, rng, gb, int8_qkv=False):
+    def rgemm(din, dout):
+        w = (rng.standard_normal((dout, din)) * 0.2).astype(np.float32)
+        b = (rng.standard_normal(dout) * 0.05).astype(np.float32)
+        gb.gemm(w, b)
+        return w, b
+
+    def rgemm_int8(din, dout):
+        """Per-row int8 quantized weight behind DequantizeLinear."""
+        w = (rng.standard_normal((dout, din)) * 0.2).astype(np.float32)
+        scale = (np.abs(w).max(axis=1) / 127.0 + 1e-8).astype(np.float32)
+        q = np.clip(np.rint(w / scale[:, None]), -127, 127).astype(np.int8)
+        zp = np.zeros(dout, np.int8)
+        wq = gb.add_init("wq", q)
+        s = gb.add_init("ws", scale)
+        z = gb.add_init("wz", zp)
+        dq = gb.raw("DequantizeLinear", [wq, s, z], [f"{wq}_dq"], axis=0)
+        b = (rng.standard_normal(dout) * 0.05).astype(np.float32)
+        gb.op("Gemm", [dq, gb.add_init("b", b)], transB=1)
+        return (q.astype(np.float32) * scale[:, None]).astype(np.float32), b
+
+    def rln(d):
+        s = rng.uniform(0.5, 1.5, d).astype(np.float32)
+        b = (rng.standard_normal(d) * 0.05).astype(np.float32)
+        gb.layernorm(s, b)
+        return s, b
+
+    spec = {"in_proj": rgemm(feat_dim, cfg.dim)}
+    lang = (rng.standard_normal((len(LANGUAGES), cfg.dim)) * 0.1).astype(np.float32)
+    itn = (rng.standard_normal((2, cfg.dim)) * 0.1).astype(np.float32)
+    pad = (rng.standard_normal((cfg.num_prompt - 2, cfg.dim)) * 0.1).astype(np.float32)
+    lang_i = gb.add_init("lang", lang)
+    itn_i = gb.add_init("itn", itn)
+    pad_i = gb.add_init("pad", pad)
+    idx = gb.add_init("idx", np.array([0], np.int64))
+    l_out = gb.raw("Gather", [lang_i, idx], ["lang_sel"])
+    i_out = gb.raw("Gather", [itn_i, idx], ["itn_sel"])
+    gb.raw("Concat", [l_out, i_out, pad_i], ["prompt"], axis=0)
+    spec.update(lang=lang, itn=itn, pad=pad)
+
+    blocks = []
+    for li in range(cfg.layers):
+        blk = {"ln0": rln(cfg.dim)}
+        if int8_qkv:
+            blk["qkv"] = rgemm_int8(cfg.dim, 3 * cfg.dim)
+        else:
+            blk["qkv"] = rgemm(cfg.dim, 3 * cfg.dim)
+        blk["out"] = rgemm(cfg.dim, cfg.dim)
+        blk["ln1"] = rln(cfg.dim)
+        wd = (rng.standard_normal((cfg.dim, 1, cfg.conv_kernel)) * 0.3).astype(np.float32)
+        bd = (rng.standard_normal(cfg.dim) * 0.05).astype(np.float32)
+        gb.conv(wd, bd, group=cfg.dim)
+        blk["dw"] = (wd, bd)
+        blk["ln2"] = rln(cfg.dim)
+        blk["ffn0"] = rgemm(cfg.dim, cfg.dim * cfg.ffn_mult)
+        blk["ffn1"] = rgemm(cfg.dim * cfg.ffn_mult, cfg.dim)
+        blocks.append(blk)
+    spec["blocks"] = blocks
+    spec["final_ln"] = rln(cfg.dim)
+    spec["head"] = rgemm(cfg.dim, cfg.vocab_size)
+    return spec
+
+
+def _sensevoice_oracle(spec, cfg, feats, language_id, use_itn):
+    from audio_classification_tpu.models.common import sinusoidal_positions
+
+    x = _gemm(feats.astype(np.float64), *spec["in_proj"])
+    b, t = x.shape[:2]
+    prompt = np.concatenate([
+        spec["lang"][language_id][None],
+        spec["itn"][1 if use_itn else 0][None],
+        spec["pad"],
+    ], axis=0)
+    x = np.concatenate([np.tile(prompt[None], (b, 1, 1)), x], axis=1)
+    x = x + sinusoidal_positions(t + cfg.num_prompt, cfg.dim)[None]
+    heads, dh = cfg.heads, cfg.dim // cfg.heads
+    for blk in spec["blocks"]:
+        h = _ln(x, *blk["ln0"])
+        qkv = _gemm(h, *blk["qkv"])
+        q, k, v = np.split(qkv, 3, axis=-1)
+        def hsplit(z):
+            return z.reshape(b, z.shape[1], heads, dh).transpose(0, 2, 1, 3)
+        q, k, v = hsplit(q), hsplit(k), hsplit(v)
+        logits = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh)
+        attn = _softmax(logits, axis=-1)
+        o = np.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3)
+        o = o.reshape(b, x.shape[1], cfg.dim)
+        x = x + _gemm(o, *blk["out"])
+        h = _ln(x, *blk["ln1"])
+        c = _conv1d_same_onnx(h, *blk["dw"], groups=cfg.dim)
+        x = x + _silu(c)
+        h = _ln(x, *blk["ln2"])
+        x = x + _gemm(_gelu_tanh(_gemm(h, *blk["ffn0"])), *blk["ffn1"])
+    x = _ln(x, *spec["final_ln"])
+    return _gemm(x, *spec["head"])
+
+
+@pytest.mark.parametrize("int8_qkv", [False, True])
+def test_sensevoice_onnx_import_matches_numpy_oracle(tmp_path, int8_qkv):
+    import jax
+
+    cfg = SenseVoiceConfig(vocab_size=11, dim=16, heads=2, layers=2,
+                           ffn_mult=2, conv_kernel=3)
+    feat_dim = 12
+    rng = np.random.default_rng(1)
+    gb = GraphBuilder()
+    spec = _build_sensevoice_fixture(cfg, feat_dim, rng, gb, int8_qkv=int8_qkv)
+    path = gb.write(tmp_path / "sv.onnx")
+
+    variables = import_onnx(path, "sensevoice", cfg)
+    model = SenseVoiceEncoder(cfg)
+    ref = model.init(jax.random.PRNGKey(0), np.zeros((1, 5, feat_dim), np.float32), None)
+    assert jax.tree_util.tree_structure(ref) == jax.tree_util.tree_structure(variables)
+
+    feats = (rng.standard_normal((2, 7, feat_dim)) * 0.5).astype(np.float32)
+    for lang_id, itn in ((0, True), (3, False)):
+        got = np.asarray(model.apply(variables, feats, None,
+                                     language_id=lang_id, use_itn=itn))
+        want = _sensevoice_oracle(spec, cfg, feats, lang_id, itn)
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------- vad
+
+def test_vad_onnx_import_matches_numpy_oracle(tmp_path):
+    import jax
+
+    cfg = VADConfig(num_mel=8, dim=12, layers=2, kernel=3)
+    rng = np.random.default_rng(2)
+    gb = GraphBuilder()
+    spec = []
+    cin = cfg.num_mel
+    for i in range(cfg.layers):
+        w = (rng.standard_normal((cfg.dim, cin, cfg.kernel)) * 0.3).astype(np.float32)
+        b = (rng.standard_normal(cfg.dim) * 0.1).astype(np.float32)
+        gb.conv(w, b, dilations=[2**i])
+        spec.append((w, b))
+        cin = cfg.dim
+    wh = (rng.standard_normal((1, cfg.dim)) * 0.3).astype(np.float32)
+    bh = (rng.standard_normal(1) * 0.1).astype(np.float32)
+    gb.gemm(wh, bh)
+    path = gb.write(tmp_path / "vad.onnx")
+
+    variables = import_onnx(path, "vad", cfg)
+    model = VADNet(cfg)
+    ref = model.init(jax.random.PRNGKey(0), np.zeros((1, 5, cfg.num_mel), np.float32), None)
+    assert jax.tree_util.tree_structure(ref) == jax.tree_util.tree_structure(variables)
+
+    feats = (rng.standard_normal((2, 9, cfg.num_mel)) * 0.5).astype(np.float32)
+    x = feats.astype(np.float64)
+    for i, (w, b) in enumerate(spec):
+        x = _gelu_tanh(_conv1d_same_onnx(x, w, b, dilation=2**i))
+    want = 1 / (1 + np.exp(-_gemm(x, wh, bh)))[..., 0]
+    got = np.asarray(model.apply(variables, feats, None))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_import_onnx_rejects_topology_mismatch(tmp_path):
+    # a speaker graph imported as VAD must fail loudly, not load garbage
+    cfg_s = SpeakerEmbedderConfig(num_mel=8, channels=(4, 8), scale=2, embed_dim=16)
+    rng = np.random.default_rng(3)
+    gb = GraphBuilder()
+    _build_speaker_fixture(cfg_s, rng, gb)
+    path = gb.write(tmp_path / "s.onnx")
+    with pytest.raises(ValueError):
+        import_onnx(path, "vad", VADConfig(num_mel=8, dim=12, layers=2, kernel=3))
