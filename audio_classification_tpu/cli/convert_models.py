@@ -8,12 +8,13 @@ Supported sources today:
 - asteroid Conv-TasNet torch checkpoints (2-src and 3-src; the weights the
   reference's Separator downloads — reference: separation.py:105-163)
   -> exact architecture mapping (models/convert/torch_import).
-- any ONNX model (speaker embedder / SenseVoice / silero VAD from the
-  reference zoo): initializer tensors are extracted with the built-in
-  protobuf reader and dumped to an .npz + a JSON inventory (names, shapes,
-  dtypes, int8 scale/zero-point pairing) for architecture-mapping work;
-  the reference's ONNX nets differ structurally from this framework's
-  JAX modules, so their mapping is inventory-assisted rather than automatic.
+- ONNX models: with ``--map speaker|sensevoice|vad`` the graph-aware
+  importer (models/convert/onnx_graph_map) assigns the weights onto the
+  matching JAX module tree by structural position (validating shapes,
+  resolving int8 DequantizeLinear); without --map the initializer tensors
+  are dumped to an .npz + a JSON inventory (names, shapes, dtypes, int8
+  scale/zero-point pairing) for mapping work on graphs whose topology does
+  not match this framework's modules.
 
 Everything not converted stays at seed initialization in the output pack.
 """
@@ -35,6 +36,10 @@ def parse_args(argv=None):
     p.add_argument("--sep-checkpoint-2", default="", help="asteroid ConvTasNet 2-src torch checkpoint")
     p.add_argument("--onnx", nargs="*", default=[],
                    help="ONNX files to inventory (weights -> <name>.weights.npz + .inventory.json)")
+    p.add_argument("--map", nargs="*", default=[], dest="map_targets",
+                   choices=["speaker", "sensevoice", "vad", "inventory"],
+                   help="Per --onnx file: graph-aware mapping target "
+                        "('inventory' keeps the npz/JSON dump behavior)")
     return p.parse_args(argv)
 
 
@@ -57,7 +62,18 @@ def main(argv=None):
         pack.load_params("sep2", load_convtasnet_torch(args.sep_checkpoint_2, preset.sep2))
         print(f"converted 2-src ConvTasNet from {args.sep_checkpoint_2}")
 
-    for onnx_path in args.onnx:
+    if args.map_targets and len(args.map_targets) != len(args.onnx):
+        raise SystemExit("--map must list one target per --onnx file")
+    pack_key = {"speaker": "spk", "sensevoice": "asr", "vad": "vad"}
+    map_cfg = {"speaker": preset.spk, "sensevoice": pack.asr_cfg, "vad": preset.vad}
+    for i, onnx_path in enumerate(args.onnx):
+        target = args.map_targets[i] if args.map_targets else "inventory"
+        if target != "inventory":
+            from ..models.convert.onnx_graph_map import import_onnx
+
+            pack.load_params(pack_key[target], import_onnx(onnx_path, target, map_cfg[target]))
+            print(f"mapped {onnx_path} -> {pack_key[target]} (graph-aware, target={target})")
+            continue
         from ..models.convert.onnx_import import load_onnx_weights
 
         weights = load_onnx_weights(onnx_path)

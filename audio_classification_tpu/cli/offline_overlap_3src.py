@@ -53,6 +53,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--decoder", default="")
     p.add_argument("--joiner", default="")
     p.add_argument("--tokens", default="")
+    p.add_argument("--cmvn", default="", help="kaldi am.mvn CMVN stats for the ASR frontend")
     p.add_argument("--decoding-method", default="greedy_search")
     p.add_argument("--feature-dim", type=int, default=80)
     p.add_argument("--language", default="auto")

@@ -39,6 +39,7 @@ def get_args(argv=None):
     p.add_argument("--test-list", required=True, help="Test list <spk> <wav>")
     p.add_argument("--model", default="", help="Speaker embedding model path")
     p.add_argument("--tokens", default="")
+    p.add_argument("--cmvn", default="", help="kaldi am.mvn CMVN stats for the ASR frontend")
     p.add_argument("--encoder", default="")
     p.add_argument("--decoder", default="")
     p.add_argument("--joiner", default="")

@@ -91,10 +91,17 @@ class ModelPack:
     """
 
     def __init__(self, preset: EnginePreset, seed: int = 0, tokens: Optional[TokenTable] = None,
-                 asr_family: str = "sensevoice"):
+                 asr_family: str = "sensevoice", cmvn: Optional[Tuple] = None):
         self.preset = preset
         self.tokens = tokens or TokenTable.char_table("abcdefghijklmnopqrstuvwxyz '")
         self.asr_family = asr_family
+        # CMVN stats from the reference model dir's am.mvn (AddShift/Rescale,
+        # src/model.py:79-87); applied inside the ASR frontend.
+        if cmvn is not None:
+            self.cmvn_shift = jnp.asarray(cmvn[0], jnp.float32)
+            self.cmvn_scale = jnp.asarray(cmvn[1], jnp.float32)
+        else:
+            self.cmvn_shift = self.cmvn_scale = None
         # clamp vocab to the token table
         vocab = max(self.preset.asr.vocab_size, self.tokens.vocab_size)
         self.asr_cfg = dataclasses.replace(preset.asr, vocab_size=vocab)
@@ -291,7 +298,8 @@ class StageEngine:
         elif pack.asr_family == "paraformer":
 
             def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
-                feats, mask = paraformer_frontend(wav, lengths, p.paraformer_cfg)
+                feats, mask = paraformer_frontend(wav, lengths, p.paraformer_cfg,
+                                                  p.cmvn_shift, p.cmvn_scale)
                 logits, counts = p.asr_model.apply(params, feats.astype(cdt), mask)
                 return paraformer_greedy(logits.astype(jnp.float32), counts)
 
@@ -304,7 +312,8 @@ class StageEngine:
         else:
 
             def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
-                feats, mask = sensevoice_frontend(wav, lengths, p.asr_cfg)
+                feats, mask = sensevoice_frontend(wav, lengths, p.asr_cfg,
+                                                  p.cmvn_shift, p.cmvn_scale)
                 logits = p.asr_model.apply(params, feats.astype(cdt), mask, language_id=language_id, use_itn=use_itn)
                 body = logits[:, p.asr_cfg.num_prompt :].astype(jnp.float32)
                 return ctc_greedy_decode(body, mask.astype(jnp.float32), p.tokens.blank_id)

@@ -126,9 +126,21 @@ def paraformer_greedy(logits: jnp.ndarray, counts: jnp.ndarray) -> tuple[jnp.nda
     return jnp.where(mask, ids, 0), counts
 
 
-def paraformer_frontend(wav: jnp.ndarray, wav_lengths: jnp.ndarray, cfg: ParaformerConfig):
+def paraformer_frontend(wav: jnp.ndarray, wav_lengths: jnp.ndarray, cfg: ParaformerConfig,
+                        cmvn_mean=None, cmvn_istd=None):
+    """CMVN semantics match sensevoice_frontend (am.mvn AddShift/Rescale,
+    post-LFR for lfr_m*num_mel stats, pre-LFR for per-mel stats)."""
     feats = log_mel_fbank(wav, cfg.fbank)
+    pre_lfr = cmvn_mean is not None and cmvn_mean.shape[-1] == feats.shape[-1]
+    if pre_lfr:
+        feats = feats + cmvn_mean
+        if cmvn_istd is not None:
+            feats = feats * cmvn_istd
     lfr = apply_lfr(feats, cfg.lfr_m, cfg.lfr_n)
+    if cmvn_mean is not None and not pre_lfr:
+        lfr = lfr + cmvn_mean
+        if cmvn_istd is not None:
+            lfr = lfr * cmvn_istd
     f_len = jnp.maximum((wav_lengths - cfg.fbank.frame_length) // cfg.fbank.frame_shift + 1, 0)
     lfr_len = jnp.maximum(jnp.ceil(f_len / cfg.lfr_n).astype(jnp.int32), 1)
     return lfr, lengths_to_mask(lfr_len, lfr.shape[1])

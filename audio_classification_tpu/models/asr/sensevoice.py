@@ -94,15 +94,30 @@ def sensevoice_frontend(
     cmvn_mean: Optional[jnp.ndarray] = None,
     cmvn_istd: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """[B, T] padded waveforms + lengths -> (lfr feats [B, T', D'], mask)."""
+    """[B, T] padded waveforms + lengths -> (lfr feats [B, T', D'], mask).
+
+    CMVN: y = (x + cmvn_mean) * cmvn_istd, matching the reference model
+    dir's ``am.mvn`` (AddShift then Rescale). FunASR/sherpa-onnx apply it
+    AFTER LFR stacking (dim = lfr_m * num_mel); per-mel-bin stats
+    (dim = num_mel) apply before LFR.
+    """
     import numpy as np
 
     feats = log_mel_fbank(wav, cfg.fbank)
-    if cmvn_mean is not None:
+    pre_lfr = cmvn_mean is not None and cmvn_mean.shape[-1] == feats.shape[-1]
+    if pre_lfr:
         feats = feats + cmvn_mean
-    if cmvn_istd is not None:
-        feats = feats * cmvn_istd
+        if cmvn_istd is not None:
+            feats = feats * cmvn_istd
     lfr = apply_lfr(feats, cfg.lfr_m, cfg.lfr_n)
+    if cmvn_mean is not None and not pre_lfr:
+        if cmvn_mean.shape[-1] != lfr.shape[-1]:
+            raise ValueError(
+                f"CMVN dim {cmvn_mean.shape[-1]} matches neither mel "
+                f"({feats.shape[-1]}) nor LFR ({lfr.shape[-1]})")
+        lfr = lfr + cmvn_mean
+        if cmvn_istd is not None:
+            lfr = lfr * cmvn_istd
     n_t = lfr.shape[1]
     shift, flen = cfg.fbank.frame_shift, cfg.fbank.frame_length
     fb_len = jnp.maximum((wav_lengths - flen) // shift + 1, 0)

@@ -81,7 +81,27 @@ def build_engine(cfg) -> StageEngine:
         family = "whisper"
     else:
         family = "sensevoice"
-    pack = ModelPack(preset, seed=max(int(seed), 0), tokens=tokens, asr_family=family)
+    cmvn = None
+    cmvn_path = getattr(cfg, "cmvn", "")
+    if cmvn_path:
+        from ..models.convert.assets import load_kaldi_cmvn
+
+        cmvn = load_kaldi_cmvn(cmvn_path)
+    pack = ModelPack(preset, seed=max(int(seed), 0), tokens=tokens,
+                     asr_family=family, cmvn=cmvn)
+    # graph-aware ONNX weight imports: the reference's model flags point at
+    # ONNX files (src/model.py:79-124); when given one, map it (loudly
+    # failing on topology mismatch rather than silently serving seed init)
+    sv_path = getattr(cfg, "sense_voice", "")
+    if sv_path.endswith(".onnx") and family == "sensevoice":
+        from ..models.convert.onnx_graph_map import import_onnx
+
+        pack.load_params("asr", import_onnx(sv_path, "sensevoice", pack.asr_cfg))
+    spk_path = getattr(cfg, "spk_embed_model", "")
+    if spk_path.endswith(".onnx"):
+        from ..models.convert.onnx_graph_map import import_onnx
+
+        pack.load_params("spk", import_onnx(spk_path, "speaker", preset.spk))
     ckpt = getattr(cfg, "checkpoint_dir", "")
     if ckpt:
         from ..train.checkpoint import load_model_pack

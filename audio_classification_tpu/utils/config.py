@@ -44,6 +44,7 @@ class Overlap3Config:
     decoder: str = ""
     joiner: str = ""
     tokens: str = ""
+    cmvn: str = ""                     # kaldi am.mvn stats for the ASR frontend
     decoding_method: str = "greedy_search"
     feature_dim: int = 80
     language: str = "auto"
@@ -92,6 +93,7 @@ class SidBenchmarkConfig:
     decoder: str = ""
     joiner: str = ""
     tokens: str = ""
+    cmvn: str = ""
     decoding_method: str = "greedy_search"
     feature_dim: int = 80
     language: str = "auto"
