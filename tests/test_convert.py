@@ -148,3 +148,102 @@ def test_torch_convtasnet_import_roundtrip(tmp_path):
     out = model.apply(params, jnp.zeros((1, 1600)) + 0.1, jnp.ones((1, 1600)))
     assert out.shape == (1, 2, 1600)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_torch_convtasnet_forward_numeric_parity(tmp_path):
+    """VERDICT round-1 item 5: run a REAL torch Conv-TasNet forward with
+    asteroid's structure/naming and assert the imported JAX model matches
+    <=1e-4 on random input — a wrong transpose or misplaced tensor fails."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    from audio_classification_tpu.models.convert.torch_import import load_convtasnet_torch
+    from audio_classification_tpu.models.convtasnet import ConvTasNet, ConvTasNetConfig
+
+    n_src, N, L, B, H, P, X, R = 3, 16, 8, 8, 12, 3, 2, 2
+    stride = L // 2
+
+    class GlobLN(tnn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            self.gamma = tnn.Parameter(torch.randn(1, ch, 1) * 0.2 + 1.0)
+            self.beta = tnn.Parameter(torch.randn(1, ch, 1) * 0.1)
+
+        def forward(self, x):  # [B, C, T]
+            mean = x.mean(dim=(1, 2), keepdim=True)
+            var = ((x - mean) ** 2).mean(dim=(1, 2), keepdim=True)
+            return (x - mean) / torch.sqrt(var + 1e-8) * self.gamma + self.beta
+
+    class Conv1dBlock(tnn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.shared_block = tnn.Sequential(
+                tnn.Conv1d(B, H, 1), tnn.PReLU(), GlobLN(H),
+                tnn.Conv1d(H, H, P, dilation=d, groups=H, padding=d * (P - 1) // 2),
+                tnn.PReLU(), GlobLN(H),
+            )
+            self.res_conv = tnn.Conv1d(H, B, 1)
+            self.skip_conv = tnn.Conv1d(H, B, 1)
+
+    class FB(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self._filters = tnn.Parameter(torch.randn(N, 1, L) * 0.3)
+
+    class Enc(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.filterbank = FB()
+
+    class Masker(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.bottleneck = tnn.Sequential(GlobLN(N), tnn.Conv1d(N, B, 1))
+            self.TCN = tnn.ModuleList([Conv1dBlock(2 ** x) for _ in range(R) for x in range(X)])
+            self.mask_net = tnn.Sequential(tnn.PReLU(), tnn.Conv1d(B, n_src * N, 1))
+
+    class TorchTasNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = Enc()
+            self.decoder = Enc()
+            self.masker = Masker()
+
+        def forward(self, wav):  # [B, T]
+            x = wav[:, None, :]
+            tf = torch.relu(F.conv1d(x, self.encoder.filterbank._filters, stride=stride))
+            h = self.masker.bottleneck(tf)
+            skip_sum = 0.0
+            for blk in self.masker.TCN:
+                shared = blk.shared_block(h)
+                h = h + blk.res_conv(shared)
+                skip_sum = skip_sum + blk.skip_conv(shared)
+            m = torch.relu(self.masker.mask_net(skip_sum))  # [B, S*N, F]
+            b, _, f = m.shape
+            masked = tf[:, None, :, :] * m.view(b, n_src, N, f)
+            out = F.conv_transpose1d(
+                masked.reshape(b * n_src, N, f),
+                self.decoder.filterbank._filters, stride=stride,
+            )
+            return out.view(b, n_src, -1)
+
+    torch.manual_seed(0)
+    net = TorchTasNet().eval()
+    t = 88  # (t - L) % stride == 0: encoder frames tile exactly, no padding
+    wav = torch.randn(2, t) * 0.3
+    with torch.no_grad():
+        want = net(wav).numpy()
+    ckpt = tmp_path / "real_tasnet.bin"
+    torch.save({"state_dict": net.state_dict()}, ckpt)
+
+    cfg = ConvTasNetConfig(n_src=n_src, enc_dim=N, enc_kernel=L, bottleneck=B,
+                           hidden=H, conv_kernel=P, n_blocks=X, n_repeats=R)
+    params = load_convtasnet_torch(str(ckpt), cfg)
+    import jax.numpy as jnp
+
+    model = ConvTasNet(cfg)
+    got = np.asarray(model.apply(params, jnp.asarray(wav.numpy()),
+                                 jnp.ones((2, t))))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want[..., :t], atol=1e-4, rtol=1e-4)
