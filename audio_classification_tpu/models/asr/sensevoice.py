@@ -61,7 +61,12 @@ class SenseVoiceEncoder(nn.Module):
         frame_mask: Optional[jnp.ndarray] = None,
         language_id: int = 0,
         use_itn: bool = True,
+        mesh=None,
+        sp_axis: str = "data",
     ) -> jnp.ndarray:
+        """``mesh`` enables sequence parallelism: every block's attention
+        runs ring-parallel over ``sp_axis`` with the frame mask rotating the
+        ring (same params as the dense path — see models/common.py)."""
         c = self.cfg
         x = nn.Dense(c.dim, name="in_proj")(feats)
         b, t = x.shape[0], x.shape[1]
@@ -82,7 +87,8 @@ class SenseVoiceEncoder(nn.Module):
         pos = jnp.asarray(sinusoidal_positions(t + c.num_prompt, c.dim))
         x = x + pos[None]
         for i in range(c.layers):
-            x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel, name=f"block_{i}")(x, mask)
+            x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel,
+                                 name=f"block_{i}")(x, mask, mesh, sp_axis)
         x = nn.LayerNorm(name="final_ln")(x)
         return nn.Dense(c.vocab_size, name="ctc_head")(x)
 

@@ -123,19 +123,46 @@ def sinusoidal_positions(n: int, d: int, offset: int = 0) -> np.ndarray:
 
 
 class MultiHeadSelfAttention(nn.Module):
-    """Masked MHSA, [B, T, D] with boolean frame mask [B, T]."""
+    """Masked MHSA, [B, T, D] with boolean frame mask [B, T].
+
+    With ``mesh`` supplied, the attention core runs sequence-parallel ring
+    attention over ``sp_axis`` (parallel/ring_attention: shard_map +
+    ppermute over ICI) — the SAME parameters serve both paths, so the dense
+    path is the numeric oracle for the ring path (SURVEY.md §5.7: capability
+    the reference lacks; it only ever time-segments long audio)."""
 
     dim: int
     heads: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 mesh=None, sp_axis: str = "data") -> jnp.ndarray:
         d_head = self.dim // self.heads
         qkv = nn.Dense(3 * self.dim, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, t = x.shape[:2]
 
-        def heads_split(t):
-            return t.reshape(t.shape[0], t.shape[1], self.heads, d_head).transpose(0, 2, 1, 3)
+        if mesh is not None:
+            from ..parallel.ring_attention import ring_attention
+
+            def heads4d(z):
+                return z.reshape(b, t, self.heads, d_head)
+
+            q, k, v = heads4d(q), heads4d(k), heads4d(v)
+            kv_mask = mask if mask is not None else jnp.ones((b, t), bool)
+            n = mesh.shape[sp_axis]
+            pad = (-t) % n  # ring blocks need T divisible by the axis size
+            if pad:
+                q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad)))
+            out = ring_attention(q, k, v, mesh, axis=sp_axis, kv_mask=kv_mask)
+            out = out[:, :t].reshape(b, t, self.dim)
+            return nn.Dense(self.dim, name="out")(out)
+
+        def heads_split(z):
+            return z.reshape(b, z.shape[1], self.heads, d_head).transpose(0, 2, 1, 3)
 
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -151,7 +178,8 @@ class MultiHeadSelfAttention(nn.Module):
 
 class TransformerBlock(nn.Module):
     """Pre-LN transformer encoder block with optional depthwise conv branch
-    (a light conformer flavor: attn -> conv -> ffn)."""
+    (a light conformer flavor: attn -> conv -> ffn). ``mesh`` routes the
+    attention core through sequence-parallel ring attention."""
 
     dim: int
     heads: int
@@ -159,9 +187,10 @@ class TransformerBlock(nn.Module):
     conv_kernel: int = 0  # 0 disables the conv branch
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 mesh=None, sp_axis: str = "data") -> jnp.ndarray:
         h = nn.LayerNorm()(x)
-        x = x + MultiHeadSelfAttention(self.dim, self.heads)(h, mask)
+        x = x + MultiHeadSelfAttention(self.dim, self.heads)(h, mask, mesh, sp_axis)
         if self.conv_kernel > 0:
             h = nn.LayerNorm()(x)
             if mask is not None:
