@@ -35,6 +35,10 @@ from ..pipelines.sid_benchmark import load_audio, load_pairs
 def get_args(argv=None):
     p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("--silero-vad-model", default="", help="Silero VAD model (path or checkpoint slot)")
+    p.add_argument("--apply-vad", action="store_true",
+                   help="Trim non-speech with the VAD before embedding/ASR "
+                        "(framework extension: the reference constructs its VAD "
+                        "but never feeds it, sp-id:510-591)")
     p.add_argument("--speaker-file", required=True, help="Enrollment list <spk> <wav>")
     p.add_argument("--test-list", required=True, help="Test list <spk> <wav>")
     p.add_argument("--model", default="", help="Speaker embedding model path")
@@ -144,10 +148,16 @@ def main(argv=None):
 
     enrolled_norm = {k: _l2(v) for k, v in enrolled.items()}
 
-    # VAD configured exactly as the reference does (and, like the reference's
-    # offline loop, not applied per-utterance)
+    # VAD configured exactly as the reference does; by default it is NOT fed
+    # (reference parity — the reference's offline loop never applies it),
+    # --apply-vad makes it a working front gate.
     vad = VoiceActivityDetector(VADConfig(min_silence_duration=0.25, min_speech_duration=0.25))
-    _ = vad
+    if args.silero_vad_model.endswith(".onnx"):
+        from ..models.convert.onnx_graph_map import import_onnx
+
+        engine.pack.load_params(
+            "vad", import_onnx(args.silero_vad_model, "vad", engine.pack.preset.vad))
+        print(f"loaded VAD weights from {args.silero_vad_model}")
 
     test_list_path = Path(args.test_list)
     assert test_list_path.is_file(), f"{test_list_path} not found"
@@ -160,8 +170,23 @@ def main(argv=None):
     # batch the whole test list through the device: one embedding batch +
     # one transcribe batch (the per-utterance prints/rows are unchanged)
     loaded = [load_audio(wav) for _, wav in flat]
-    embs = extractor.compute_batch([s for s, _, _ in loaded], 16000)
-    texts = recognizer.transcribe_batch([s for s, _, _ in loaded], 16000)
+    inputs = [s for s, _, _ in loaded]
+    if args.apply_vad:
+        # one batched VAD pass, then keep only the detected speech spans
+        # (falling back to the full utterance when nothing clears the
+        # hysteresis rules, so downstream stages never see empty audio)
+        probs = engine.vad_probs_batch(inputs)
+        trimmed = []
+        for s, pr in zip(inputs, probs):
+            segs = vad.segments(pr, len(s) / 16000)
+            parts = [s[int(a * 16000): int(b * 16000)] for a, b in segs]
+            cut = np.concatenate(parts) if parts else s
+            trimmed.append(cut if cut.size else s)
+        kept = sum(len(t) for t in trimmed) / max(sum(len(s) for s in inputs), 1)
+        print(f"VAD applied: kept {kept * 100:.1f}% of test audio")
+        inputs = trimmed
+    embs = extractor.compute_batch(inputs, 16000)
+    texts = recognizer.transcribe_batch(inputs, 16000)
     for (spk_true, wav), embedding, text in zip(flat, embs, texts):
         emb_n = _l2(np.asarray(embedding, dtype=np.float32))
         pred = manager.search(embedding, threshold=args.threshold) or "unknown"

@@ -718,7 +718,11 @@ class StageEngine:
         return results
 
     def vad_probs(self, wav: np.ndarray) -> np.ndarray:
-        out = self._run_bucketed([np.asarray(wav, np.float32)],
-                                 lambda w, l: self._vad(self.exec_params["vad"], w, l))[0]
-        n = self.fbank_cfg.frames_for(len(wav))
-        return out[:n]
+        return self.vad_probs_batch([wav])[0]
+
+    def vad_probs_batch(self, wavs: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """[n][T] -> per-wav frame speech probabilities (bucketed batches)."""
+        items = [np.asarray(w, np.float32) for w in wavs]
+        outs = self._run_bucketed(items,
+                                  lambda w, l: self._vad(self.exec_params["vad"], w, l))
+        return [out[: self.fbank_cfg.frames_for(len(w))] for out, w in zip(outs, items)]
