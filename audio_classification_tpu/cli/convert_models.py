@@ -37,7 +37,8 @@ def parse_args(argv=None):
     p.add_argument("--onnx", nargs="*", default=[],
                    help="ONNX files to inventory (weights -> <name>.weights.npz + .inventory.json)")
     p.add_argument("--map", nargs="*", default=[], dest="map_targets",
-                   choices=["speaker", "sensevoice", "vad", "inventory"],
+                   choices=["speaker", "sensevoice", "vad", "whisper",
+                            "mossformer", "inventory"],
                    help="Per --onnx file: graph-aware mapping target "
                         "('inventory' keeps the npz/JSON dump behavior)")
     return p.parse_args(argv)
@@ -64,8 +65,10 @@ def main(argv=None):
 
     if args.map_targets and len(args.map_targets) != len(args.onnx):
         raise SystemExit("--map must list one target per --onnx file")
-    pack_key = {"speaker": "spk", "sensevoice": "asr", "vad": "vad"}
-    map_cfg = {"speaker": preset.spk, "sensevoice": pack.asr_cfg, "vad": preset.vad}
+    pack_key = {"speaker": "spk", "sensevoice": "asr", "vad": "vad",
+                "whisper": "asr", "mossformer": "mossformer"}
+    map_cfg = {"speaker": preset.spk, "sensevoice": pack.asr_cfg, "vad": preset.vad,
+               "whisper": pack.whisper_cfg, "mossformer": preset.mossformer}
     for i, onnx_path in enumerate(args.onnx):
         target = args.map_targets[i] if args.map_targets else "inventory"
         if target != "inventory":

@@ -332,10 +332,152 @@ def map_vad_onnx(graph: OnnxGraph, cfg) -> dict:
     return {"params": params}
 
 
+# ---------------------------------------------------------------------------
+# Whisper-style encoder-decoder: models/asr/whisper_style.WhisperStyle
+# ---------------------------------------------------------------------------
+
+def map_whisper_onnx(graph: OnnxGraph, cfg) -> dict:
+    """One combined graph, encoder ops then decoder ops in execution order
+    (reference registers whisper via from_whisper(encoder, decoder) —
+    sp-id script:316-345; concatenate the two graphs' nodes when they ship
+    as separate files).
+
+    Per encoder block: ln -> qkv -> out -> ln -> ffn_up -> ffn_down.
+    Decoder: token-embedding Gather, then per block: ln1 -> self qkv/out ->
+    ln2 -> cross q/k/v/out -> ln3 -> fc1 -> fc2; final dec_ln. Output logits
+    are tied to the embedding (no separate head matmul is consumed).
+    """
+    m = GraphMapper(graph)
+    denses = deque(graph.ops("Gemm", "MatMul"))
+    lns = deque(graph.ops("LayerNormalization"))
+    convs = deque(graph.ops("Conv"))
+
+    def dense(out_dim):
+        if not denses:
+            raise ValueError("whisper map: ran out of Gemm/MatMul nodes")
+        return m.dense(denses.popleft(), out_dim)
+
+    def ln():
+        if not lns:
+            raise ValueError("whisper map: ran out of LayerNormalization nodes")
+        return m.layernorm(lns.popleft(), cfg.dim)
+
+    params: Dict[str, object] = {}
+    if len(convs) < 2:
+        raise ValueError("whisper map: expected 2 subsampling Conv nodes")
+    params["sub1"] = m.conv1d(convs.popleft(), cfg.dim)
+    params["sub2"] = m.conv1d(convs.popleft(), cfg.dim)
+    for i in range(cfg.enc_layers):
+        blk: Dict[str, object] = {"LayerNorm_0": ln()}
+        blk["attn"] = {"qkv": dense(3 * cfg.dim), "out": dense(cfg.dim)}
+        blk["LayerNorm_1"] = ln()
+        up = dense(cfg.dim * cfg.ffn_mult)
+        down = dense(cfg.dim)
+        # flax construction-order naming: Dense_0 is the DOWN projection
+        blk["Dense_0"] = down
+        blk["Dense_1"] = up
+        params[f"enc_{i}"] = blk
+    params["enc_ln"] = ln()
+
+    emb = None
+    for n in graph.ops("Gather"):
+        t = m.tensor(n.inputs[0])
+        if t is not None and t.ndim == 2 and t.shape == (cfg.vocab_size, cfg.dim):
+            emb = t
+            break
+    if emb is None:
+        raise ValueError(
+            f"whisper map: token embedding Gather ({cfg.vocab_size}, {cfg.dim}) not found")
+    params["tok_embed"] = {"embedding": emb.astype(np.float32)}
+
+    for i in range(cfg.dec_layers):
+        blk = {"ln1": ln()}
+        blk["self_attn"] = {"qkv": dense(3 * cfg.dim), "out": dense(cfg.dim)}
+        blk["ln2"] = ln()
+        blk["cross_attn"] = {"q": dense(cfg.dim), "k": dense(cfg.dim),
+                             "v": dense(cfg.dim), "out": dense(cfg.dim)}
+        blk["ln3"] = ln()
+        blk["fc1"] = dense(cfg.dim * cfg.ffn_mult)
+        blk["fc2"] = dense(cfg.dim)
+        params[f"dec_{i}"] = blk
+    params["dec_ln"] = ln()
+    _drained("whisper map", denses, lns, convs)
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# MossFormer separator: models/mossformer.MossFormer
+# ---------------------------------------------------------------------------
+
+def map_mossformer_onnx(graph: OnnxGraph, cfg) -> dict:
+    """Conv encoder -> in_proj -> GAU layers (ln, dwconv, to_u/to_v/to_qk,
+    per-layer (2, qk_dim) gamma via Mul / beta via Add, to_out) -> ln_out ->
+    mask head -> ConvTranspose decoder. Fills the ModelScope MossFormer
+    weight slot (reference: src/mossformer/infer.py:13-23)."""
+    m = GraphMapper(graph)
+    denses = deque(graph.ops("Gemm", "MatMul"))
+    lns = deque(graph.ops("LayerNormalization"))
+    convs = deque(graph.ops("Conv"))
+    # per-layer qk scale/offset pairs, identified by usage
+    gammas = deque(n for n in graph.ops("Mul")
+                   if (t := m.tensor(n.inputs[1])) is not None
+                   and t.shape == (2, cfg.qk_dim))
+    betas = deque(n for n in graph.ops("Add")
+                  if (t := m.tensor(n.inputs[1])) is not None
+                  and t.shape == (2, cfg.qk_dim))
+
+    def dense(out_dim):
+        if not denses:
+            raise ValueError("mossformer map: ran out of Gemm/MatMul nodes")
+        return m.dense(denses.popleft(), out_dim)
+
+    def chan_ln():
+        if not lns:
+            raise ValueError("mossformer map: ran out of LayerNormalization nodes")
+        p = m.layernorm(lns.popleft(), cfg.dim)
+        return {"gamma": p["scale"], "beta": p["bias"]}
+
+    params: Dict[str, object] = {}
+    if not convs:
+        raise ValueError("mossformer map: missing encoder Conv")
+    enc = m.conv1d(convs.popleft(), cfg.enc_dim)
+    params["encoder"] = {"kernel": enc["kernel"]}  # encoder has no bias
+    params["in_proj"] = dense(cfg.dim)
+    d_e = cfg.dim * cfg.expansion
+    for i in range(cfg.layers):
+        blk: Dict[str, object] = {"ln": chan_ln()}
+        if not convs:
+            raise ValueError("mossformer map: ran out of dwconv Conv nodes")
+        blk["dwconv"] = m.conv1d(convs.popleft(), cfg.dim)
+        blk["to_u"] = dense(d_e)
+        blk["to_v"] = dense(d_e)
+        blk["to_qk"] = dense(cfg.qk_dim)
+        if not gammas or not betas:
+            raise ValueError("mossformer map: missing (2, qk_dim) gamma/beta pair")
+        blk["gamma"] = m.need(gammas.popleft().inputs[1], "gamma").astype(np.float32)
+        blk["beta"] = m.need(betas.popleft().inputs[1], "beta").astype(np.float32)
+        blk["to_out"] = dense(cfg.dim)
+        params[f"gau_{i}"] = blk
+    params["ln_out"] = chan_ln()
+    params["mask_head"] = dense(cfg.n_src * cfg.enc_dim)
+    dec_nodes = graph.ops("ConvTranspose")
+    if not dec_nodes:
+        raise ValueError("mossformer map: missing ConvTranspose decoder")
+    dec_w = m.need(dec_nodes[0].inputs[1], "decoder weight")  # [N, 1, L]
+    if dec_w.shape != (cfg.enc_dim, 1, cfg.enc_kernel):
+        raise ValueError(f"mossformer map: decoder weight {dec_w.shape} != "
+                         f"({cfg.enc_dim}, 1, {cfg.enc_kernel})")
+    params["decoder"] = np.ascontiguousarray(dec_w[:, 0, :].T, np.float32)
+    _drained("mossformer map", denses, lns, convs, gammas, betas)
+    return {"params": params}
+
+
 MAPPERS = {
     "speaker": map_speaker_onnx,
     "sensevoice": map_sensevoice_onnx,
     "vad": map_vad_onnx,
+    "whisper": map_whisper_onnx,
+    "mossformer": map_mossformer_onnx,
 }
 
 

@@ -97,6 +97,11 @@ def build_engine(cfg) -> StageEngine:
         from ..models.convert.onnx_graph_map import import_onnx
 
         pack.load_params("asr", import_onnx(sv_path, "sensevoice", pack.asr_cfg))
+    wh_path = getattr(cfg, "whisper_encoder", "")
+    if wh_path.endswith(".onnx") and family == "whisper":
+        from ..models.convert.onnx_graph_map import import_onnx
+
+        pack.load_params("asr", import_onnx(wh_path, "whisper", pack.whisper_cfg))
     spk_path = getattr(cfg, "spk_embed_model", "")
     if spk_path.endswith(".onnx"):
         from ..models.convert.onnx_graph_map import import_onnx

@@ -41,22 +41,36 @@ def _conv2d_same_onnx(x, w, b, stride):
     return out + b
 
 
-def _conv1d_same_onnx(x, w, b, dilation=1, groups=1):
-    """x [B,T,C], w ONNX [O,I/g,k] -> [B,T,O]."""
+def _conv1d_same_onnx(x, w, b, dilation=1, groups=1, stride=1):
+    """x [B,T,C], w ONNX [O,I/g,k] -> [B,T',O] (jax SAME padding)."""
     o, ig, k = w.shape
     bsz, t, c = x.shape
-    span = (k - 1) * dilation
+    ot = -(-t // stride)
+    span = max((ot - 1) * stride + (k - 1) * dilation + 1 - t, 0)
     xp = np.pad(x, ((0, 0), (span // 2, span - span // 2), (0, 0)))
-    out = np.zeros((bsz, t, o), np.float64)
+    out = np.zeros((bsz, ot, o), np.float64)
     cpg_in = c // groups
     opg = o // groups
     for tap in range(k):
-        xs = xp[:, tap * dilation : tap * dilation + t, :]
+        a = tap * dilation
+        xs = xp[:, a : a + stride * ot : stride, :]
         for g in range(groups):
             xg = xs[..., g * cpg_in : (g + 1) * cpg_in]
             wg = w[g * opg : (g + 1) * opg, :, tap]
             out[..., g * opg : (g + 1) * opg] += np.einsum("btc,oc->bto", xg, wg)
     return out + b
+
+
+def _conv1d_valid_stride_onnx(x, w, stride):
+    """x [B,T,C], w ONNX [O,I,k], VALID padding, no bias -> [B,F,O]."""
+    o, i_, k = w.shape
+    bsz, t, c = x.shape
+    f = (t - k) // stride + 1
+    out = np.zeros((bsz, f, o), np.float64)
+    for tap in range(k):
+        xs = x[:, tap : tap + stride * f : stride, :]
+        out += np.einsum("btc,oc->bto", xs, w[:, :, tap])
+    return out
 
 
 def _bn(x, s, b, m, v, eps=1e-5):
@@ -352,6 +366,240 @@ def test_vad_onnx_import_matches_numpy_oracle(tmp_path):
     want = 1 / (1 + np.exp(-_gemm(x, wh, bh)))[..., 0]
     got = np.asarray(model.apply(variables, feats, None))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+# ------------------------------------------------------------------ whisper
+
+def _build_whisper_fixture(cfg, rng, gb):
+    def rgemm(din, dout):
+        w = (rng.standard_normal((dout, din)) * 0.2).astype(np.float32)
+        b = (rng.standard_normal(dout) * 0.05).astype(np.float32)
+        gb.gemm(w, b)
+        return w, b
+
+    def rln():
+        s = rng.uniform(0.5, 1.5, cfg.dim).astype(np.float32)
+        b = (rng.standard_normal(cfg.dim) * 0.05).astype(np.float32)
+        gb.layernorm(s, b)
+        return s, b
+
+    def rconv(cin, stride):
+        w = (rng.standard_normal((cfg.dim, cin, 3)) * 0.3).astype(np.float32)
+        b = (rng.standard_normal(cfg.dim) * 0.05).astype(np.float32)
+        gb.conv(w, b, strides=[stride])
+        return w, b
+
+    spec = {"sub1": rconv(cfg.num_mel, 1), "sub2": rconv(cfg.dim, 2)}
+    enc = []
+    for _ in range(cfg.enc_layers):
+        enc.append({
+            "ln0": rln(),
+            "qkv": rgemm(cfg.dim, 3 * cfg.dim), "out": rgemm(cfg.dim, cfg.dim),
+            "ln1": rln(),
+            "up": rgemm(cfg.dim, cfg.dim * cfg.ffn_mult),
+            "down": rgemm(cfg.dim * cfg.ffn_mult, cfg.dim),
+        })
+    spec["enc"] = enc
+    spec["enc_ln"] = rln()
+    emb = (rng.standard_normal((cfg.vocab_size, cfg.dim)) * 0.1).astype(np.float32)
+    e_i = gb.add_init("emb", emb)
+    idx = gb.add_init("ids", np.array([0], np.int64))
+    gb.raw("Gather", [e_i, idx], ["tok"])
+    spec["emb"] = emb
+    dec = []
+    for _ in range(cfg.dec_layers):
+        dec.append({
+            "ln1": rln(),
+            "sqkv": rgemm(cfg.dim, 3 * cfg.dim), "sout": rgemm(cfg.dim, cfg.dim),
+            "ln2": rln(),
+            "cq": rgemm(cfg.dim, cfg.dim), "ck": rgemm(cfg.dim, cfg.dim),
+            "cv": rgemm(cfg.dim, cfg.dim), "cout": rgemm(cfg.dim, cfg.dim),
+            "ln3": rln(),
+            "fc1": rgemm(cfg.dim, cfg.dim * cfg.ffn_mult),
+            "fc2": rgemm(cfg.dim * cfg.ffn_mult, cfg.dim),
+        })
+    spec["dec"] = dec
+    spec["dec_ln"] = rln()
+    return spec
+
+
+def _mha_np(x, qkv_wb, out_wb, heads, causal=False):
+    b, t, d = x.shape
+    dh = d // heads
+    q, k, v = np.split(_gemm(x, *qkv_wb), 3, axis=-1)
+    def hs(z):
+        return z.reshape(b, t, heads, dh)
+    q, k, v = hs(q), hs(k), hs(v)
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dh)
+    if causal:
+        logits = np.where(np.tril(np.ones((t, t), bool))[None, None], logits, -1e9)
+    attn = _softmax(logits, axis=-1)
+    o = np.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+    return _gemm(o, *out_wb)
+
+
+def _whisper_oracle(spec, cfg, feats, tokens):
+    from audio_classification_tpu.models.common import sinusoidal_positions
+
+    x = _gelu_tanh(_conv1d_same_onnx(feats.astype(np.float64), *spec["sub1"]))
+    x = _gelu_tanh(_conv1d_same_onnx(x, *spec["sub2"], stride=2))
+    t = x.shape[1]
+    x = x + sinusoidal_positions(t, cfg.dim)[None]
+    for blk in spec["enc"]:
+        x = x + _mha_np(_ln(x, *blk["ln0"]), blk["qkv"], blk["out"], cfg.heads)
+        h = _ln(x, *blk["ln1"])
+        x = x + _gemm(_gelu_tanh(_gemm(h, *blk["up"])), *blk["down"])
+        # mask is all-ones in the oracle setup; _EncBlock multiplies by it
+    mem = _ln(x, *spec["enc_ln"])
+    y = spec["emb"][tokens] + sinusoidal_positions(tokens.shape[1], cfg.dim)[None]
+    for blk in spec["dec"]:
+        y = y + _mha_np(_ln(y, *blk["ln1"]), blk["sqkv"], blk["sout"], cfg.heads,
+                        causal=True)
+        h = _ln(y, *blk["ln2"])
+        b, tq, d = h.shape
+        dh = d // cfg.heads
+        q = _gemm(h, *blk["cq"]).reshape(b, tq, cfg.heads, dh)
+        k = _gemm(mem, *blk["ck"]).reshape(b, mem.shape[1], cfg.heads, dh)
+        v = _gemm(mem, *blk["cv"]).reshape(b, mem.shape[1], cfg.heads, dh)
+        logits = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dh)
+        attn = _softmax(logits, axis=-1)
+        o = np.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, tq, d)
+        y = y + _gemm(o, *blk["cout"])
+        y = y + _gemm(_gelu_tanh(_gemm(_ln(y, *blk["ln3"]), *blk["fc1"])), *blk["fc2"])
+    return _ln(y, *spec["dec_ln"]) @ spec["emb"].T
+
+
+def test_whisper_onnx_import_matches_numpy_oracle(tmp_path):
+    import jax
+
+    from audio_classification_tpu.models.asr.whisper_style import (
+        WhisperStyle,
+        WhisperStyleConfig,
+    )
+
+    cfg = WhisperStyleConfig(vocab_size=13, dim=16, heads=2, enc_layers=2,
+                             dec_layers=2, ffn_mult=2, num_mel=6, max_decode_len=8)
+    rng = np.random.default_rng(4)
+    gb = GraphBuilder()
+    spec = _build_whisper_fixture(cfg, rng, gb)
+    path = gb.write(tmp_path / "whisper.onnx")
+
+    variables = import_onnx(path, "whisper", cfg)
+    model = WhisperStyle(cfg)
+    ref = model.init(jax.random.PRNGKey(0), np.zeros((1, 5, cfg.num_mel), np.float32),
+                     np.ones((1, 5), bool), np.zeros((1, 3), np.int32))
+    assert jax.tree_util.tree_structure(ref) == jax.tree_util.tree_structure(variables)
+
+    feats = (rng.standard_normal((2, 9, cfg.num_mel)) * 0.5).astype(np.float32)
+    tokens = rng.integers(0, cfg.vocab_size, size=(2, 4)).astype(np.int32)
+    got = np.asarray(model.apply(variables, feats, None, tokens))
+    want = _whisper_oracle(spec, cfg, feats, tokens)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+# --------------------------------------------------------------- mossformer
+
+def _build_mossformer_fixture(cfg, rng, gb):
+    def rgemm(din, dout):
+        w = (rng.standard_normal((dout, din)) * 0.2).astype(np.float32)
+        b = (rng.standard_normal(dout) * 0.05).astype(np.float32)
+        gb.gemm(w, b)
+        return w, b
+
+    def rln():
+        s = rng.uniform(0.5, 1.5, cfg.dim).astype(np.float32)
+        b = (rng.standard_normal(cfg.dim) * 0.05).astype(np.float32)
+        gb.layernorm(s, b)
+        return s, b
+
+    enc_w = (rng.standard_normal((cfg.enc_dim, 1, cfg.enc_kernel)) * 0.3).astype(np.float32)
+    gb.raw("Conv", [gb.value, gb.add_init("encw", enc_w)], ["encoded"],
+           strides=[cfg.stride])  # encoder conv has no bias
+    gb.value = "encoded"
+    spec = {"enc": enc_w, "in_proj": rgemm(cfg.enc_dim, cfg.dim)}
+    d_e = cfg.dim * cfg.expansion
+    gaus = []
+    for _ in range(cfg.layers):
+        blk = {"ln": rln()}
+        wd = (rng.standard_normal((cfg.dim, 1, cfg.conv_kernel)) * 0.3).astype(np.float32)
+        bd = (rng.standard_normal(cfg.dim) * 0.05).astype(np.float32)
+        gb.conv(wd, bd, group=cfg.dim)
+        blk["dw"] = (wd, bd)
+        blk["to_u"] = rgemm(cfg.dim, d_e)
+        blk["to_v"] = rgemm(cfg.dim, d_e)
+        blk["to_qk"] = rgemm(cfg.dim, cfg.qk_dim)
+        gamma = (rng.standard_normal((2, cfg.qk_dim)) * 0.2 + 1.0).astype(np.float32)
+        beta = (rng.standard_normal((2, cfg.qk_dim)) * 0.1).astype(np.float32)
+        gb.op("Mul", [gb.add_init("g", gamma)])
+        gb.op("Add", [gb.add_init("bta", beta)])
+        blk["gamma"], blk["beta"] = gamma, beta
+        blk["to_out"] = rgemm(d_e, cfg.dim)
+        gaus.append(blk)
+    spec["gaus"] = gaus
+    spec["ln_out"] = rln()
+    spec["mask_head"] = rgemm(cfg.dim, cfg.n_src * cfg.enc_dim)
+    dec_w = (rng.standard_normal((cfg.enc_dim, 1, cfg.enc_kernel)) * 0.3).astype(np.float32)
+    gb.raw("ConvTranspose", [gb.value, gb.add_init("decw", dec_w)], ["decoded"],
+           strides=[cfg.stride])
+    spec["dec"] = dec_w
+    return spec
+
+
+def _mossformer_oracle(spec, cfg, mix):
+    relu = lambda x: np.maximum(x, 0)
+    x = mix[..., None].astype(np.float64)
+    w = relu(_conv1d_valid_stride_onnx(x, spec["enc"], cfg.stride))  # [B,F,N]
+    h = _gemm(w, *spec["in_proj"])
+    f = w.shape[1]
+    for blk in spec["gaus"]:
+        hn = _ln(h, *blk["ln"], eps=1e-8)
+        hn = hn + _silu(_conv1d_same_onnx(hn, *blk["dw"], groups=cfg.dim))
+        u = _silu(_gemm(hn, *blk["to_u"]))
+        v = _silu(_gemm(hn, *blk["to_v"]))
+        z = _gemm(hn, *blk["to_qk"])
+        q = z * blk["gamma"][0] + blk["beta"][0]
+        k = z * blk["gamma"][1] + blk["beta"][1]
+        logits = np.einsum("btd,bsd->bts", q, k) / f
+        attn = relu(logits) ** 2
+        out = u * np.einsum("bts,bse->bte", attn, v)
+        h = h + _gemm(out, *blk["to_out"])
+    h = _ln(h, *spec["ln_out"], eps=1e-8)
+    m = relu(_gemm(h, *spec["mask_head"]))
+    b = mix.shape[0]
+    m = m.reshape(b, f, cfg.n_src, cfg.enc_dim)
+    masked = w[:, :, None, :] * m
+    dec = spec["dec"][:, 0, :].T  # [L, N]
+    frames = np.einsum("bfsn,kn->bsfk", masked, dec)
+    t_out = (f - 1) * cfg.stride + cfg.enc_kernel
+    sig = np.zeros((b, cfg.n_src, t_out))
+    for fi in range(f):
+        sig[:, :, fi * cfg.stride : fi * cfg.stride + cfg.enc_kernel] += frames[:, :, fi]
+    return sig[..., : mix.shape[1]]
+
+
+def test_mossformer_onnx_import_matches_numpy_oracle(tmp_path):
+    import jax
+
+    from audio_classification_tpu.models.mossformer import MossFormer, MossFormerConfig
+
+    cfg = MossFormerConfig(n_src=2, enc_dim=12, enc_kernel=8, dim=16, qk_dim=8,
+                           expansion=2, layers=2, conv_kernel=5)
+    rng = np.random.default_rng(5)
+    gb = GraphBuilder()
+    spec = _build_mossformer_fixture(cfg, rng, gb)
+    path = gb.write(tmp_path / "moss.onnx")
+
+    variables = import_onnx(path, "mossformer", cfg)
+    model = MossFormer(cfg)
+    ref = model.init(jax.random.PRNGKey(0), np.zeros((1, 64), np.float32),
+                     np.ones((1, 64), np.float32))
+    assert jax.tree_util.tree_structure(ref) == jax.tree_util.tree_structure(variables)
+
+    t = 10 * cfg.stride + cfg.enc_kernel - cfg.stride  # frames tile exactly
+    mix = (rng.standard_normal((2, t)) * 0.3).astype(np.float32)
+    got = np.asarray(model.apply(variables, mix, np.ones((2, t), np.float32)))
+    want = _mossformer_oracle(spec, cfg, mix)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
 
 def test_import_onnx_rejects_topology_mismatch(tmp_path):
