@@ -99,3 +99,28 @@ def test_streaming_app_file_replay(target_wav, tmp_path):
     assert jsonls
     recs = [json.loads(l) for l in jsonls[-1].read_text().splitlines()]
     assert len(recs) == len(app.all_results)
+
+
+def test_streaming_real_time_margin(target_wav):
+    """VERDICT round-1 item 9: after warmup, p95 per-chunk processing
+    latency must be below the chunk duration — the streaming pipeline keeps
+    real-time margin even on this single-core CPU test box (the real chip
+    is far faster)."""
+    chunk_sec = 2.0
+    pipe = StreamingOverlap3Pipeline(_args(), target_wav)
+    try:
+        pipe.warmup(chunk_sec)
+        n = int(chunk_sec * SR)
+        rng = np.random.default_rng(0)
+        for i in range(6):
+            chunk = (_tone(chunk_sec, 300 + 40 * i)
+                     + _tone(chunk_sec, 520) * (i % 2)
+                     + 0.01 * rng.standard_normal(n).astype(np.float32))
+            pipe.add_audio_data(chunk.astype(np.float32))
+        pipe.drain(timeout=120)
+        pipe.close()
+        stats = pipe.latency_stats()
+        assert stats["chunks"] >= 6
+        assert stats["latency_p95_sec"] < chunk_sec, stats
+    finally:
+        pipe._stopped = True
