@@ -1,30 +1,51 @@
 """N-source WAV mixer (fixture/synthesis tool).
 
-Reimplements the reference tool (reference: scripts/tools/mix_wavs.py:
-49-243): per-source start offsets, either relative-SNR-to-source-0 or
-absolute per-source dB gains (mutually exclusive), auto-resample to the
-target rate, and a global peak limiter at 0.98. Decode/encode use the
-framework's own codec; resampling uses the device polyphase resampler.
+Covers the reference tool's capability surface (reference:
+scripts/tools/mix_wavs.py:49-243): per-source start offsets, either
+relative-SNR-to-source-0 or absolute per-source dB gains (mutually
+exclusive), auto-resample to the target rate, and a global peak limiter at
+0.98. Decode/encode use the framework's own codec; resampling uses the
+device polyphase resampler.
+
+Structure: ``plan_scales`` turns the gain specification into one linear
+scale per source, ``mix`` assembles the offset sum and applies the limiter,
+returning a ``MixResult`` the CLI reports from.
 """
 from __future__ import annotations
 
 import argparse
+from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..audio_io import read_wav, to_mono, write_wav
 from ..ops.resample import resample_poly
 
-import jax.numpy as jnp
+
+@dataclass
+class MixResult:
+    """What ``mix`` produced, for reporting and tests."""
+
+    out_path: str
+    sample_rate: int
+    num_samples: int
+    peak_before_limit: float
+    limiter_gain: float
+    scales: np.ndarray  # per-source linear gains
+
+    @property
+    def duration_sec(self) -> float:
+        return self.num_samples / self.sample_rate
 
 
 def _rms(x: np.ndarray) -> float:
     return float(np.sqrt(np.mean(np.square(x.astype(np.float64))) + 1e-12))
 
 
-def _load_wav(path: str, target_sr: int) -> np.ndarray:
+def _load_mono(path: str, target_sr: int) -> np.ndarray:
     wav, sr = read_wav(path)
     wav = to_mono(wav)
     if sr != target_sr:
@@ -32,15 +53,32 @@ def _load_wav(path: str, target_sr: int) -> np.ndarray:
     return wav.astype(np.float32)
 
 
-def _parse_floats_csv(s: Optional[str], n: int, default: float) -> List[float]:
-    if not s:
-        return [default] * n
-    vals = [float(p.strip()) for p in s.split(",") if p.strip() != ""]
-    if len(vals) == 1:
-        return [vals[0]] * n
-    if len(vals) != n:
-        raise ValueError(f"List length mismatch: expected {n}, got {len(vals)}")
-    return vals
+def plan_scales(
+    waves: Sequence[np.ndarray],
+    snr_dbs: Optional[Sequence[float]],
+    gains_db: Optional[Sequence[float]],
+) -> np.ndarray:
+    """Per-source linear gains from exactly one of the two dB specs.
+
+    ``gains_db`` are absolute. ``snr_dbs`` are relative to source 0: a
+    positive value makes that source quieter than source 0 by that many dB
+    of RMS (source 0 itself conventionally gets 0).
+    """
+    n = len(waves)
+    if snr_dbs is not None and gains_db is not None:
+        raise ValueError("Use either --snr or --gains-db, not both")
+    if gains_db is not None:
+        if len(gains_db) != n:
+            raise ValueError("gains-db length must match number of inputs")
+        return 10.0 ** (np.asarray(gains_db, dtype=np.float64) / 20.0)
+    if snr_dbs is not None:
+        if len(snr_dbs) != n:
+            raise ValueError("snr length must match number of inputs")
+        ref_rms = _rms(waves[0]) or 1e-3
+        per_source_rms = np.asarray([max(_rms(w), 1e-6) for w in waves])
+        attenuation = 10.0 ** (-np.asarray(snr_dbs, dtype=np.float64) / 20.0)
+        return attenuation * (ref_rms / per_source_rms)
+    return np.ones(n, dtype=np.float64)
 
 
 def mix(
@@ -51,48 +89,43 @@ def mix(
     snr_dbs: Optional[List[float]] = None,
     gains_db: Optional[List[float]] = None,
     peak_limit: float = 0.98,
-) -> None:
-    n = len(inputs)
-    if n == 0:
+) -> MixResult:
+    if not inputs:
         raise ValueError("No input files provided")
-    offsets = offsets or [0.0] * n
-    if len(offsets) != n:
+    offsets = offsets if offsets is not None else [0.0] * len(inputs)
+    if len(offsets) != len(inputs):
         raise ValueError("offsets length must match number of inputs")
-    if snr_dbs is not None and gains_db is not None:
-        raise ValueError("Use either --snr or --gains-db, not both")
 
-    waves = [_load_wav(p, sr) for p in inputs]
+    waves = [_load_mono(p, sr) for p in inputs]
+    scales = plan_scales(waves, snr_dbs, gains_db)
     starts = [int(max(0.0, o) * sr) for o in offsets]
-    total_len = max(s + w.shape[-1] for s, w in zip(starts, waves))
 
-    scales = np.ones(n, dtype=np.float64)
-    if gains_db is not None:
-        if len(gains_db) != n:
-            raise ValueError("gains-db length must match number of inputs")
-        scales = 10.0 ** (np.asarray(gains_db, dtype=np.float64) / 20.0)
-    elif snr_dbs is not None:
-        if len(snr_dbs) != n:
-            raise ValueError("snr length must match number of inputs")
-        # SNRs relative to source 0: positive value -> quieter source
-        ref_rms = _rms(waves[0]) or 1e-3
-        ratios = 10.0 ** (-np.asarray(snr_dbs, dtype=np.float64) / 20.0)
-        rms_arr = np.asarray([max(_rms(w), 1e-6) for w in waves])
-        scales = ratios * (ref_rms / rms_arr)
+    acc = np.zeros(max(s + len(w) for s, w in zip(starts, waves)), dtype=np.float64)
+    for wav, start, scale in zip(waves, starts, scales):
+        acc[start : start + len(wav)] += wav.astype(np.float64) * scale
 
-    mix_tmp = np.zeros(total_len, dtype=np.float64)
-    for w, s, sc in zip(waves, starts, scales):
-        mix_tmp[s : s + w.shape[-1]] += w.astype(np.float64) * sc
-    peak = float(np.max(np.abs(mix_tmp)) + 1e-12)
-    g = peak_limit / peak if peak > peak_limit else 1.0
-    mix_out = (mix_tmp * g).astype(np.float32)
+    peak = float(np.max(np.abs(acc)) + 1e-12)
+    limiter = peak_limit / peak if peak > peak_limit else 1.0
+    out = (acc * limiter).astype(np.float32)
 
     Path(out_path).parent.mkdir(parents=True, exist_ok=True)
-    write_wav(out_path, mix_out, sr)
-    print(f"Saved mixture: {out_path}")
-    print(f"- target SR     : {sr}")
-    print(f"- duration (s)  : {len(mix_out)/sr:.3f}")
-    print(f"- peak (before) : {peak:.4f}, global gain: {g:.4f}")
-    print("- per-source scales (linear):", ", ".join(f"{s:.4f}" for s in scales))
+    write_wav(out_path, out, sr)
+    return MixResult(
+        out_path=str(out_path), sample_rate=sr, num_samples=len(out),
+        peak_before_limit=peak, limiter_gain=limiter, scales=scales,
+    )
+
+
+def _csv_floats(raw: str, n: int) -> Optional[List[float]]:
+    """Comma list -> n floats (a single value broadcasts); '' -> None."""
+    if not raw:
+        return None
+    vals = [float(p) for p in raw.split(",") if p.strip()]
+    if len(vals) == 1:
+        vals = vals * n
+    if len(vals) != n:
+        raise ValueError(f"List length mismatch: expected {n}, got {len(vals)}")
+    return vals
 
 
 def main(argv=None):
@@ -107,11 +140,18 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     n = len(args.inputs)
-    offsets = _parse_floats_csv(args.offsets, n, 0.0)
-    snr = _parse_floats_csv(args.snr, n, 0.0) if args.snr else None
-    gains = _parse_floats_csv(args.gains_db, n, 0.0) if args.gains_db else None
-    mix(args.inputs, args.out, sr=args.sr, offsets=offsets, snr_dbs=snr,
-        gains_db=gains, peak_limit=args.peak_limit)
+    res = mix(
+        args.inputs, args.out, sr=args.sr,
+        offsets=_csv_floats(args.offsets, n) or [0.0] * n,
+        snr_dbs=_csv_floats(args.snr, n),
+        gains_db=_csv_floats(args.gains_db, n),
+        peak_limit=args.peak_limit,
+    )
+    print(f"Saved mixture: {res.out_path}")
+    print(f"- target SR     : {res.sample_rate}")
+    print(f"- duration (s)  : {res.duration_sec:.3f}")
+    print(f"- peak (before) : {res.peak_before_limit:.4f}, global gain: {res.limiter_gain:.4f}")
+    print("- per-source scales (linear):", ", ".join(f"{s:.4f}" for s in res.scales))
 
 
 if __name__ == "__main__":
