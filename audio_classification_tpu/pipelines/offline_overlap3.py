@@ -117,6 +117,12 @@ def build_engine(cfg) -> StageEngine:
         from ..models.convert.torch_import import load_convtasnet_torch
 
         pack.load_params("sep3", load_convtasnet_torch(sep_ckpt, preset.sep3))
+    osd_ckpt = getattr(cfg, "osd_checkpoint", "")
+    if osd_ckpt:
+        # per-stage OSD params from cli/distill_osd (orbax dir)
+        from ..train.checkpoint import load_params
+
+        pack.load_params("osd", load_params(pack.params["osd"], osd_ckpt))
     sr = G_SAMPLE_RATE
     max_sec = getattr(cfg, "max_segment_sec", 64.0)
     buckets = BucketSpec(

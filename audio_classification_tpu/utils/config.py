@@ -37,6 +37,8 @@ class Overlap3Config:
     # Separation
     sep_backend: str = "convtasnet"
     sep_checkpoint: str = ""
+    # OSD
+    osd_checkpoint: str = ""          # orbax OSD params (cli/distill_osd output)
     # ASR (model selection mirrors create_asr_model's one-of contract)
     paraformer: str = ""
     sense_voice: str = ""

@@ -1,0 +1,72 @@
+"""OSD distillation recipe tool (cli/distill_osd) tests."""
+import numpy as np
+import pytest
+
+from audio_classification_tpu.cli.distill_osd import (
+    energy_labels,
+    main,
+    make_scene,
+    teacher_labels,
+)
+
+
+def test_energy_labels_mark_overlap_window():
+    rng = np.random.default_rng(0)
+    s1, s2 = make_scene(rng, 4.0)
+    centers = (np.arange(100) + 0.5) * 0.04
+    lab = energy_labels([s1, s2], centers, 0.03)
+    assert lab.shape == (100, 2)
+    # speech ~everywhere (s1 always on), overlap only in the interior window
+    assert lab[:, 0].mean() > 0.9
+    active = np.where(s2 != 0)[0]
+    a, b = active[0] / 16000, active[-1] / 16000
+    inside = (centers > a + 0.1) & (centers < b - 0.1)
+    outside = (centers < a - 0.1) | (centers > b + 0.1)
+    assert lab[inside, 1].mean() > 0.9
+    assert lab[outside, 1].mean() < 0.1
+
+
+def test_teacher_labels_resample():
+    probs = np.stack([np.linspace(0, 1, 50), np.linspace(1, 0, 50)], axis=-1)
+    centers = np.array([0.0, 0.5, 1.0])
+    lab = teacher_labels(probs.astype(np.float32), 0.02, centers)
+    assert lab.shape == (3, 2)
+    # frame_sec 0.02 -> teacher spans ~1 s; midpoint interpolates to ~0.5
+    assert abs(lab[1, 0] - 0.5) < 0.05
+    assert abs(lab[1, 1] - 0.5) < 0.05
+
+
+def test_distill_osd_synthetic_end_to_end(tmp_path):
+    out = tmp_path / "osd_params"
+    m = main([
+        "--synthetic", "--preset", "tiny", "--steps", "40", "--batch", "4",
+        "--dur", "2.0", "--eval-files", "4", "--f1-target", "0.0",
+        "--out", str(out), "--seed", "0",
+    ])
+    assert out.is_dir()
+    assert m["f1"] is not None
+
+    # the saved params load into an engine via --osd-checkpoint and differ
+    # from seed init
+    from audio_classification_tpu.pipelines.offline_overlap3 import build_engine
+    from audio_classification_tpu.utils.config import Overlap3Config
+
+    eng0 = build_engine(Overlap3Config(preset="tiny", seed=0, max_batch=2))
+    eng1 = build_engine(Overlap3Config(preset="tiny", seed=0, max_batch=2,
+                                       osd_checkpoint=str(out)))
+    k0 = np.asarray(eng0.pack.params["osd"]["params"]["head"]["kernel"])
+    k1 = np.asarray(eng1.pack.params["osd"]["params"]["head"]["kernel"])
+    assert not np.array_equal(k0, k1)
+    segs = eng1.osd_segments(np.zeros(16000, np.float32), 16000, 0.5, 0.5, 0.1)
+    assert isinstance(segs, list)
+
+
+def test_distill_osd_teacher_npz_path(tmp_path):
+    # a teacher dump is consumed when --librimix-root provides the stems;
+    # synthetic mode has no stems, so exercise interp directly + CLI parse
+    probs = np.random.default_rng(0).uniform(0, 1, (80, 2)).astype(np.float32)
+    np.savez(tmp_path / "teacher.npz", __frame_sec__=0.05, utt0=probs)
+    loaded = dict(np.load(tmp_path / "teacher.npz"))
+    frame_sec = float(loaded.pop("__frame_sec__"))
+    lab = teacher_labels(loaded["utt0"], frame_sec, np.array([0.1, 1.0, 3.9]))
+    assert lab.shape == (3, 2) and np.isfinite(lab).all()
