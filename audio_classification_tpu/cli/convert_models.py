@@ -38,7 +38,8 @@ def parse_args(argv=None):
                    help="ONNX files to inventory (weights -> <name>.weights.npz + .inventory.json)")
     p.add_argument("--map", nargs="*", default=[], dest="map_targets",
                    choices=["speaker", "sensevoice", "vad", "whisper",
-                            "mossformer", "inventory"],
+                            "mossformer", "paraformer", "transducer",
+                            "inventory"],
                    help="Per --onnx file: graph-aware mapping target "
                         "('inventory' keeps the npz/JSON dump behavior)")
     return p.parse_args(argv)
@@ -50,7 +51,15 @@ def main(argv=None):
     from ..train.checkpoint import save_model_pack
 
     preset = tiny_preset() if args.preset == "tiny" else EnginePreset()
-    pack = ModelPack(preset, seed=args.seed)
+    # an ASR map target dictates the pack's recognizer family so the mapped
+    # tree lands on a matching architecture
+    asr_targets = {"paraformer", "transducer", "whisper"} & set(args.map_targets)
+    if len(asr_targets) > 1:
+        raise SystemExit(f"conflicting ASR map targets: {sorted(asr_targets)}")
+    family = asr_targets.pop() if asr_targets else "sensevoice"
+    pack = ModelPack(preset, seed=args.seed, asr_family=family)
+    if family != "sensevoice":
+        print(f"pack ASR family: {family}")
 
     if args.sep_checkpoint_3:
         from ..models.convert.torch_import import load_convtasnet_torch
@@ -66,9 +75,11 @@ def main(argv=None):
     if args.map_targets and len(args.map_targets) != len(args.onnx):
         raise SystemExit("--map must list one target per --onnx file")
     pack_key = {"speaker": "spk", "sensevoice": "asr", "vad": "vad",
-                "whisper": "asr", "mossformer": "mossformer"}
+                "whisper": "asr", "mossformer": "mossformer",
+                "paraformer": "asr", "transducer": "asr"}
     map_cfg = {"speaker": preset.spk, "sensevoice": pack.asr_cfg, "vad": preset.vad,
-               "whisper": pack.whisper_cfg, "mossformer": preset.mossformer}
+               "whisper": pack.whisper_cfg, "mossformer": preset.mossformer,
+               "paraformer": pack.paraformer_cfg, "transducer": pack.transducer_cfg}
     for i, onnx_path in enumerate(args.onnx):
         target = args.map_targets[i] if args.map_targets else "inventory"
         if target != "inventory":

@@ -151,6 +151,48 @@ class GraphMapper:
         return {"scale": s.astype(np.float32), "bias": b.astype(np.float32)}
 
 
+class _QueueSet:
+    """Ordered weight-bearing op queues + typed pop helpers for one graph."""
+
+    def __init__(self, graph: OnnxGraph, who: str):
+        self.m = GraphMapper(graph)
+        self.who = who
+        self.denses = deque(graph.ops("Gemm", "MatMul"))
+        self.lns = deque(graph.ops("LayerNormalization"))
+        self.convs = deque(graph.ops("Conv"))
+
+    def _pop(self, q, kind):
+        if not q:
+            raise ValueError(f"{self.who}: ran out of {kind} nodes")
+        return q.popleft()
+
+    def dense(self, out_dim: int) -> Dict[str, np.ndarray]:
+        return self.m.dense(self._pop(self.denses, "Gemm/MatMul"), out_dim)
+
+    def ln(self, dim: int) -> Dict[str, np.ndarray]:
+        return self.m.layernorm(self._pop(self.lns, "LayerNormalization"), dim)
+
+    def conv1d(self, out_ch: int) -> Dict[str, np.ndarray]:
+        return self.m.conv1d(self._pop(self.convs, "Conv"), out_ch)
+
+    def transformer_block(self, dim: int, ffn_mult: int, conv_kernel: int) -> Dict[str, object]:
+        """models/common.TransformerBlock in execution order: ln -> qkv ->
+        out [-> ln -> dwconv] -> ln -> ffn_up -> ffn_down."""
+        blk: Dict[str, object] = {"LayerNorm_0": self.ln(dim)}
+        blk["MultiHeadSelfAttention_0"] = {"qkv": self.dense(3 * dim),
+                                           "out": self.dense(dim)}
+        blk["LayerNorm_1"] = self.ln(dim)
+        if conv_kernel > 0:
+            blk["dwconv"] = self.conv1d(dim)
+            blk["LayerNorm_2"] = self.ln(dim)
+        blk["Dense_0"] = self.dense(dim * ffn_mult)
+        blk["Dense_1"] = self.dense(dim)
+        return blk
+
+    def drained(self) -> None:
+        _drained(self.who, self.denses, self.lns, self.convs)
+
+
 def _drained(name: str, *queues) -> None:
     left = [f"{q[0].op_type}('{q[0].name}')" for q in queues if q]
     if left:
@@ -245,23 +287,10 @@ def map_sensevoice_onnx(graph: OnnxGraph, cfg) -> dict:
     """
     from ...models.asr.sensevoice import LANGUAGES
 
-    m = GraphMapper(graph)
-    denses = deque(graph.ops("Gemm", "MatMul"))
-    lns = deque(graph.ops("LayerNormalization"))
-    convs = deque(graph.ops("Conv"))
-
-    def dense(out_dim):
-        if not denses:
-            raise ValueError("sensevoice map: ran out of Gemm/MatMul nodes")
-        return m.dense(denses.popleft(), out_dim)
-
-    def ln():
-        if not lns:
-            raise ValueError("sensevoice map: ran out of LayerNormalization nodes")
-        return m.layernorm(lns.popleft(), cfg.dim)
-
+    q = _QueueSet(graph, "sensevoice map")
+    m = q.m
     params: Dict[str, object] = {}
-    params["in_proj"] = dense(cfg.dim)
+    params["in_proj"] = q.dense(cfg.dim)
 
     # prompt embeddings by usage + shape
     lang = itn = pad = None
@@ -290,23 +319,10 @@ def map_sensevoice_onnx(graph: OnnxGraph, cfg) -> dict:
     params["prompt_pad"] = pad.astype(np.float32)
 
     for i in range(cfg.layers):
-        blk: Dict[str, object] = {}
-        blk["LayerNorm_0"] = ln()
-        blk["MultiHeadSelfAttention_0"] = {
-            "qkv": dense(3 * cfg.dim),
-            "out": dense(cfg.dim),
-        }
-        blk["LayerNorm_1"] = ln()
-        if not convs:
-            raise ValueError("sensevoice map: ran out of Conv (dwconv) nodes")
-        blk["dwconv"] = m.conv1d(convs.popleft(), cfg.dim)
-        blk["LayerNorm_2"] = ln()
-        blk["Dense_0"] = dense(cfg.dim * cfg.ffn_mult)
-        blk["Dense_1"] = dense(cfg.dim)
-        params[f"block_{i}"] = blk
-    params["final_ln"] = ln()
-    params["ctc_head"] = dense(cfg.vocab_size)
-    _drained("sensevoice map", denses, lns, convs)
+        params[f"block_{i}"] = q.transformer_block(cfg.dim, cfg.ffn_mult, cfg.conv_kernel)
+    params["final_ln"] = q.ln(cfg.dim)
+    params["ctc_head"] = q.dense(cfg.vocab_size)
+    q.drained()
     return {"params": params}
 
 
@@ -330,6 +346,68 @@ def map_vad_onnx(graph: OnnxGraph, cfg) -> dict:
     params["head"] = m.dense(denses.popleft(), 1)
     _drained("vad map", convs, denses)
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Paraformer (CIF): models/asr/paraformer.Paraformer
+# ---------------------------------------------------------------------------
+
+def map_paraformer_onnx(graph: OnnxGraph, cfg) -> dict:
+    """in_proj -> encoder transformer blocks (conformer-flavored) -> enc_ln
+    -> CIF predictor (hidden + scalar firing head) -> NAR decoder blocks
+    (no conv branch) -> dec_ln -> vocab head, all in execution order
+    (reference family: src/model.py:69-78, from_paraformer)."""
+    q = _QueueSet(graph, "paraformer map")
+    params: Dict[str, object] = {"in_proj": q.dense(cfg.dim)}
+    for i in range(cfg.enc_layers):
+        params[f"enc_{i}"] = q.transformer_block(cfg.dim, cfg.ffn_mult, cfg.conv_kernel)
+    params["enc_ln"] = q.ln(cfg.dim)
+    params["cif_hidden"] = q.dense(cfg.dim)
+    params["cif_out"] = q.dense(1)
+    for i in range(cfg.dec_layers):
+        params[f"dec_{i}"] = q.transformer_block(cfg.dim, cfg.ffn_mult, 0)
+    params["dec_ln"] = q.ln(cfg.dim)
+    params["out"] = q.dense(cfg.vocab_size)
+    q.drained()
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Transducer (encoder / predictor / joiner): models/asr/transducer.Transducer
+# ---------------------------------------------------------------------------
+
+def map_transducer_onnx(graph: OnnxGraph, cfg) -> dict:
+    """One combined graph in execution order: encoder (2 subsampling convs,
+    transformer blocks, out_ln), predictor (embedding Gather + proj), joiner
+    (enc_proj, pred_proj, out). The reference ships the three as separate
+    ONNX files (src/model.py:88-99 from_transducer); concatenate their
+    nodes when importing sherpa-style exports."""
+    q = _QueueSet(graph, "transducer map")
+    m = q.m
+    enc: Dict[str, object] = {}
+    enc["sub1"] = q.conv1d(cfg.dim)
+    enc["sub2"] = q.conv1d(cfg.dim)
+    for i in range(cfg.layers):
+        enc[f"block_{i}"] = q.transformer_block(cfg.dim, cfg.ffn_mult, cfg.conv_kernel)
+    enc["out_ln"] = q.ln(cfg.dim)
+
+    emb = None
+    for n in graph.ops("Gather"):
+        t = m.tensor(n.inputs[0])
+        if t is not None and t.ndim == 2 and t.shape == (cfg.vocab_size, cfg.pred_dim):
+            emb = t
+            break
+    if emb is None:
+        raise ValueError(
+            f"transducer map: predictor embedding Gather ({cfg.vocab_size}, "
+            f"{cfg.pred_dim}) not found")
+    predictor = {"embed": {"embedding": emb.astype(np.float32)},
+                 "proj": q.dense(cfg.pred_dim)}
+    joiner = {"enc_proj": q.dense(cfg.joiner_dim),
+              "pred_proj": q.dense(cfg.joiner_dim),
+              "out": q.dense(cfg.vocab_size)}
+    q.drained()
+    return {"params": {"encoder": enc, "predictor": predictor, "joiner": joiner}}
 
 
 # ---------------------------------------------------------------------------
@@ -478,13 +556,25 @@ MAPPERS = {
     "vad": map_vad_onnx,
     "whisper": map_whisper_onnx,
     "mossformer": map_mossformer_onnx,
+    "paraformer": map_paraformer_onnx,
+    "transducer": map_transducer_onnx,
 }
 
 
-def import_onnx(path: str, target: str, cfg) -> dict:
-    """Load an ONNX file and map it onto the `target` module's variables."""
+def import_onnx(path, target: str, cfg) -> dict:
+    """Map ONNX file(s) onto the `target` module's variables.
+
+    ``path`` may be a list of files (e.g. the transducer's encoder/decoder/
+    joiner, or whisper's encoder+decoder): their nodes and initializers are
+    concatenated in the given order before the structural walk."""
     from .onnx_import import load_onnx_graph
 
     if target not in MAPPERS:
         raise ValueError(f"unknown map target '{target}' (have {sorted(MAPPERS)})")
-    return MAPPERS[target](load_onnx_graph(path), cfg)
+    paths = [path] if isinstance(path, (str, bytes)) else list(path)
+    graphs = [load_onnx_graph(p) for p in paths]
+    merged = graphs[0]
+    for g in graphs[1:]:
+        merged.nodes.extend(g.nodes)
+        merged.initializers.update(g.initializers)
+    return MAPPERS[target](merged, cfg)

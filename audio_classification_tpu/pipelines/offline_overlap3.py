@@ -101,7 +101,25 @@ def build_engine(cfg) -> StageEngine:
     if wh_path.endswith(".onnx") and family == "whisper":
         from ..models.convert.onnx_graph_map import import_onnx
 
-        pack.load_params("asr", import_onnx(wh_path, "whisper", pack.whisper_cfg))
+        wh_dec = getattr(cfg, "whisper_decoder", "")
+        files = [wh_path] + ([wh_dec] if wh_dec.endswith(".onnx") else [])
+        pack.load_params("asr", import_onnx(files, "whisper", pack.whisper_cfg))
+    pf_path = getattr(cfg, "paraformer", "")
+    if pf_path.endswith(".onnx") and family == "paraformer":
+        from ..models.convert.onnx_graph_map import import_onnx
+
+        pack.load_params("asr", import_onnx(pf_path, "paraformer", pack.paraformer_cfg))
+    enc_path = getattr(cfg, "encoder", "")
+    if enc_path.endswith(".onnx") and family == "transducer":
+        # the reference's from_transducer takes encoder/decoder/joiner files
+        # (src/model.py:88-99); concatenate whichever are given
+        from ..models.convert.onnx_graph_map import import_onnx
+
+        files = [enc_path] + [
+            p for p in (getattr(cfg, "decoder", ""), getattr(cfg, "joiner", ""))
+            if p.endswith(".onnx")
+        ]
+        pack.load_params("asr", import_onnx(files, "transducer", pack.transducer_cfg))
     spk_path = getattr(cfg, "spk_embed_model", "")
     if spk_path.endswith(".onnx"):
         from ..models.convert.onnx_graph_map import import_onnx

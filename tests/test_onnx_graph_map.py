@@ -602,6 +602,236 @@ def test_mossformer_onnx_import_matches_numpy_oracle(tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
 
+# ------------------------------------------------ shared transformer block
+
+def _build_tblock(cfg_dim, ffn_mult, conv_kernel, rng, gb):
+    """Emit one models/common.TransformerBlock in execution order; return
+    the raw arrays keyed for _tblock_np."""
+    def rgemm(din, dout):
+        w = (rng.standard_normal((dout, din)) * 0.2).astype(np.float32)
+        b = (rng.standard_normal(dout) * 0.05).astype(np.float32)
+        gb.gemm(w, b)
+        return w, b
+
+    def rln():
+        s = rng.uniform(0.5, 1.5, cfg_dim).astype(np.float32)
+        b = (rng.standard_normal(cfg_dim) * 0.05).astype(np.float32)
+        gb.layernorm(s, b)
+        return s, b
+
+    blk = {"ln0": rln(), "qkv": rgemm(cfg_dim, 3 * cfg_dim),
+           "out": rgemm(cfg_dim, cfg_dim), "ln1": rln()}
+    if conv_kernel > 0:
+        wd = (rng.standard_normal((cfg_dim, 1, conv_kernel)) * 0.3).astype(np.float32)
+        bd = (rng.standard_normal(cfg_dim) * 0.05).astype(np.float32)
+        gb.conv(wd, bd, group=cfg_dim)
+        blk["dw"] = (wd, bd)
+        blk["ln2"] = rln()
+    blk["ffn0"] = rgemm(cfg_dim, cfg_dim * ffn_mult)
+    blk["ffn1"] = rgemm(cfg_dim * ffn_mult, cfg_dim)
+    return blk
+
+
+def _tblock_np(x, blk, heads, mask=None):
+    """numpy oracle for models/common.TransformerBlock."""
+    b, t, d = x.shape
+    dh = d // heads
+    h = _ln(x, *blk["ln0"])
+    q, k, v = np.split(_gemm(h, *blk["qkv"]), 3, axis=-1)
+    def hs(z):
+        return z.reshape(b, t, heads, dh)
+    q, k, v = hs(q), hs(k), hs(v)
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dh)
+    if mask is not None:
+        logits = logits + np.where(mask[:, None, None, :], 0.0, -1e9)
+    attn = _softmax(logits, axis=-1)
+    o = np.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+    x = x + _gemm(o, *blk["out"])
+    h = _ln(x, *blk["ln1"])
+    if "dw" in blk:
+        if mask is not None:
+            h = h * mask[..., None]
+        x = x + _silu(_conv1d_same_onnx(h, *blk["dw"], groups=d))
+        h = _ln(x, *blk["ln2"])
+    x = x + _gemm(_gelu_tanh(_gemm(h, *blk["ffn0"])), *blk["ffn1"])
+    if mask is not None:
+        x = x * mask[..., None]
+    return x
+
+
+# --------------------------------------------------------------- paraformer
+
+def _cif_np(h, alpha, max_tokens, threshold=1.0):
+    """numpy mirror of models/asr/paraformer.cif_integrate."""
+    b, t, d = h.shape
+    out = np.zeros((b, max_tokens, d))
+    count = np.zeros(b, int)
+    acc_w = np.zeros(b)
+    acc_v = np.zeros((b, d))
+    for i in range(t):
+        for bi in range(b):
+            a_t, h_t = alpha[bi, i], h[bi, i]
+            total = acc_w[bi] + a_t
+            if total >= threshold:
+                used = threshold - acc_w[bi]
+                rem = total - threshold
+                out[bi, min(count[bi], max_tokens - 1)] = acc_v[bi] + used * h_t
+                count[bi] += 1
+                acc_v[bi] = rem * h_t
+                acc_w[bi] = rem
+            else:
+                acc_v[bi] = acc_v[bi] + a_t * h_t
+                acc_w[bi] = total
+    for bi in range(b):
+        if acc_w[bi] >= threshold * 0.5:
+            out[bi, min(count[bi], max_tokens - 1)] = acc_v[bi]
+            count[bi] = min(count[bi] + 1, max_tokens)
+    return out, count
+
+
+def test_paraformer_onnx_import_matches_numpy_oracle(tmp_path):
+    import jax
+
+    from audio_classification_tpu.models.asr.paraformer import (
+        Paraformer,
+        ParaformerConfig,
+    )
+    from audio_classification_tpu.models.common import sinusoidal_positions
+
+    cfg = ParaformerConfig(vocab_size=11, dim=16, heads=2, enc_layers=2,
+                           dec_layers=1, ffn_mult=2, conv_kernel=3, max_tokens=6)
+    feat_dim = 10
+    rng = np.random.default_rng(6)
+    gb = GraphBuilder()
+
+    def rgemm(din, dout):
+        w = (rng.standard_normal((dout, din)) * 0.2).astype(np.float32)
+        b = (rng.standard_normal(dout) * 0.05).astype(np.float32)
+        gb.gemm(w, b)
+        return w, b
+
+    def rln():
+        s = rng.uniform(0.5, 1.5, cfg.dim).astype(np.float32)
+        b = (rng.standard_normal(cfg.dim) * 0.05).astype(np.float32)
+        gb.layernorm(s, b)
+        return s, b
+
+    spec = {"in_proj": rgemm(feat_dim, cfg.dim)}
+    spec["enc"] = [_build_tblock(cfg.dim, cfg.ffn_mult, cfg.conv_kernel, rng, gb)
+                   for _ in range(cfg.enc_layers)]
+    spec["enc_ln"] = rln()
+    spec["cif_hidden"] = rgemm(cfg.dim, cfg.dim)
+    spec["cif_out"] = rgemm(cfg.dim, 1)
+    spec["dec"] = [_build_tblock(cfg.dim, cfg.ffn_mult, 0, rng, gb)
+                   for _ in range(cfg.dec_layers)]
+    spec["dec_ln"] = rln()
+    spec["head"] = rgemm(cfg.dim, cfg.vocab_size)
+    path = gb.write(tmp_path / "para.onnx")
+
+    variables = import_onnx(path, "paraformer", cfg)
+    model = Paraformer(cfg)
+    ref = model.init(jax.random.PRNGKey(0), np.zeros((1, 5, feat_dim), np.float32), None)
+    assert jax.tree_util.tree_structure(ref) == jax.tree_util.tree_structure(variables)
+
+    feats = (rng.standard_normal((2, 8, feat_dim)) * 0.5).astype(np.float32)
+    got_logits, got_counts = model.apply(variables, feats, None)
+
+    # numpy oracle: encoder + CIF + NAR decoder
+    x = _gemm(feats.astype(np.float64), *spec["in_proj"])
+    ones = np.ones(x.shape[:2], bool)
+    x = x + sinusoidal_positions(x.shape[1], cfg.dim)[None]
+    for blk in spec["enc"]:
+        x = _tblock_np(x, blk, cfg.heads, ones)
+    x = _ln(x, *spec["enc_ln"])
+    a = np.maximum(_gemm(x, *spec["cif_hidden"]), 0)
+    alpha = 1 / (1 + np.exp(-_gemm(a, *spec["cif_out"])))[..., 0]
+    tokens, counts = _cif_np(x, alpha, cfg.max_tokens, cfg.cif_threshold)
+    tok_mask = np.arange(cfg.max_tokens)[None, :] < counts[:, None]
+    y = tokens + sinusoidal_positions(cfg.max_tokens, cfg.dim)[None]
+    for blk in spec["dec"]:
+        y = _tblock_np(y, blk, cfg.heads, tok_mask)
+    y = _ln(y, *spec["dec_ln"])
+    want = _gemm(y, *spec["head"])
+
+    np.testing.assert_array_equal(np.asarray(got_counts), counts)
+    np.testing.assert_allclose(np.asarray(got_logits), want, atol=2e-3, rtol=2e-3)
+
+
+# --------------------------------------------------------------- transducer
+
+def test_transducer_onnx_import_matches_numpy_oracle(tmp_path):
+    import jax
+
+    from audio_classification_tpu.models.asr.transducer import (
+        Transducer,
+        TransducerConfig,
+    )
+    from audio_classification_tpu.models.common import sinusoidal_positions
+
+    cfg = TransducerConfig(vocab_size=11, dim=16, heads=2, layers=2,
+                           ffn_mult=2, conv_kernel=3, context=2,
+                           pred_dim=12, joiner_dim=10, num_mel=6)
+    rng = np.random.default_rng(7)
+    gb = GraphBuilder()
+
+    def rgemm(din, dout):
+        w = (rng.standard_normal((dout, din)) * 0.2).astype(np.float32)
+        b = (rng.standard_normal(dout) * 0.05).astype(np.float32)
+        gb.gemm(w, b)
+        return w, b
+
+    def rln():
+        s = rng.uniform(0.5, 1.5, cfg.dim).astype(np.float32)
+        b = (rng.standard_normal(cfg.dim) * 0.05).astype(np.float32)
+        gb.layernorm(s, b)
+        return s, b
+
+    def rconv(cin, stride):
+        w = (rng.standard_normal((cfg.dim, cin, 5)) * 0.3).astype(np.float32)
+        b = (rng.standard_normal(cfg.dim) * 0.05).astype(np.float32)
+        gb.conv(w, b, strides=[stride])
+        return w, b
+
+    spec = {"sub1": rconv(cfg.num_mel, 2), "sub2": rconv(cfg.dim, 2)}
+    spec["blocks"] = [_build_tblock(cfg.dim, cfg.ffn_mult, cfg.conv_kernel, rng, gb)
+                      for _ in range(cfg.layers)]
+    spec["out_ln"] = rln()
+    emb = (rng.standard_normal((cfg.vocab_size, cfg.pred_dim)) * 0.1).astype(np.float32)
+    gb.raw("Gather", [gb.add_init("emb", emb), gb.add_init("ids", np.array([0], np.int64))],
+           ["pred_emb"])
+    spec["emb"] = emb
+    spec["proj"] = rgemm(cfg.context * cfg.pred_dim, cfg.pred_dim)
+    spec["enc_proj"] = rgemm(cfg.dim, cfg.joiner_dim)
+    spec["pred_proj"] = rgemm(cfg.pred_dim, cfg.joiner_dim)
+    spec["jout"] = rgemm(cfg.joiner_dim, cfg.vocab_size)
+    path = gb.write(tmp_path / "transducer.onnx")
+
+    variables = import_onnx(path, "transducer", cfg)
+    model = Transducer(cfg)
+    ref = model.init(jax.random.PRNGKey(0), np.zeros((1, 8, cfg.num_mel), np.float32),
+                     np.ones((1, 8), bool), np.zeros((1, 3, cfg.context), np.int32))
+    assert jax.tree_util.tree_structure(ref) == jax.tree_util.tree_structure(variables)
+
+    feats = (rng.standard_normal((2, 12, cfg.num_mel)) * 0.5).astype(np.float32)
+    tok = rng.integers(0, cfg.vocab_size, size=(2, 3, cfg.context)).astype(np.int32)
+    got_logits, _ = model.apply(variables, feats, None, tok)
+
+    # numpy oracle: encoder -> predictor -> joiner joint logits
+    x = _gelu_tanh(_conv1d_same_onnx(feats.astype(np.float64), *spec["sub1"], stride=2))
+    x = _gelu_tanh(_conv1d_same_onnx(x, *spec["sub2"], stride=2))
+    ones = np.ones(x.shape[:2], bool)
+    x = x + sinusoidal_positions(x.shape[1], cfg.dim)[None]
+    for blk in spec["blocks"]:
+        x = _tblock_np(x, blk, cfg.heads, ones)
+    enc = _ln(x, *spec["out_ln"])
+    pe = spec["emb"][tok].reshape(2, 3, cfg.context * cfg.pred_dim)
+    pred = np.maximum(_gemm(pe, *spec["proj"]), 0)
+    h = np.tanh(_gemm(enc[:, :, None, :], *spec["enc_proj"])
+                + _gemm(pred[:, None, :, :], *spec["pred_proj"]))
+    want = _gemm(h, *spec["jout"])
+    np.testing.assert_allclose(np.asarray(got_logits), want, atol=2e-3, rtol=2e-3)
+
+
 def test_import_onnx_rejects_topology_mismatch(tmp_path):
     # a speaker graph imported as VAD must fail loudly, not load garbage
     cfg_s = SpeakerEmbedderConfig(num_mel=8, channels=(4, 8), scale=2, embed_dim=16)
