@@ -128,31 +128,49 @@ class ModelPack:
 
         t0 = 8000
         feats0 = jnp.zeros((1, 50, preset.osd.num_mel))
+
+        # On a real accelerator, eager init dispatches every parameter-
+        # initializer op separately — through the tunneled device that is a
+        # ~90 ms round trip per op (~90 s for the full preset), so init runs
+        # as ONE jitted (persistent-cacheable) program per model. On CPU
+        # (the test mesh) eager init is cheap and per-test jit compiles
+        # would dominate, so keep it eager there.
+        jit_init = jax.default_backend() != "cpu"
+
+        def jinit(model, key, *args, method=None):
+            if method is None:
+                fn = lambda kk, *a: model.init(kk, *a)
+            else:
+                fn = lambda kk, *a: model.init(kk, *a, method=method)
+            return jax.jit(fn)(key, *args) if jit_init else fn(key, *args)
+
         self.params: Dict[str, Any] = {
-            "osd": self.osd_model.init(k[0], feats0, jnp.ones((1, 50), bool)),
-            "sep3": self.sep3_model.init(k[1], jnp.zeros((1, t0)), jnp.ones((1, t0))),
-            "sep2": self.sep2_model.init(k[2], jnp.zeros((1, t0)), jnp.ones((1, t0))),
-            "mossformer": self.moss_model.init(k[3], jnp.zeros((1, t0)), jnp.ones((1, t0))),
-            "spk": self.spk_model.init(k[4], feats0, jnp.ones((1, 50), bool)),
-            "vad": self.vad_model.init(k[6], feats0, jnp.ones((1, 50))),
+            "osd": jinit(self.osd_model, k[0], feats0, jnp.ones((1, 50), bool)),
+            "sep3": jinit(self.sep3_model, k[1], jnp.zeros((1, t0)), jnp.ones((1, t0))),
+            "sep2": jinit(self.sep2_model, k[2], jnp.zeros((1, t0)), jnp.ones((1, t0))),
+            "mossformer": jinit(self.moss_model, k[3], jnp.zeros((1, t0)), jnp.ones((1, t0))),
+            "spk": jinit(self.spk_model, k[4], feats0, jnp.ones((1, 50), bool)),
+            "vad": jinit(self.vad_model, k[6], feats0, jnp.ones((1, 50))),
         }
         if asr_family == "transducer":
-            self.params["asr"] = self.asr_model.init(
-                k[5], feats0, jnp.ones((1, 50), bool), method=Transducer.greedy_decode
+            self.params["asr"] = jinit(
+                self.asr_model, k[5], feats0, jnp.ones((1, 50), bool),
+                method=Transducer.greedy_decode,
             )
         elif asr_family == "whisper":
-            self.params["asr"] = self.asr_model.init(
-                k[5], feats0, jnp.ones((1, 50), bool), method=WhisperStyle.greedy_decode
+            self.params["asr"] = jinit(
+                self.asr_model, k[5], feats0, jnp.ones((1, 50), bool),
+                method=WhisperStyle.greedy_decode,
             )
         elif asr_family == "paraformer":
             lfr_dim = self.paraformer_cfg.lfr_m * self.paraformer_cfg.num_mel
-            self.params["asr"] = self.asr_model.init(
-                k[5], jnp.zeros((1, 10, lfr_dim)), jnp.ones((1, 10), bool)
+            self.params["asr"] = jinit(
+                self.asr_model, k[5], jnp.zeros((1, 10, lfr_dim)), jnp.ones((1, 10), bool)
             )
         else:
             lfr_dim = self.asr_cfg.lfr_m * self.asr_cfg.num_mel
-            self.params["asr"] = self.asr_model.init(
-                k[5], jnp.zeros((1, 10, lfr_dim)), jnp.ones((1, 10), bool)
+            self.params["asr"] = jinit(
+                self.asr_model, k[5], jnp.zeros((1, 10, lfr_dim)), jnp.ones((1, 10), bool)
             )
 
     def load_params(self, name: str, params: Any) -> None:
@@ -193,8 +211,10 @@ class _AotProgram:
         ent = self._registry.get(key)
         if ent is None:
             t0 = time.perf_counter()
-            compiled = self._jit.lower(*args, **statics).compile()
-            dt = time.perf_counter() - t0
+            lowered = self._jit.lower(*args, **statics)
+            t1 = time.perf_counter()
+            compiled = lowered.compile()
+            t2 = time.perf_counter()
             flops = bytes_acc = 0.0
             try:
                 cost = compiled.cost_analysis()
@@ -204,9 +224,11 @@ class _AotProgram:
                 bytes_acc = float(cost.get("bytes accessed", 0.0) or 0.0)
             except Exception:
                 pass
+            # lower_s is host trace/lower time (paid every process); a small
+            # compile_s relative to it signals a persistent-cache hit.
             ent = {"name": self.name, "key": key, "exe": compiled,
-                   "compile_s": dt, "flops": flops, "bytes": bytes_acc,
-                   "calls": 0}
+                   "lower_s": t1 - t0, "compile_s": t2 - t1,
+                   "flops": flops, "bytes": bytes_acc, "calls": 0}
             self._registry[key] = ent
         ent["calls"] += 1
         return ent["exe"](*args)
@@ -463,6 +485,7 @@ class StageEngine:
     def compile_summary(self) -> Dict[str, float]:
         return {
             "n_programs": len(self._programs),
+            "lower_total_s": round(sum(e["lower_s"] for e in self._programs.values()), 3),
             "compile_total_s": round(sum(e["compile_s"] for e in self._programs.values()), 3),
         }
 
