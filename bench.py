@@ -78,6 +78,31 @@ def _cache_entries() -> int:
         return 0
 
 
+def family_smoke(items, n: int = 8):
+    """Opt-in (ACT_BENCH_FAMILIES=1): run every ASR decoder family on the
+    real chip — the scan-based transducer/whisper greedy decodes have no
+    other hardware exercise — and report per-family warm rtf_asr."""
+    import time as _t
+
+    from audio_classification_tpu.engine.runtime import ModelPack, EnginePreset, StageEngine
+    from audio_classification_tpu.engine.bucketing import BucketSpec, default_buckets
+
+    chunks = [mix for mix, _ in items[:n]]
+    audio_sec = sum(len(c) for c in chunks) / 16000.0
+    for family in ("sensevoice", "paraformer", "transducer", "whisper"):
+        t0 = _t.time()
+        pack = ModelPack(EnginePreset(), seed=0, asr_family=family)
+        eng = StageEngine(pack, BucketSpec(lengths=default_buckets(16000, 0.5, 16.0),
+                                           max_batch=n))
+        eng.transcribe(chunks)  # compile + first exec
+        warm = _t.time() - t0
+        t0 = _t.time()
+        eng.transcribe(chunks)
+        dt = _t.time() - t0
+        log(f"bench: family={family} rtf_asr={dt/audio_sec:.4f} "
+            f"({audio_sec:.0f}s audio in {dt:.2f}s; warmup {warm:.1f}s)")
+
+
 def main():
     import tempfile
     from pathlib import Path
@@ -166,6 +191,9 @@ def main():
     rtf = float(np.median(rtfs))
     log(f"bench: rtf median={rtf:.4f} min={min(rtfs):.4f} passes={rtfs} "
         f"mfu_median={float(np.median(mfus))*100:.2f}%")
+
+    if os.environ.get("ACT_BENCH_FAMILIES"):
+        family_smoke(items)
     print(json.dumps({
         "metric": "pipeline_rtf_total",
         "value": rtf,
