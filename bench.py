@@ -113,11 +113,16 @@ def main():
     from audio_classification_tpu.utils.config import Overlap3Config
 
     sr = 16000
-    n_mix = int(os.environ.get("ACT_BENCH_MIXTURES", "32"))
+    # defaults from the measured batch sweep on the v5e chip: the pipeline
+    # is dispatch-latency-bound, so rtf improves with offered audio until
+    # the separation batch saturates HBM —
+    #   max_batch 16/32 mix: 0.0106   32/64: 0.0058   64/128: 0.0040
+    #   128/256: 0.0060 (regresses: sep time balloons)
+    n_mix = int(os.environ.get("ACT_BENCH_MIXTURES", "128"))
     dur = float(os.environ.get("ACT_BENCH_DUR_SEC", "10"))
-    passes = max(int(os.environ.get("ACT_BENCH_PASSES", "3")), 1)
+    passes = max(int(os.environ.get("ACT_BENCH_PASSES", "5")), 1)
     dtype = os.environ.get("ACT_BENCH_DTYPE", "bfloat16")
-    max_batch = int(os.environ.get("ACT_BENCH_MAX_BATCH", "16"))
+    max_batch = int(os.environ.get("ACT_BENCH_MAX_BATCH", "64"))
     items = make_mixtures(n_mix, dur, sr)
 
     with tempfile.TemporaryDirectory() as td:
