@@ -160,14 +160,15 @@ def _signed64(v: int) -> int:
 def _parse_attribute(buf: memoryview):
     """AttributeProto -> (name, python value).
 
-    Handled: f(2), i(3), s(4), t(5, TensorProto), floats(7), ints(8),
-    strings(9). Graph-valued attributes are skipped (returned as None).
+    Handled: f(2), i(3), s(4), t(5, TensorProto), g(6, GraphProto ->
+    OnnxGraph), floats(7), ints(8), strings(9), graphs(11).
     """
     name = ""
     val = None
     floats: List[float] = []
     ints: List[int] = []
     strings: List[bytes] = []
+    graphs: List["OnnxGraph"] = []
     for field_no, wire, v in _iter_fields(buf):
         if field_no == 1 and wire == 2:
             name = bytes(v).decode("utf-8", errors="replace")
@@ -179,6 +180,10 @@ def _parse_attribute(buf: memoryview):
             val = bytes(v)
         elif field_no == 5 and wire == 2:  # t
             val = _parse_tensor(v)[1]
+        elif field_no == 6 and wire == 2:  # g (subgraph: If/Loop/Scan bodies)
+            val = _parse_graph(v)
+        elif field_no == 11 and wire == 2:  # graphs
+            graphs.append(_parse_graph(v))
         elif field_no == 7:  # floats
             if wire == 2:
                 floats.extend(np.frombuffer(bytes(v), dtype="<f4").tolist())
@@ -200,6 +205,8 @@ def _parse_attribute(buf: memoryview):
         val = ints
     elif strings:
         val = strings
+    elif graphs:
+        val = graphs
     return name, val
 
 
@@ -232,17 +239,92 @@ def _parse_node(buf: memoryview) -> OnnxNode:
 
 
 @dataclass
+class ValueInfo:
+    """Parsed ValueInfoProto (graph input/output signature entry).
+
+    `shape` entries are ints for fixed dims, strings for symbolic dims
+    (dim_param, e.g. "batch"/"T"), None for unspecified.
+    """
+
+    name: str
+    dtype: object = None  # numpy dtype or None
+    shape: List[object] = field(default_factory=list)
+
+
+def _parse_value_info(buf: memoryview) -> ValueInfo:
+    """ValueInfoProto: name=1, type=2 (TypeProto.tensor_type=1 ->
+    elem_type=1, shape=2 (TensorShapeProto.dim=1: dim_value=1,
+    dim_param=2))."""
+    vi = ValueInfo(name="")
+    for field_no, wire, v in _iter_fields(buf):
+        if field_no == 1 and wire == 2:
+            vi.name = bytes(v).decode("utf-8", errors="replace")
+        elif field_no == 2 and wire == 2:  # TypeProto
+            for f2, w2, v2 in _iter_fields(v):
+                if f2 == 1 and w2 == 2:  # tensor_type
+                    for f3, w3, v3 in _iter_fields(v2):
+                        if f3 == 1 and w3 == 0:  # elem_type
+                            vi.dtype = _DTYPES.get(int(v3))
+                        elif f3 == 2 and w3 == 2:  # shape
+                            for f4, w4, v4 in _iter_fields(v3):
+                                if f4 == 1 and w4 == 2:  # dim
+                                    dim: object = None
+                                    for f5, w5, v5 in _iter_fields(v4):
+                                        if f5 == 1 and w5 == 0:
+                                            dim = _signed64(int(v5))
+                                        elif f5 == 2 and w5 == 2:
+                                            dim = bytes(v5).decode(
+                                                "utf-8", errors="replace"
+                                            )
+                                    vi.shape.append(dim)
+    return vi
+
+
+@dataclass
 class OnnxGraph:
     """Parsed GraphProto: nodes in file order (ONNX requires topological
-    order) + initializer tensors."""
+    order) + initializer tensors + input/output signatures."""
 
     nodes: List[OnnxNode]
     initializers: Dict[str, np.ndarray]
+    inputs: List[ValueInfo] = field(default_factory=list)
+    outputs: List[ValueInfo] = field(default_factory=list)
+    name: str = ""
 
     def ops(self, *op_types: str) -> List[OnnxNode]:
         """Nodes of the given op types, in graph (execution) order."""
         want = set(op_types)
         return [n for n in self.nodes if n.op_type in want]
+
+    @property
+    def input_names(self) -> List[str]:
+        """Graph inputs that are NOT initializers (i.e. runtime feeds);
+        pre-IR-4 models list initializers in inputs too."""
+        return [
+            vi.name for vi in self.inputs if vi.name not in self.initializers
+        ]
+
+    @property
+    def output_names(self) -> List[str]:
+        return [vi.name for vi in self.outputs]
+
+
+def _parse_graph(buf: memoryview) -> OnnxGraph:
+    """GraphProto: node=1, name=2, initializer=5, input=11, output=12."""
+    g = OnnxGraph(nodes=[], initializers={})
+    for field_no, wire, val in _iter_fields(buf):
+        if field_no == 1 and wire == 2:  # node
+            g.nodes.append(_parse_node(val))
+        elif field_no == 2 and wire == 2:  # name
+            g.name = bytes(val).decode("utf-8", errors="replace")
+        elif field_no == 5 and wire == 2:  # initializer
+            name, arr = _parse_tensor(val)
+            g.initializers[name] = arr
+        elif field_no == 11 and wire == 2:  # input
+            g.inputs.append(_parse_value_info(val))
+        elif field_no == 12 and wire == 2:  # output
+            g.outputs.append(_parse_value_info(val))
+    return g
 
 
 def _graph_body(path: str) -> memoryview:
@@ -254,16 +336,9 @@ def _graph_body(path: str) -> memoryview:
 
 
 def load_onnx_graph(path: str) -> OnnxGraph:
-    """Parse an ONNX file -> nodes (topological order) + initializers."""
-    nodes: List[OnnxNode] = []
-    init: Dict[str, np.ndarray] = {}
-    for field_no, wire, val in _iter_fields(_graph_body(path)):  # GraphProto
-        if field_no == 1 and wire == 2:  # node
-            nodes.append(_parse_node(val))
-        elif field_no == 5 and wire == 2:  # initializer
-            name, arr = _parse_tensor(val)
-            init[name] = arr
-    return OnnxGraph(nodes=nodes, initializers=init)
+    """Parse an ONNX file -> nodes (topological order) + initializers +
+    input/output signatures."""
+    return _parse_graph(_graph_body(path))
 
 
 def load_onnx_weights(path: str) -> Dict[str, np.ndarray]:

@@ -18,6 +18,7 @@ _NP_TO_ONNX = {
     np.dtype(np.int8): 3,
     np.dtype(np.int32): 6,
     np.dtype(np.int64): 7,
+    np.dtype(np.bool_): 9,
     np.dtype(np.float64): 11,
 }
 
@@ -56,8 +57,30 @@ def tensor_proto(name: str, arr: np.ndarray) -> bytes:
     return out
 
 
+class Subgraph:
+    """Marks an attribute value as a GraphProto payload (If/Loop bodies)."""
+
+    def __init__(self, graph_bytes: bytes):
+        self.graph_bytes = graph_bytes
+
+
+def value_info(name: str, dtype, shape: Sequence[int]) -> bytes:
+    """ValueInfoProto: name=1, type=2(tensor_type=1(elem_type=1, shape=2))."""
+    code = _NP_TO_ONNX[np.dtype(dtype)]
+    dims = b"".join(
+        _len_field(1, _varint_field(1, int(d)) if not isinstance(d, str)
+                   else _len_field(2, d.encode()))
+        for d in shape
+    )
+    tensor_type = _varint_field(1, code) + _len_field(2, dims)
+    type_proto = _len_field(1, tensor_type)
+    return _len_field(1, name.encode()) + _len_field(2, type_proto)
+
+
 def _attr(name: str, val) -> bytes:
     out = _len_field(1, name.encode())
+    if isinstance(val, Subgraph):
+        return out + _len_field(6, val.graph_bytes) + _varint_field(20, 5)
     if isinstance(val, float):
         out += _key(2, 5) + struct.pack("<f", val) + _varint_field(20, 1)
     elif isinstance(val, bool) or isinstance(val, (int, np.integer)):
@@ -86,12 +109,25 @@ def node(op_type: str, inputs: Sequence[str], outputs: Sequence[str],
     return out
 
 
-def model_bytes(nodes: List[bytes], initializers: Dict[str, np.ndarray]) -> bytes:
+def graph_bytes(nodes: List[bytes], initializers: Dict[str, np.ndarray],
+                inputs: Sequence[bytes] = (), outputs: Sequence[bytes] = (),
+                name: bytes = b"fixture") -> bytes:
+    """GraphProto body: node=1, name=2, initializer=5, input=11, output=12.
+    `inputs`/`outputs` are encoded value_info() entries."""
     graph = b"".join(_len_field(1, n) for n in nodes)
     graph += b"".join(
         _len_field(5, tensor_proto(k, v)) for k, v in initializers.items()
     )
-    graph += _len_field(2, b"fixture")
+    graph += _len_field(2, name)
+    graph += b"".join(_len_field(11, vi) for vi in inputs)
+    graph += b"".join(_len_field(12, vi) for vi in outputs)
+    return graph
+
+
+def model_bytes(nodes: List[bytes], initializers: Dict[str, np.ndarray],
+                inputs: Sequence[bytes] = (),
+                outputs: Sequence[bytes] = ()) -> bytes:
+    graph = graph_bytes(nodes, initializers, inputs, outputs)
     opset = _len_field(1, b"") + _varint_field(2, 17)
     return _varint_field(1, 8) + _len_field(7, graph) + _len_field(8, opset)
 
@@ -152,10 +188,15 @@ class GraphBuilder:
         self.nodes.append(node(op_type, inputs, outputs, name=self._name(op_type), **attrs))
         return outputs[0]
 
-    def to_bytes(self) -> bytes:
-        return model_bytes(self.nodes, self.init)
+    def to_bytes(self, inputs=None, outputs=None) -> bytes:
+        """`inputs`/`outputs`: [(name, np dtype, shape)] ValueInfo triples;
+        defaults declare float32 'input' -> the last produced value (rank
+        info unspecified), which is what OnnxModel needs to execute."""
+        ins = [value_info(*t) for t in (inputs or [("input", np.float32, [])])]
+        outs = [value_info(*t) for t in (outputs or [(self.value, np.float32, [])])]
+        return model_bytes(self.nodes, self.init, ins, outs)
 
-    def write(self, path) -> str:
+    def write(self, path, inputs=None, outputs=None) -> str:
         with open(path, "wb") as f:
-            f.write(self.to_bytes())
+            f.write(self.to_bytes(inputs=inputs, outputs=outputs))
         return str(path)
