@@ -47,6 +47,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--onnx-exec", default="map", choices=["map", "direct", "auto"],
+                   help="ONNX checkpoints: map weights onto our modules, "
+                        "execute the exported graph directly, or auto")
     p.add_argument("--batch-mode", action="store_true",
                    help="Batch the whole test list through the device (per-"
                         "utterance times become apportioned batch shares)")

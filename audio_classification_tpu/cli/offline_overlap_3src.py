@@ -90,6 +90,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="bfloat16 halves MXU cost; norm statistics stay f32")
     p.add_argument("--wave-mixtures", type=int, default=0,
                    help="Mixtures per processing wave (0 = 4x max-batch)")
+    p.add_argument("--onnx-exec", default="map", choices=["map", "direct", "auto"],
+                   help="ONNX checkpoints: map weights onto our modules, "
+                        "execute the exported graph directly, or try map "
+                        "then fall back to direct")
+    p.add_argument("--onnx-asr-skip-frames", type=int, default=-1,
+                   help="Leading logit frames dropped in direct ONNX ASR "
+                        "exec (-1 = the family's prompt count)")
     return p.parse_args(argv)
 
 

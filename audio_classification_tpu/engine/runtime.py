@@ -95,6 +95,7 @@ class ModelPack:
         self.preset = preset
         self.tokens = tokens or TokenTable.char_table("abcdefghijklmnopqrstuvwxyz '")
         self.asr_family = asr_family
+        self.onnx_stages: Dict[str, Any] = {}  # stage -> OnnxStage override
         # CMVN stats from the reference model dir's am.mvn (AddShift/Rescale,
         # src/model.py:79-87); applied inside the ASR frontend.
         if cmvn is not None:
@@ -176,6 +177,25 @@ class ModelPack:
     def load_params(self, name: str, params: Any) -> None:
         self.params[name] = params
         self.version = getattr(self, "version", 0) + 1
+
+    def set_onnx_stage(self, name: str, stage: Any) -> None:
+        """Serve stage ``name`` ("spk" | "asr" | "vad") by DIRECT execution
+        of a reference .onnx graph (models/convert/onnx_stage.OnnxStage) —
+        exact topology + weights instead of this framework's own module
+        (reference: src/model.py:79-124 runs these graphs via onnxruntime).
+        Must be set before constructing a StageEngine: engines resolve the
+        override when building their jitted stage programs.
+        """
+        if name not in ("spk", "asr", "vad"):
+            raise ValueError(f"direct ONNX execution not supported for stage "
+                             f"'{name}' (supported: spk, asr, vad)")
+        if name == "asr" and self.asr_family != "sensevoice":
+            raise ValueError(
+                "direct ONNX ASR execution currently supports the sensevoice "
+                f"family's frontend only, not '{self.asr_family}' (use the "
+                "graph-aware importer for other families)")
+        self.onnx_stages[name] = stage
+        self.load_params(name, dict(stage.params))
 
 
 class _AotProgram:
@@ -301,9 +321,19 @@ class StageEngine:
         def sep_fn(model, params, wav_i16, lengths):
             return _sep_core(model, params, _dq(wav_i16), lengths)
 
+        # Direct-exec overrides (ModelPack.set_onnx_stage) are resolved HERE,
+        # at program-build time: jit caches by input shapes only, so a
+        # post-construction override would be invisible to compiled programs.
+        spk_exec = p.onnx_stages.get("spk")
+        asr_exec = p.onnx_stages.get("asr")
+        vad_exec = p.onnx_stages.get("vad")
+
         def _embed_core(params, wav, lengths):
             feats, mask = _fbank_mask(wav, lengths)
-            emb = p.spk_model.apply(params, feats.astype(cdt), mask).astype(jnp.float32)
+            if spk_exec is not None:
+                emb = spk_exec(params, feats, mask)
+            else:
+                emb = p.spk_model.apply(params, feats.astype(cdt), mask).astype(jnp.float32)
             return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
 
         def spk_fn(params, wav_i16, lengths):
@@ -336,8 +366,15 @@ class StageEngine:
             def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = sensevoice_frontend(wav, lengths, p.asr_cfg,
                                                   p.cmvn_shift, p.cmvn_scale)
-                logits = p.asr_model.apply(params, feats.astype(cdt), mask, language_id=language_id, use_itn=use_itn)
-                body = logits[:, p.asr_cfg.num_prompt :].astype(jnp.float32)
+                if asr_exec is not None:
+                    # direct graph execution: the export already consumes the
+                    # language/textnorm prompts and emits (skip_frames worth
+                    # of) prompt logits, which OnnxStage drops
+                    body = asr_exec(params, feats, mask,
+                                    language_id=language_id, use_itn=use_itn)
+                else:
+                    logits = p.asr_model.apply(params, feats.astype(cdt), mask, language_id=language_id, use_itn=use_itn)
+                    body = logits[:, p.asr_cfg.num_prompt :].astype(jnp.float32)
                 return ctc_greedy_decode(body, mask.astype(jnp.float32), p.tokens.blank_id)
 
         def _cap_ids(ids, n):
@@ -350,6 +387,8 @@ class StageEngine:
 
         def vad_fn(params, wav_i16, lengths):
             feats, mask = _fbank_mask(_dq(wav_i16), lengths)
+            if vad_exec is not None:
+                return vad_exec(params, feats, mask)
             return p.vad_model.apply(params, feats, mask.astype(jnp.float32))
 
         # ---- fused path programs: audio goes up once, only scores + token

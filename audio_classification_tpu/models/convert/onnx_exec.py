@@ -1312,10 +1312,14 @@ class OnnxModel:
             self.params, self._consts = split_params(self.graph)
         self.input_names = self.graph.input_names
         self.output_names = self.graph.output_names
-        self._fn = self._make_fn()
+        # raw_fn is the pure (params, feeds) -> {name: out} function; callers
+        # embedding the graph inside a larger jitted program (engine stage
+        # fusion) use it directly so XLA fuses across the boundary.
+        self.raw_fn = self._make_fn()
+        self._fn = self.raw_fn
         if jit:
             import jax
-            self._fn = jax.jit(self._fn)
+            self._fn = jax.jit(self.raw_fn)
 
     def _make_fn(self):
         consts = self._consts

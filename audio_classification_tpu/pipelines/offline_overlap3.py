@@ -89,42 +89,65 @@ def build_engine(cfg) -> StageEngine:
         cmvn = load_kaldi_cmvn(cmvn_path)
     pack = ModelPack(preset, seed=max(int(seed), 0), tokens=tokens,
                      asr_family=family, cmvn=cmvn)
-    # graph-aware ONNX weight imports: the reference's model flags point at
-    # ONNX files (src/model.py:79-124); when given one, map it (loudly
-    # failing on topology mismatch rather than silently serving seed init)
+    # ONNX weight imports: the reference's model flags point at ONNX files
+    # (src/model.py:79-124). Mode (cfg.onnx_exec):
+    #   "map"    — graph-aware weight mapping onto this framework's modules,
+    #              loudly failing on topology mismatch (default);
+    #   "direct" — execute the exported graph itself inside the stage
+    #              programs (models/convert/onnx_stage), exact topology;
+    #   "auto"   — try map, fall back to direct on mismatch.
+    onnx_mode = getattr(cfg, "onnx_exec", "map")
+    if onnx_mode not in ("map", "direct", "auto"):
+        raise ValueError(f"--onnx-exec must be map|direct|auto, got {onnx_mode!r}")
+
+    def _load_onnx(stage: str, files, mapper: str, mod_cfg, skip_frames: int = 0):
+        if onnx_mode != "direct":
+            try:
+                from ..models.convert.onnx_graph_map import import_onnx
+
+                pack.load_params(stage, import_onnx(files, mapper, mod_cfg))
+                return
+            except Exception as e:
+                if onnx_mode == "map":
+                    raise
+                print(f"[build_engine] graph-aware mapping for stage "
+                      f"'{stage}' failed ({e}); serving the graph directly")
+        from ..models.convert.onnx_stage import OnnxStage
+
+        first = files[0] if isinstance(files, list) else files
+        pack.set_onnx_stage(stage, OnnxStage(first, skip_frames=skip_frames))
+
     sv_path = getattr(cfg, "sense_voice", "")
     if sv_path.endswith(".onnx") and family == "sensevoice":
-        from ..models.convert.onnx_graph_map import import_onnx
-
-        pack.load_params("asr", import_onnx(sv_path, "sensevoice", pack.asr_cfg))
+        # real SenseVoice exports emit their 4 prompt positions in the CTC
+        # logits; drop them before decode unless overridden
+        skip = int(getattr(cfg, "onnx_asr_skip_frames", -1))
+        if skip < 0:
+            skip = pack.asr_cfg.num_prompt
+        _load_onnx("asr", sv_path, "sensevoice", pack.asr_cfg, skip_frames=skip)
     wh_path = getattr(cfg, "whisper_encoder", "")
     if wh_path.endswith(".onnx") and family == "whisper":
-        from ..models.convert.onnx_graph_map import import_onnx
-
         wh_dec = getattr(cfg, "whisper_decoder", "")
         files = [wh_path] + ([wh_dec] if wh_dec.endswith(".onnx") else [])
-        pack.load_params("asr", import_onnx(files, "whisper", pack.whisper_cfg))
+        _load_onnx("asr", files, "whisper", pack.whisper_cfg)
     pf_path = getattr(cfg, "paraformer", "")
     if pf_path.endswith(".onnx") and family == "paraformer":
-        from ..models.convert.onnx_graph_map import import_onnx
-
-        pack.load_params("asr", import_onnx(pf_path, "paraformer", pack.paraformer_cfg))
+        _load_onnx("asr", pf_path, "paraformer", pack.paraformer_cfg)
     enc_path = getattr(cfg, "encoder", "")
     if enc_path.endswith(".onnx") and family == "transducer":
         # the reference's from_transducer takes encoder/decoder/joiner files
         # (src/model.py:88-99); concatenate whichever are given
-        from ..models.convert.onnx_graph_map import import_onnx
-
         files = [enc_path] + [
             p for p in (getattr(cfg, "decoder", ""), getattr(cfg, "joiner", ""))
             if p.endswith(".onnx")
         ]
-        pack.load_params("asr", import_onnx(files, "transducer", pack.transducer_cfg))
-    spk_path = getattr(cfg, "spk_embed_model", "")
+        _load_onnx("asr", files, "transducer", pack.transducer_cfg)
+    # the flagship runner calls the speaker model --spk-embed-model; the SID
+    # benchmark and sp-id scripts call it --model (reference:
+    # benchmark_pipeline.py:498-504, sp-id:491-501)
+    spk_path = getattr(cfg, "spk_embed_model", "") or getattr(cfg, "model", "")
     if spk_path.endswith(".onnx"):
-        from ..models.convert.onnx_graph_map import import_onnx
-
-        pack.load_params("spk", import_onnx(spk_path, "speaker", preset.spk))
+        _load_onnx("spk", spk_path, "speaker", preset.spk)
     ckpt = getattr(cfg, "checkpoint_dir", "")
     if ckpt:
         from ..train.checkpoint import load_model_pack

@@ -77,6 +77,11 @@ class Overlap3Config:
     compute_dtype: str = "float32"    # "bfloat16" halves MXU cost (norm stats stay f32)
     wave_mixtures: int = 0            # mixtures per wave (0 = 4x max_batch); larger waves
                                       # amortize per-phase dispatch latency over more audio
+    onnx_exec: str = "map"            # ONNX checkpoints: "map" weights onto our modules,
+                                      # "direct" executes the exported graph itself,
+                                      # "auto" tries map then falls back to direct
+    onnx_asr_skip_frames: int = -1    # leading logit frames to drop in direct ASR exec
+                                      # (-1 = the family's prompt count)
 
 
 @dataclass
@@ -109,3 +114,5 @@ class SidBenchmarkConfig:
     preset: str = "full"
     checkpoint_dir: str = ""
     max_batch: int = 8
+    onnx_exec: str = "map"
+    onnx_asr_skip_frames: int = -1
