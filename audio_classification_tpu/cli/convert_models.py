@@ -29,7 +29,11 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Convert reference checkpoints -> orbax checkpoint dir")
-    p.add_argument("--out", required=True, help="Output orbax checkpoint directory")
+    p.add_argument("--out", default="", help="Output orbax checkpoint directory")
+    p.add_argument("--probe", action="store_true",
+                   help="Print each --onnx graph's IO signature, op census "
+                        "and any ops the direct executor (onnx_exec) does "
+                        "not support, then exit (no checkpoint written)")
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sep-checkpoint-3", default="", help="asteroid ConvTasNet 3-src torch checkpoint")
@@ -47,6 +51,17 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.probe:
+        if not args.onnx:
+            raise SystemExit("--probe needs at least one --onnx file")
+        from ..models.convert.onnx_exec import OnnxModel
+
+        for onnx_path in args.onnx:
+            print(f"== {onnx_path}")
+            print(OnnxModel(onnx_path, jit=False).describe())
+        return
+    if not args.out:
+        raise SystemExit("--out is required (or use --probe)")
     from ..engine.runtime import EnginePreset, ModelPack, tiny_preset
     from ..train.checkpoint import save_model_pack
 

@@ -189,11 +189,24 @@ class ModelPack:
         if name not in ("spk", "asr", "vad"):
             raise ValueError(f"direct ONNX execution not supported for stage "
                              f"'{name}' (supported: spk, asr, vad)")
-        if name == "asr" and self.asr_family != "sensevoice":
-            raise ValueError(
-                "direct ONNX ASR execution currently supports the sensevoice "
-                f"family's frontend only, not '{self.asr_family}' (use the "
-                "graph-aware importer for other families)")
+        stage_family = getattr(stage, "family", "generic")
+        if name == "asr":
+            if self.asr_family == "transducer":
+                if stage_family != "transducer":
+                    raise ValueError(
+                        "direct transducer execution needs the encoder/"
+                        "decoder/joiner triple (OnnxTransducerStage), not a "
+                        "single-graph OnnxStage")
+            elif self.asr_family not in ("sensevoice", "paraformer"):
+                raise ValueError(
+                    "direct ONNX ASR execution supports the sensevoice, "
+                    f"paraformer and transducer families, not "
+                    f"'{self.asr_family}' (use the graph-aware importer)")
+            elif self.asr_family == "paraformer" \
+                    and len(getattr(stage, "outputs", [])) < 2:
+                raise ValueError(
+                    "direct paraformer execution needs the export's (logits, "
+                    "token_num) output pair; construct OnnxStage(n_outputs=2)")
         self.onnx_stages[name] = stage
         self.load_params(name, dict(stage.params))
 
@@ -345,6 +358,9 @@ class StageEngine:
 
             def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = transducer_frontend(wav, lengths, p.transducer_cfg)
+                if asr_exec is not None:
+                    # exact reference graphs, greedy scan on device
+                    return asr_exec.decode(params, feats, mask)
                 return p.asr_model.apply(params, feats.astype(cdt), mask, method=Transducer.greedy_decode)
 
         elif pack.asr_family == "paraformer":
@@ -352,7 +368,16 @@ class StageEngine:
             def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = paraformer_frontend(wav, lengths, p.paraformer_cfg,
                                                   p.cmvn_shift, p.cmvn_scale)
-                logits, counts = p.asr_model.apply(params, feats.astype(cdt), mask)
+                if asr_exec is not None:
+                    # funasr/sherpa paraformer exports emit (logits [B,N,V],
+                    # token_num [B]) — reference: src/model.py:69-77
+                    logits, counts = asr_exec(params, feats, mask,
+                                              language_id=language_id,
+                                              use_itn=use_itn)[:2]
+                    counts = jnp.clip(jnp.round(counts).astype(jnp.int32),
+                                      0, logits.shape[1])
+                else:
+                    logits, counts = p.asr_model.apply(params, feats.astype(cdt), mask)
                 return paraformer_greedy(logits.astype(jnp.float32), counts)
 
         elif pack.asr_family == "whisper":

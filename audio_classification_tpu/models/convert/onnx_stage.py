@@ -36,6 +36,21 @@ import numpy as np
 from .onnx_exec import OnnxModel
 
 
+def _classify_inputs(graph):
+    """Graph runtime inputs -> (float_names, int_names, ranks)."""
+    ranks: Dict[str, int] = {}
+    float_in, int_in = [], []
+    for vi in graph.inputs:
+        if vi.name in graph.initializers:
+            continue
+        ranks[vi.name] = len(vi.shape)
+        if vi.dtype is not None and np.issubdtype(vi.dtype, np.integer):
+            int_in.append(vi.name)
+        else:
+            float_in.append(vi.name)
+    return float_in, int_in, ranks
+
+
 class OnnxStage:
     """An OnnxModel bound to the engine's (params, feats, mask) calling
     convention.
@@ -45,10 +60,13 @@ class OnnxStage:
     sherpa-onnx's decoder skips them the same way).
     """
 
+    family = "generic"
+
     def __init__(self, model, skip_frames: int = 0,
                  feats_input: Optional[str] = None,
                  length_input: Optional[str] = None,
                  output: Optional[str] = None,
+                 n_outputs: int = 1,
                  prompts: Optional[Dict[str, int]] = None,
                  verbose: bool = True):
         self.model = model if isinstance(model, OnnxModel) else OnnxModel(model)
@@ -56,18 +74,7 @@ class OnnxStage:
         self.skip_frames = int(skip_frames)
         self.prompts = dict(prompts or {})
         g = self.model.graph
-
-        ranks: Dict[str, int] = {}
-        int_inputs = []
-        float_inputs = []
-        for vi in g.inputs:
-            if vi.name in g.initializers:
-                continue
-            ranks[vi.name] = len(vi.shape)
-            if vi.dtype is not None and np.issubdtype(vi.dtype, np.integer):
-                int_inputs.append(vi.name)
-            else:
-                float_inputs.append(vi.name)
+        float_inputs, int_inputs, ranks = _classify_inputs(g)
 
         if feats_input is not None:
             self.feats_input = feats_input
@@ -87,9 +94,13 @@ class OnnxStage:
             n for n in int_inputs
             if n != self.length_input and n != self.feats_input
         ]
-        self.output = output or (g.output_names[0] if g.output_names else None)
-        if self.output is None:
+        if output is not None:
+            self.outputs = [output]
+        else:
+            self.outputs = list(g.output_names[: max(1, int(n_outputs))])
+        if not self.outputs:
             raise ValueError("ONNX graph declares no outputs")
+        self.output = self.outputs[0]
         if self.length_input is None and verbose:
             print(f"[onnx_stage] graph '{g.name or self.feats_input}' has no "
                   f"length input; padded frames are zeroed (exact at bucket-"
@@ -127,13 +138,153 @@ class OnnxStage:
             v = self._prompt_value(name, language_id, use_itn)
             feeds[name] = jnp.full((feats.shape[0],), v, jnp.int32)
         outs = self.model.raw_fn(params, feeds)
-        out = jnp.asarray(outs[self.output], jnp.float32)
-        if self.skip_frames:
-            out = out[:, self.skip_frames:]
-        return out
+        result = []
+        for i, name in enumerate(self.outputs):
+            out = jnp.asarray(outs[name], jnp.float32)
+            if self.skip_frames and i == 0 and out.ndim >= 2:
+                out = out[:, self.skip_frames:]
+            result.append(out)
+        return tuple(result) if len(result) > 1 else result[0]
 
     def describe(self) -> str:
         return (f"OnnxStage(feats={self.feats_input!r}, "
                 f"lengths={self.length_input!r}, ints={self.int_inputs}, "
-                f"out={self.output!r}, skip_frames={self.skip_frames})\n"
+                f"out={self.outputs}, skip_frames={self.skip_frames})\n"
                 + self.model.describe())
+
+
+class OnnxTransducerStage:
+    """The reference's transducer triple — encoder/decoder/joiner .onnx
+    files (src/model.py:88-99, ``OfflineRecognizer.from_transducer``) —
+    decoded greedily on device.
+
+    The C++ recognizer loops over encoder frames on the host, calling the
+    decoder/joiner sessions per frame. Here the whole search is ONE
+    lax.scan inside the engine's jitted ASR program: at most one emitted
+    symbol per frame (sherpa/icefall greedy default), stateless-predictor
+    context re-fed through the decoder graph only on emission frames.
+
+    Signature heuristics per graph (same rules as OnnxStage):
+      encoder: highest-rank float input = features, int ``*len*`` input =
+        frame counts; first non-``len`` output = encoder frames, a ``len``
+        output (if any) = valid output frames (else scaled from the input).
+      decoder: its single int input takes the [B, context] token window
+        (context read from the declared shape, default 2).
+      joiner: two float inputs matched by name (``enc``/``dec`` substrings),
+        falling back to declaration order.
+    """
+
+    family = "transducer"
+
+    def __init__(self, encoder, decoder, joiner, blank_id: int = 0,
+                 context_size: int = 0):
+        self.enc = encoder if isinstance(encoder, OnnxModel) else OnnxModel(encoder)
+        self.dec = decoder if isinstance(decoder, OnnxModel) else OnnxModel(decoder)
+        self.join = joiner if isinstance(joiner, OnnxModel) else OnnxModel(joiner)
+        self.params = {"encoder": self.enc.params, "decoder": self.dec.params,
+                       "joiner": self.join.params}
+        self.blank_id = int(blank_id)
+        self.outputs = ["ids", "lengths"]
+
+        ef, ei, er = _classify_inputs(self.enc.graph)
+        if not ef:
+            raise ValueError("transducer encoder graph has no float input")
+        self.enc_feats = max(ef, key=lambda n: er[n])
+        lens = [n for n in ei if "len" in n.lower()]
+        self.enc_lens_in = lens[0] if lens else None
+        outs = self.enc.graph.output_names
+        non_len = [n for n in outs if "len" not in n.lower()]
+        self.enc_out = non_len[0] if non_len else outs[0]
+        len_outs = [n for n in outs if "len" in n.lower()]
+        self.enc_lens_out = len_outs[0] if len_outs else None
+
+        df, di, _ = _classify_inputs(self.dec.graph)
+        dec_ins = di or df  # some exports declare y as int64, some leave it untyped
+        if not dec_ins:
+            raise ValueError("transducer decoder graph has no runtime input")
+        self.dec_y = dec_ins[0]
+        self.dec_out = self.dec.graph.output_names[0]
+        if context_size:
+            self.context = int(context_size)
+        else:
+            shp = next((vi.shape for vi in self.dec.graph.inputs
+                        if vi.name == self.dec_y), [])
+            last = shp[-1] if shp else None
+            self.context = int(last) if isinstance(last, int) and last > 0 else 2
+
+        jf, _, _ = _classify_inputs(self.join.graph)
+        if len(jf) < 2:
+            raise ValueError("transducer joiner graph needs two float inputs")
+        enc_named = [n for n in jf if "enc" in n.lower()]
+        dec_named = [n for n in jf if "dec" in n.lower() or "pred" in n.lower()]
+        self.join_enc = enc_named[0] if enc_named else jf[0]
+        self.join_dec = (dec_named[0] if dec_named
+                         else next(n for n in jf if n != self.join_enc))
+        self.join_out = self.join.graph.output_names[0]
+
+    def _predict(self, params, ctx):
+        outs = self.dec.raw_fn(params["decoder"], {self.dec_y: ctx})
+        d = outs[self.dec_out]
+        if d.ndim == 3:  # [B, 1, D] exports
+            d = d[:, 0]
+        return d
+
+    def decode(self, params, feats, mask):
+        """[B, T, mel] feats + frame mask -> (ids [B, T'], lengths [B]),
+        the same contract as Transducer.greedy_decode."""
+        import jax
+        import jax.numpy as jnp
+
+        feats = jnp.asarray(feats, jnp.float32)
+        m = jnp.asarray(mask)
+        in_len = jnp.sum(m.astype(jnp.int32), axis=-1)
+        feeds = {self.enc_feats: feats * m.astype(feats.dtype)[..., None]}
+        if self.enc_lens_in is not None:
+            feeds[self.enc_lens_in] = in_len
+        enc_outs = self.enc.raw_fn(params["encoder"], feeds)
+        enc = jnp.asarray(enc_outs[self.enc_out], jnp.float32)  # [B, T', D]
+        b, t = enc.shape[0], enc.shape[1]
+        if self.enc_lens_out is not None:
+            out_len = jnp.asarray(enc_outs[self.enc_lens_out]).astype(jnp.int32)
+        else:
+            # no declared output lengths: scale by the graph's subsampling
+            t_in = max(feats.shape[1], 1)
+            out_len = jnp.minimum((in_len * t + t_in - 1) // t_in, t)
+        omask = jnp.arange(t)[None, :] < out_len[:, None]
+
+        def step(carry, inputs):
+            ctx, count = carry
+            e_t, m_t = inputs
+            logits = self.join.raw_fn(
+                params["joiner"],
+                {self.join_enc: e_t, self.join_dec: self._predict(params, ctx)},
+            )[self.join_out]
+            sym = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            emit = (sym != self.blank_id) & m_t
+            new_ctx = jnp.where(
+                emit[:, None],
+                jnp.concatenate([ctx[:, 1:], sym[:, None]], axis=1),
+                ctx,
+            )
+            return (new_ctx, count + emit.astype(jnp.int32)), \
+                jnp.where(emit, sym, self.blank_id)
+
+        ctx0 = jnp.full((b, self.context), self.blank_id, jnp.int32)
+        (_, counts), syms = jax.lax.scan(
+            step, (ctx0, jnp.zeros((b,), jnp.int32)),
+            (enc.transpose(1, 0, 2), omask.T),
+        )
+        syms = syms.T  # [B, T']
+        emit = syms != self.blank_id
+        pos = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
+        scatter = jnp.where(emit, pos, t)
+        packed = jnp.full((b, t + 1), self.blank_id, jnp.int32)
+        packed = packed.at[jnp.arange(b)[:, None], scatter].set(syms)[:, :t]
+        return packed, counts
+
+    def describe(self) -> str:
+        return (f"OnnxTransducerStage(context={self.context}, "
+                f"blank={self.blank_id})\n"
+                f"- encoder: {self.enc.describe()}\n"
+                f"- decoder: {self.dec.describe()}\n"
+                f"- joiner:  {self.join.describe()}")

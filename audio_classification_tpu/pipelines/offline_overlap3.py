@@ -100,7 +100,8 @@ def build_engine(cfg) -> StageEngine:
     if onnx_mode not in ("map", "direct", "auto"):
         raise ValueError(f"--onnx-exec must be map|direct|auto, got {onnx_mode!r}")
 
-    def _load_onnx(stage: str, files, mapper: str, mod_cfg, skip_frames: int = 0):
+    def _load_onnx(stage: str, files, mapper: str, mod_cfg, direct_builder=None,
+                   **stage_kw):
         if onnx_mode != "direct":
             try:
                 from ..models.convert.onnx_graph_map import import_onnx
@@ -112,10 +113,13 @@ def build_engine(cfg) -> StageEngine:
                     raise
                 print(f"[build_engine] graph-aware mapping for stage "
                       f"'{stage}' failed ({e}); serving the graph directly")
+        if direct_builder is not None:
+            pack.set_onnx_stage(stage, direct_builder())
+            return
         from ..models.convert.onnx_stage import OnnxStage
 
         first = files[0] if isinstance(files, list) else files
-        pack.set_onnx_stage(stage, OnnxStage(first, skip_frames=skip_frames))
+        pack.set_onnx_stage(stage, OnnxStage(first, **stage_kw))
 
     sv_path = getattr(cfg, "sense_voice", "")
     if sv_path.endswith(".onnx") and family == "sensevoice":
@@ -132,7 +136,9 @@ def build_engine(cfg) -> StageEngine:
         _load_onnx("asr", files, "whisper", pack.whisper_cfg)
     pf_path = getattr(cfg, "paraformer", "")
     if pf_path.endswith(".onnx") and family == "paraformer":
-        _load_onnx("asr", pf_path, "paraformer", pack.paraformer_cfg)
+        # direct exec consumes the export's (logits, token_num) output pair
+        _load_onnx("asr", pf_path, "paraformer", pack.paraformer_cfg,
+                   n_outputs=2)
     enc_path = getattr(cfg, "encoder", "")
     if enc_path.endswith(".onnx") and family == "transducer":
         # the reference's from_transducer takes encoder/decoder/joiner files
@@ -141,7 +147,18 @@ def build_engine(cfg) -> StageEngine:
             p for p in (getattr(cfg, "decoder", ""), getattr(cfg, "joiner", ""))
             if p.endswith(".onnx")
         ]
-        _load_onnx("asr", files, "transducer", pack.transducer_cfg)
+
+        def _transducer_direct():
+            if len(files) != 3:
+                raise ValueError(
+                    "direct transducer execution needs all three of "
+                    "--encoder/--decoder/--joiner .onnx files")
+            from ..models.convert.onnx_stage import OnnxTransducerStage
+
+            return OnnxTransducerStage(*files, blank_id=pack.tokens.blank_id)
+
+        _load_onnx("asr", files, "transducer", pack.transducer_cfg,
+                   direct_builder=_transducer_direct)
     # the flagship runner calls the speaker model --spk-embed-model; the SID
     # benchmark and sp-id scripts call it --model (reference:
     # benchmark_pipeline.py:498-504, sp-id:491-501)

@@ -181,6 +181,174 @@ def test_build_engine_direct_and_auto_modes(tmp_path):
         build_engine(cfg)
 
 
+def _paraformer_graph(tmp_path, rng, lfr_dim, vocab, n_head=5, fire=4):
+    """speech [B,T,D] + speech_lengths [B] -> (logits [B,n_head,V],
+    token_num [B]) like the funasr/sherpa paraformer export
+    (reference: src/model.py:69-77)."""
+    w = (rng.randn(lfr_dim, vocab) * 0.5).astype(np.float32)
+    b = rng.randn(vocab).astype(np.float32)
+    g = GraphBuilder()
+    wn, bn = g.add_init("w", w), g.add_init("b", b)
+    s0 = g.add_init("starts", np.array([0], np.int64))
+    e0 = g.add_init("ends", np.array([n_head], np.int64))
+    a0 = g.add_init("axes", np.array([1], np.int64))
+    g.raw("Slice", ["speech", s0, e0, a0], ["head"])
+    g.raw("MatMul", ["head", wn], ["mm"])
+    g.raw("Add", ["mm", bn], ["logits"])
+    cap = g.add_init("cap", np.array([fire], np.int32))
+    g.raw("Min", ["speech_lengths", cap], ["token_num"])
+    path = g.write(tmp_path / "pf.onnx",
+                   inputs=[("speech", np.float32, ["B", "T", lfr_dim]),
+                           ("speech_lengths", np.int32, ["B"])],
+                   outputs=[("logits", np.float32, ["B", n_head, vocab]),
+                            ("token_num", np.int32, ["B"])])
+    return path, w, b
+
+
+def test_paraformer_direct_through_engine(tmp_path):
+    rng = np.random.RandomState(7)
+    pack = ModelPack(tiny_preset(), seed=0, asr_family="paraformer")
+    cfg = pack.paraformer_cfg
+    lfr_dim = cfg.lfr_m * cfg.num_mel
+    path, w, b = _paraformer_graph(tmp_path, rng, lfr_dim, cfg.vocab_size)
+    pack.set_onnx_stage("asr", OnnxStage(path, n_outputs=2))
+    eng = StageEngine(pack)
+
+    wav = (0.3 * rng.randn(8000)).astype(np.float32)
+    got_ids, got_n = eng._collect_bucketed(eng.launch_transcribe([wav]))[0]
+
+    import jax.numpy as jnp
+
+    from audio_classification_tpu.models.asr.paraformer import paraformer_frontend
+
+    feats, mask = paraformer_frontend(
+        jnp.asarray(_as_engine_sees(eng, wav))[None], jnp.asarray([len(wav)]), cfg)
+    logits = np.asarray(feats)[:, :5] @ w + b
+    counts = min(int(np.asarray(mask).sum()), 4)
+    exp = logits.argmax(-1)[0][:counts]
+    assert int(got_n) == counts
+    assert list(got_ids[: int(got_n)]) == list(exp)
+
+
+def test_paraformer_direct_requires_two_outputs(tmp_path):
+    rng = np.random.RandomState(8)
+    pack = ModelPack(tiny_preset(), seed=0, asr_family="paraformer")
+    cfg = pack.paraformer_cfg
+    path, _, _ = _paraformer_graph(tmp_path, rng, cfg.lfr_m * cfg.num_mel,
+                                   cfg.vocab_size)
+    with pytest.raises(ValueError, match="token_num"):
+        pack.set_onnx_stage("asr", OnnxStage(path))  # n_outputs defaults to 1
+
+
+def test_build_engine_paraformer_direct(tmp_path):
+    rng = np.random.RandomState(9)
+    from audio_classification_tpu.pipelines.offline_overlap3 import build_engine
+    from audio_classification_tpu.utils.config import Overlap3Config
+
+    pack_probe = ModelPack(tiny_preset(), seed=0, asr_family="paraformer")
+    cfg_m = pack_probe.paraformer_cfg
+    path, _, _ = _paraformer_graph(tmp_path, rng, cfg_m.lfr_m * cfg_m.num_mel,
+                                   cfg_m.vocab_size)
+    cfg = Overlap3Config(preset="tiny", paraformer=str(path), onnx_exec="direct")
+    eng = build_engine(cfg)
+    assert len(eng.pack.onnx_stages["asr"].outputs) == 2
+    text = eng.transcribe([(0.3 * rng.randn(8000)).astype(np.float32)])
+    assert isinstance(text[0], str)
+
+
+def _transducer_triple(tmp_path, rng, mel=80, d=16, emb_dim=8, V=64):
+    """encoder/decoder/joiner fixture graphs shaped like the sherpa export
+    (reference: src/model.py:88-99)."""
+    from helpers_onnx import node, value_info, model_bytes
+
+    we = (rng.randn(mel, d) * 0.5).astype(np.float32)
+    enc = model_bytes(
+        [node("MatMul", ["x", "we"], ["encoder_out"]),
+         node("Identity", ["x_lens"], ["encoder_out_lens"])],
+        {"we": we},
+        inputs=[value_info("x", np.float32, ["B", "T", mel]),
+                value_info("x_lens", np.int32, ["B"])],
+        outputs=[value_info("encoder_out", np.float32, ["B", "T", d]),
+                 value_info("encoder_out_lens", np.int32, ["B"])])
+    (tmp_path / "enc.onnx").write_bytes(enc)
+
+    emb = (rng.randn(V, emb_dim) * 0.5).astype(np.float32)
+    wd = (rng.randn(d, 2 * emb_dim) * 0.5).astype(np.float32)
+    bd = rng.randn(d).astype(np.float32)
+    dec = model_bytes(
+        [node("Gather", ["emb", "y"], ["ge"]),
+         node("Reshape", ["ge", "flat_shape"], ["flat"]),
+         node("Gemm", ["flat", "wd", "bd"], ["decoder_out"], transB=1)],
+        {"emb": emb, "flat_shape": np.array([0, 2 * emb_dim], np.int64),
+         "wd": wd, "bd": bd},
+        inputs=[value_info("y", np.int64, ["B", 2])],
+        outputs=[value_info("decoder_out", np.float32, ["B", d])])
+    (tmp_path / "dec.onnx").write_bytes(dec)
+
+    wj = (rng.randn(V, d) * 0.5).astype(np.float32)
+    bj = rng.randn(V).astype(np.float32)
+    join = model_bytes(
+        [node("Add", ["encoder_out", "decoder_out"], ["s"]),
+         node("Tanh", ["s"], ["h"]),
+         node("Gemm", ["h", "wj", "bj"], ["logit"], transB=1)],
+        {"wj": wj, "bj": bj},
+        inputs=[value_info("encoder_out", np.float32, ["B", d]),
+                value_info("decoder_out", np.float32, ["B", d])],
+        outputs=[value_info("logit", np.float32, ["B", V])])
+    (tmp_path / "join.onnx").write_bytes(join)
+    paths = tuple(str(tmp_path / n) for n in ("enc.onnx", "dec.onnx", "join.onnx"))
+    return paths, (we, emb, wd, bd, wj, bj)
+
+
+def test_transducer_triple_direct_through_engine(tmp_path):
+    rng = np.random.RandomState(10)
+    pack = ModelPack(tiny_preset(), seed=0, asr_family="transducer")
+    cfg = pack.transducer_cfg
+    paths, (we, emb, wd, bd, wj, bj) = _transducer_triple(
+        tmp_path, rng, mel=cfg.num_mel, V=cfg.vocab_size)
+    from audio_classification_tpu.models.convert.onnx_stage import OnnxTransducerStage
+
+    stage = OnnxTransducerStage(*paths)
+    assert stage.context == 2 and stage.enc_lens_out == "encoder_out_lens"
+    pack.set_onnx_stage("asr", stage)
+    eng = StageEngine(pack)
+
+    wav = (0.3 * rng.randn(8000)).astype(np.float32)
+    got_ids, got_n = eng._collect_bucketed(eng.launch_transcribe([wav]))[0]
+
+    # independent numpy greedy loop over the same graphs' math
+    import jax.numpy as jnp
+
+    from audio_classification_tpu.models.asr.transducer import transducer_frontend
+
+    feats, mask = transducer_frontend(
+        jnp.asarray(_as_engine_sees(eng, wav))[None], jnp.asarray([len(wav)]), cfg)
+    n_valid = int(np.asarray(mask).sum())
+    enc = np.asarray(feats)[0] @ we  # [T, d]
+
+    def pred(ctx):
+        return emb[np.asarray(ctx)].reshape(-1) @ wd.T + bd
+
+    ctx, ids = [0, 0], []
+    for t in range(n_valid):
+        logit = np.tanh(enc[t] + pred(ctx)) @ wj.T + bj
+        s = int(logit.argmax())
+        if s != 0:
+            ids.append(s)
+            ctx = [ctx[1], s]
+    assert len(ids) > 0
+    assert int(got_n) == len(ids)
+    assert list(got_ids[: int(got_n)]) == ids
+
+
+def test_transducer_direct_rejects_single_graph(tmp_path):
+    rng = np.random.RandomState(11)
+    path, _, _ = _speaker_graph(tmp_path, rng)
+    pack = ModelPack(tiny_preset(), seed=0, asr_family="transducer")
+    with pytest.raises(ValueError, match="triple"):
+        pack.set_onnx_stage("asr", OnnxStage(path, verbose=False))
+
+
 def test_set_onnx_stage_rejects_unsupported(tmp_path):
     rng = np.random.RandomState(6)
     path, _, _ = _speaker_graph(tmp_path, rng)
