@@ -96,6 +96,7 @@ class ModelPack:
         self.tokens = tokens or TokenTable.char_table("abcdefghijklmnopqrstuvwxyz '")
         self.asr_family = asr_family
         self.onnx_stages: Dict[str, Any] = {}  # stage -> OnnxStage override
+        self.osd_pyannet = None                # PyanNet override (exact-parity OSD)
         # CMVN stats from the reference model dir's am.mvn (AddShift/Rescale,
         # src/model.py:79-87); applied inside the ASR frontend.
         if cmvn is not None:
@@ -178,6 +179,20 @@ class ModelPack:
         self.params[name] = params
         self.version = getattr(self, "version", 0) + 1
 
+    def set_osd_pyannet(self, cfg, params) -> None:
+        """Serve the OSD stage with the pyannote PyanNet architecture and
+        imported weights (models/pyannet.py; reference: src/osd/osd.py:60-71
+        loads this model through OverlappedSpeechDetection.from_pretrained).
+        The stage program consumes RAW waveform (PyanNet owns its sinc
+        frontend) instead of the shared fbank, and emits the same
+        [B, T', (speech, overlap)] prob contract at PyanNet's frame rate.
+        Must be set before constructing a StageEngine.
+        """
+        from ..models.pyannet import PyanNet
+
+        self.osd_pyannet = PyanNet(cfg)
+        self.load_params("osd", params)
+
     def set_onnx_stage(self, name: str, stage: Any) -> None:
         """Serve stage ``name`` ("spk" | "asr" | "vad") by DIRECT execution
         of a reference .onnx graph (models/convert/onnx_stage.OnnxStage) —
@@ -197,10 +212,16 @@ class ModelPack:
                         "direct transducer execution needs the encoder/"
                         "decoder/joiner triple (OnnxTransducerStage), not a "
                         "single-graph OnnxStage")
+            elif self.asr_family == "whisper":
+                if stage_family != "whisper":
+                    raise ValueError(
+                        "direct whisper execution needs the encoder/decoder "
+                        "pair (OnnxWhisperStage), not a single-graph "
+                        "OnnxStage")
             elif self.asr_family not in ("sensevoice", "paraformer"):
                 raise ValueError(
                     "direct ONNX ASR execution supports the sensevoice, "
-                    f"paraformer and transducer families, not "
+                    f"paraformer, transducer and whisper families, not "
                     f"'{self.asr_family}' (use the graph-aware importer)")
             elif self.asr_family == "paraformer" \
                     and len(getattr(stage, "outputs", [])) < 2:
@@ -324,6 +345,11 @@ class StageEngine:
             return feats, mask
 
         def osd_fn(params, wav_i16, lengths):
+            if p.osd_pyannet is not None:
+                from ..models.pyannet import reduce_overlap_channels
+
+                acts = p.osd_pyannet.apply(params, _dq(wav_i16), lengths)
+                return reduce_overlap_channels(acts).astype(jnp.float32)
             feats, mask = _fbank_mask(_dq(wav_i16), lengths)
             return p.osd_model.apply(params, feats.astype(cdt), mask).astype(jnp.float32)
 
@@ -384,6 +410,9 @@ class StageEngine:
 
             def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = whisper_frontend(wav, lengths, p.whisper_cfg)
+                if asr_exec is not None:
+                    # exact export graphs, KV-cache scan decode on device
+                    return asr_exec.decode(params, feats, mask)
                 return p.asr_model.apply(params, feats.astype(cdt), mask, method=WhisperStyle.greedy_decode)
 
         else:
@@ -668,12 +697,18 @@ class StageEngine:
         probs_all = self._collect_bucketed(handle)
         cfg = self.pack.preset.osd
         out: List[List[Tuple[float, float, bool]]] = [[] for _ in wavs]
+        pyannet = getattr(self.pack, "osd_pyannet", None)
         for i, probs in zip(nonempty, probs_all):
             wav = wavs[i]
             dur = len(wav) / sr
-            n_out = max(int(np.ceil(self.fbank_cfg.frames_for(len(wav)) / cfg.subsample)), 1)
+            if pyannet is not None:
+                n_out = max(int(pyannet.cfg.out_frames(len(wav))), 1)
+                frame_sec = pyannet.cfg.out_frame_sec
+            else:
+                n_out = max(int(np.ceil(self.fbank_cfg.frames_for(len(wav)) / cfg.subsample)), 1)
+                frame_sec = cfg.out_frame_sec
             flags = probs_to_hop_flags(
-                probs[:, 1], n_out, dur, cfg.out_frame_sec, threshold, win_sec, hop_sec
+                probs[:, 1], n_out, dur, frame_sec, threshold, win_sec, hop_sec
             )
             out[i] = flags_to_segments(flags, dur, win_sec, hop_sec)
         return out

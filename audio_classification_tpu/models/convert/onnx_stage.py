@@ -288,3 +288,176 @@ class OnnxTransducerStage:
                 f"- encoder: {self.enc.describe()}\n"
                 f"- decoder: {self.dec.describe()}\n"
                 f"- joiner:  {self.join.describe()}")
+
+
+class OnnxWhisperStage:
+    """The reference's Whisper encoder/decoder .onnx pair (reference:
+    speaker-identification-...py:316-345, ``from_whisper``), decoded
+    greedily on device with the export's own KV caches.
+
+    The C++ recognizer loops the decoder session per output token on the
+    host; here the whole autoregressive search is ONE lax.scan inside the
+    engine's jitted ASR program. The cache tensors the export threads
+    through its IO (``in_*`` -> ``out_*``) become the scan carry, so this
+    supports fixed-size-cache exports (sherpa-style); exports that GROW
+    their caches per step cannot form a scan carry and fail loudly with a
+    shape error.
+
+    Signature heuristics:
+      encoder: float input is the mel spectrogram — fed channels-first
+        [B, mel, T] when the declared shape has ``num_mel`` second
+        (whisper convention), else [B, T, mel]; an integer declared time
+        dim (whisper's 3000) pads/trims the features to it.
+      decoder: the int input containing ``token`` takes token ids, one
+        containing ``offset`` the decode position; float inputs whose
+        names match encoder outputs are wired from the encoder
+        (cross-attention K/V); remaining float inputs are self-attention
+        caches, paired to decoder outputs by the ``in_``->``out_`` naming
+        or by position.
+    """
+
+    family = "whisper"
+
+    def __init__(self, encoder, decoder, sot_sequence=(1,), eot_id: int = 2,
+                 max_decode_len: int = 96, num_mel: int = 80):
+        self.enc = encoder if isinstance(encoder, OnnxModel) else OnnxModel(encoder)
+        self.dec = decoder if isinstance(decoder, OnnxModel) else OnnxModel(decoder)
+        self.params = {"encoder": self.enc.params, "decoder": self.dec.params}
+        self.sot = tuple(int(t) for t in sot_sequence)
+        self.eot = int(eot_id)
+        self.max_decode_len = int(max_decode_len)
+        self.num_mel = int(num_mel)
+        self.outputs = ["ids", "lengths"]
+
+        ef, _, er = _classify_inputs(self.enc.graph)
+        if not ef:
+            raise ValueError("whisper encoder graph has no float input")
+        self.enc_mel = max(ef, key=lambda n: er[n])
+        mel_shape = next((vi.shape for vi in self.enc.graph.inputs
+                          if vi.name == self.enc_mel), [])
+        self.channels_first = True
+        self.static_t = None
+        if len(mel_shape) == 3:
+            if mel_shape[2] == self.num_mel:
+                self.channels_first = False
+                if isinstance(mel_shape[1], int):
+                    self.static_t = mel_shape[1]
+            elif isinstance(mel_shape[2], int) and mel_shape[1] == self.num_mel:
+                self.static_t = mel_shape[2]
+        enc_out_names = set(self.enc.graph.output_names)
+
+        df, di, _ = _classify_inputs(self.dec.graph)
+        toks = [n for n in di if "token" in n.lower()]
+        self.tokens_in = toks[0] if toks else (di[0] if di else None)
+        if self.tokens_in is None:
+            raise ValueError("whisper decoder graph has no int token input")
+        offs = [n for n in di if "offset" in n.lower()]
+        self.offset_in = offs[0] if offs else None
+        self.cross_names = [n for n in df if n in enc_out_names]
+        cache_ins = [n for n in df if n not in enc_out_names]
+        outs = self.dec.graph.output_names
+        logit_outs = [n for n in outs if "logit" in n.lower()]
+        self.logits_out = logit_outs[0] if logit_outs else outs[0]
+        cache_outs = [n for n in outs if n != self.logits_out]
+        self.cache_map: Dict[str, str] = {}
+        for cin in cache_ins:
+            want = cin.replace("in_", "out_", 1) if cin.startswith("in_") else None
+            if want in cache_outs:
+                self.cache_map[cin] = want
+        unmatched_in = [n for n in cache_ins if n not in self.cache_map]
+        unmatched_out = [n for n in cache_outs
+                         if n not in self.cache_map.values()]
+        for cin, cout in zip(unmatched_in, unmatched_out):
+            self.cache_map[cin] = cout
+        if len(self.cache_map) != len(cache_ins):
+            raise ValueError(
+                f"cannot pair decoder cache inputs {cache_ins} with outputs "
+                f"{cache_outs}")
+        # cache allocation shapes from the declared signature: ints stay,
+        # the first symbolic dim is the batch, any other symbolic dim is
+        # the cache length (max_decode_len + sot)
+        self._cache_decl = {
+            n: next((vi.shape for vi in self.dec.graph.inputs if vi.name == n),
+                    [])
+            for n in cache_ins
+        }
+
+    def _cache_shape(self, decl, b: int):
+        shape, batch_used = [], False
+        for d in decl:
+            if isinstance(d, int) and d > 0:
+                shape.append(d)
+            elif not batch_used:
+                shape.append(b)
+                batch_used = True
+            else:
+                shape.append(self.max_decode_len + len(self.sot))
+        return tuple(shape)
+
+    def decode(self, params, feats, mask):
+        """[B, T, mel] feats + frame mask -> (ids [B, L], lengths [B])."""
+        import jax
+        import jax.numpy as jnp
+
+        feats = jnp.asarray(feats, jnp.float32)
+        m = jnp.asarray(mask).astype(feats.dtype)
+        mel = feats * m[..., None]
+        b = mel.shape[0]
+        if self.channels_first:
+            mel = jnp.transpose(mel, (0, 2, 1))  # [B, mel, T]
+            t_axis = 2
+        else:
+            t_axis = 1
+        if self.static_t is not None:
+            t_now = mel.shape[t_axis]
+            if t_now < self.static_t:
+                pad = [(0, 0)] * 3
+                pad[t_axis] = (0, self.static_t - t_now)
+                mel = jnp.pad(mel, pad)
+            elif t_now > self.static_t:
+                mel = jax.lax.slice_in_dim(mel, 0, self.static_t, axis=t_axis)
+        enc_outs = self.enc.raw_fn(params["encoder"], {self.enc_mel: mel})
+        cross = {n: jnp.asarray(enc_outs[n]) for n in self.cross_names}
+
+        def dec_call(tokens, offset, caches):
+            feeds = {self.tokens_in: tokens}
+            if self.offset_in is not None:
+                feeds[self.offset_in] = offset
+            feeds.update(cross)
+            feeds.update(caches)
+            outs = self.dec.raw_fn(params["decoder"], feeds)
+            logits = jnp.asarray(outs[self.logits_out], jnp.float32)
+            new_caches = {cin: jnp.asarray(outs[cout])
+                          for cin, cout in self.cache_map.items()}
+            return logits, new_caches
+
+        caches0 = {n: jnp.zeros(self._cache_shape(decl, b), jnp.float32)
+                   for n, decl in self._cache_decl.items()}
+        sot = jnp.tile(jnp.asarray(self.sot, jnp.int32)[None], (b, 1))
+        logits, caches = dec_call(sot, jnp.zeros((b,), jnp.int32), caches0)
+        cur = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        done0 = cur == self.eot
+
+        def step(carry, i):
+            cur, caches, done, count = carry
+            emit = ~done
+            out_tok = jnp.where(emit, cur, 0)
+            count = count + emit.astype(jnp.int32)
+            offset = jnp.full((b,), len(self.sot), jnp.int32) + i
+            logits, caches = dec_call(cur[:, None], offset, caches)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            done = done | (nxt == self.eot)
+            return (nxt, caches, done, count), out_tok
+
+        (_, _, _, counts), syms = jax.lax.scan(
+            step, (cur, caches, done0, jnp.zeros((b,), jnp.int32)),
+            jnp.arange(self.max_decode_len),
+        )
+        return syms.T, counts  # emitted contiguously, 0-padded after EOT
+
+    def describe(self) -> str:
+        return (f"OnnxWhisperStage(sot={self.sot}, eot={self.eot}, "
+                f"channels_first={self.channels_first}, "
+                f"static_t={self.static_t}, caches={self.cache_map})\n"
+                f"- encoder: {self.enc.describe()}\n"
+                f"- decoder: {self.dec.describe()}")

@@ -133,7 +133,21 @@ def build_engine(cfg) -> StageEngine:
     if wh_path.endswith(".onnx") and family == "whisper":
         wh_dec = getattr(cfg, "whisper_decoder", "")
         files = [wh_path] + ([wh_dec] if wh_dec.endswith(".onnx") else [])
-        _load_onnx("asr", files, "whisper", pack.whisper_cfg)
+
+        def _whisper_direct():
+            if len(files) != 2:
+                raise ValueError("direct whisper execution needs both "
+                                 "--whisper-encoder and --whisper-decoder")
+            from ..models.convert.onnx_stage import OnnxWhisperStage
+
+            wc = pack.whisper_cfg
+            return OnnxWhisperStage(
+                files[0], files[1], sot_sequence=(wc.bos_id,),
+                eot_id=wc.eos_id, max_decode_len=wc.max_decode_len,
+                num_mel=wc.num_mel)
+
+        _load_onnx("asr", files, "whisper", pack.whisper_cfg,
+                   direct_builder=_whisper_direct)
     pf_path = getattr(cfg, "paraformer", "")
     if pf_path.endswith(".onnx") and family == "paraformer":
         # direct exec consumes the export's (logits, token_num) output pair
@@ -176,7 +190,14 @@ def build_engine(cfg) -> StageEngine:
 
         pack.load_params("sep3", load_convtasnet_torch(sep_ckpt, preset.sep3))
     osd_ckpt = getattr(cfg, "osd_checkpoint", "")
-    if osd_ckpt:
+    if osd_ckpt and osd_ckpt.endswith((".bin", ".ckpt", ".pt", ".pth")):
+        # a pyannote segmentation checkpoint (torch/pytorch-lightning):
+        # exact-parity PyanNet OSD (reference: src/osd/osd.py:60-71)
+        from ..models.convert.torch_import import load_pyannet_torch
+
+        pn_cfg, pn_params = load_pyannet_torch(osd_ckpt)
+        pack.set_osd_pyannet(pn_cfg, pn_params)
+    elif osd_ckpt:
         # per-stage OSD params from cli/distill_osd (orbax dir)
         from ..train.checkpoint import load_params
 

@@ -349,10 +349,97 @@ def test_transducer_direct_rejects_single_graph(tmp_path):
         pack.set_onnx_stage("asr", OnnxStage(path, verbose=False))
 
 
+def _whisper_pair(tmp_path, rng, mel=80, d=8, V=64):
+    """encoder/decoder fixture like the sherpa whisper export (reference:
+    sp-id script:316-345): channels-first mel encoder -> cross tensor;
+    decoder with tokens/offset/self-cache IO and an AR transition matrix
+    whose greedy chain is sot(3) -> 4 -> 5 -> 6 -> eot(2)."""
+    from helpers_onnx import node, value_info, model_bytes
+
+    we = (rng.randn(mel, d) * 0.5).astype(np.float32)
+    enc = model_bytes(
+        [node("Transpose", ["mel_in"], ["tm"], perm=[0, 2, 1]),
+         node("MatMul", ["tm", "we"], ["proj"]),
+         node("ReduceMean", ["proj"], ["cross"], axes=[1], keepdims=1)],
+        {"we": we},
+        inputs=[value_info("mel_in", np.float32, ["B", mel, "T"])],
+        outputs=[value_info("cross", np.float32, ["B", 1, d])])
+    (tmp_path / "wenc.onnx").write_bytes(enc)
+
+    tmat = np.zeros((V, V), np.float32)
+    for a, b_ in ((3, 4), (4, 5), (5, 6), (6, 2)):
+        tmat[a, b_] = 5.0
+    wc = (rng.randn(d, V) * 0.1).astype(np.float32)
+    dec = model_bytes(
+        [node("Gather", ["tmat", "tokens"], ["tl"]),
+         node("MatMul", ["cross", "wc"], ["cl"]),
+         node("Mul", ["cl", "small"], ["cls"]),
+         node("Add", ["tl", "cls"], ["logits"]),
+         node("Add", ["in_self_cache", "one"], ["out_self_cache"])],
+        {"tmat": tmat, "wc": wc,
+         "small": np.asarray(0.01, np.float32),
+         "one": np.asarray(1.0, np.float32)},
+        inputs=[value_info("tokens", np.int64, ["B", "n"]),
+                value_info("offset", np.int64, ["B"]),
+                value_info("in_self_cache", np.float32, [2, "B", 4, d]),
+                value_info("cross", np.float32, ["B", 1, d])],
+        outputs=[value_info("logits", np.float32, ["B", "n", V]),
+                 value_info("out_self_cache", np.float32, [2, "B", 4, d])])
+    (tmp_path / "wdec.onnx").write_bytes(dec)
+    return str(tmp_path / "wenc.onnx"), str(tmp_path / "wdec.onnx")
+
+
+def test_whisper_pair_direct_through_engine(tmp_path):
+    rng = np.random.RandomState(12)
+    pack = ModelPack(tiny_preset(), seed=0, asr_family="whisper")
+    wc = pack.whisper_cfg
+    enc_p, dec_p = _whisper_pair(tmp_path, rng, mel=wc.num_mel, V=wc.vocab_size)
+    from audio_classification_tpu.models.convert.onnx_stage import OnnxWhisperStage
+
+    stage = OnnxWhisperStage(enc_p, dec_p, sot_sequence=(3,), eot_id=2,
+                             max_decode_len=10, num_mel=wc.num_mel)
+    assert stage.channels_first
+    assert stage.cross_names == ["cross"]
+    assert stage.cache_map == {"in_self_cache": "out_self_cache"}
+    pack.set_onnx_stage("asr", stage)
+    eng = StageEngine(pack)
+
+    wav = (0.3 * rng.randn(8000)).astype(np.float32)
+    got_ids, got_n = eng._collect_bucketed(eng.launch_transcribe([wav]))[0]
+    # greedy chain: prime(sot=3)->4, then 5, 6, then eot(2) stops emission
+    assert int(got_n) == 3
+    assert list(got_ids[:3]) == [4, 5, 6]
+
+
+def test_whisper_direct_rejects_single_graph(tmp_path):
+    rng = np.random.RandomState(13)
+    path, _, _ = _speaker_graph(tmp_path, rng)
+    pack = ModelPack(tiny_preset(), seed=0, asr_family="whisper")
+    with pytest.raises(ValueError, match="pair"):
+        pack.set_onnx_stage("asr", OnnxStage(path, verbose=False))
+
+
+def test_build_engine_whisper_direct(tmp_path):
+    rng = np.random.RandomState(14)
+    from audio_classification_tpu.pipelines.offline_overlap3 import build_engine
+    from audio_classification_tpu.utils.config import Overlap3Config
+
+    probe = ModelPack(tiny_preset(), seed=0, asr_family="whisper")
+    enc_p, dec_p = _whisper_pair(tmp_path, rng, mel=probe.whisper_cfg.num_mel,
+                                 V=probe.whisper_cfg.vocab_size)
+    cfg = Overlap3Config(preset="tiny", onnx_exec="direct")
+    cfg.whisper_encoder = enc_p
+    cfg.whisper_decoder = dec_p
+    eng = build_engine(cfg)
+    assert eng.pack.onnx_stages["asr"].family == "whisper"
+    text = eng.transcribe([(0.3 * rng.randn(8000)).astype(np.float32)])
+    assert isinstance(text[0], str)
+
+
 def test_set_onnx_stage_rejects_unsupported(tmp_path):
     rng = np.random.RandomState(6)
     path, _, _ = _speaker_graph(tmp_path, rng)
-    pack = ModelPack(tiny_preset(), seed=0, asr_family="whisper")
+    pack = ModelPack(tiny_preset(), seed=0, asr_family="wenet")
     stage = OnnxStage(path, verbose=False)
     with pytest.raises(ValueError, match="sensevoice"):
         pack.set_onnx_stage("asr", stage)
