@@ -6,6 +6,10 @@ its quality comes from training, not weight conversion. This tool is the
 recipe (see examples/OSD_RECIPE.md for the full walkthrough):
 
 1. DISTILLATION TARGET — one of
+   - ``--teacher-ckpt``: a pyannote segmentation torch checkpoint run
+     IN-FRAMEWORK as the teacher (models/pyannet.PyanNet via
+     load_pyannet_torch) — soft labels computed on device per crop, no
+     external torch box needed, or
    - ``--teacher-npz``: frame overlap probabilities dumped from pyannote
      offline on any torch box (soft labels; the npz maps each mixture's
      file stem to a [T, 2] {speech, overlap} probability array and carries
@@ -45,6 +49,9 @@ def parse_args(argv=None):
     p.add_argument("--max-files", type=int, default=0)
     p.add_argument("--synthetic", action="store_true",
                    help="Train on generated two-voice scenes (smoke/demo)")
+    p.add_argument("--teacher-ckpt", default="",
+                   help="pyannote segmentation torch checkpoint — the teacher "
+                        "runs in-framework (PyanNet) on each crop")
     p.add_argument("--teacher-npz", default="",
                    help="pyannote probability dump (soft labels); else energy GT")
     p.add_argument("--steps", type=int, default=2000)
@@ -146,6 +153,21 @@ def main(argv=None) -> dict:
         teacher_frame_sec = float(teacher.pop("__frame_sec__"))
         print(f"teacher: {len(teacher)} utterances @ {teacher_frame_sec}s frames")
 
+    pyannet_teacher = None
+    if args.teacher_ckpt:
+        # the real pyannote teacher, running in-framework (exact-parity
+        # forward: models/pyannet) — takes precedence over --teacher-npz
+        from ..models.convert.torch_import import load_pyannet_torch
+        from ..models.pyannet import PyanNet, reduce_overlap_channels
+
+        pn_cfg, pn_params = load_pyannet_torch(args.teacher_ckpt)
+        pn = PyanNet(pn_cfg)
+        pn_apply = jax.jit(lambda w, l: reduce_overlap_channels(
+            pn.apply(pn_params, w, l)))
+        pyannet_teacher = (pn_cfg, pn_apply)
+        print(f"teacher: PyanNet {args.teacher_ckpt} "
+              f"@ {pn_cfg.out_frame_sec:.6f}s frames (in-framework)")
+
     # ---- data plan
     ds = None
     if args.librimix_root and not args.synthetic:
@@ -190,15 +212,27 @@ def main(argv=None) -> dict:
         for _ in range(n):
             mix, sources, probs = draw_scene()
             wavs.append(mix)
-            if probs is not None:
+            if pyannet_teacher is not None:
+                labels.append(None)  # filled by one batched teacher pass
+            elif probs is not None:
                 full, t0 = probs
-                lab = teacher_labels(full, teacher_frame_sec, centers + t0)
+                labels.append(teacher_labels(full, teacher_frame_sec,
+                                             centers + t0)[:n_out])
             elif sources:
-                lab = energy_labels(sources, centers, args.activity_ratio)
+                labels.append(energy_labels(sources, centers,
+                                            args.activity_ratio)[:n_out])
             else:
-                raise ValueError("no labels: need sources (energy GT) or --teacher-npz")
-            labels.append(lab[:n_out])
-        feats = fbank_batch(jnp.asarray(np.stack(wavs)))
+                raise ValueError("no labels: need sources (energy GT), "
+                                 "--teacher-ckpt or --teacher-npz")
+        wb = np.stack(wavs)
+        if pyannet_teacher is not None:
+            pn_cfg, pn_apply = pyannet_teacher
+            tprobs = np.asarray(pn_apply(
+                jnp.asarray(wb), jnp.full(len(wavs), wb.shape[1], jnp.int32)))
+            nt = max(int(pn_cfg.out_frames(wb.shape[1])), 1)
+            labels = [teacher_labels(tprobs[i, :nt], pn_cfg.out_frame_sec,
+                                     centers)[:n_out] for i in range(len(wavs))]
+        feats = fbank_batch(jnp.asarray(wb))
         return {"feats": feats, "labels": jnp.asarray(np.stack(labels))}
 
     params = model.init(jax.random.PRNGKey(args.seed), batch(1)["feats"])

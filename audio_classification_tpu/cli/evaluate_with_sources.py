@@ -52,7 +52,7 @@ def parse_args(argv=None):
     p.add_argument("--osd-hop", type=float, default=0.1)
     p.add_argument("--sep-backend", default="convtasnet")
     p.add_argument("--sep-checkpoint", default="")
-    p.add_argument("--osd-checkpoint", default="", help="Orbax OSD params from cli/distill_osd")
+    p.add_argument("--osd-checkpoint", default="", help="OSD weights: orbax dir (cli/distill_osd) or pyannote segmentation torch checkpoint (.bin/.ckpt/.pt)")
     p.add_argument("--sep-nsrc", type=int, default=2)
     p.add_argument("--min-overlap-dur", type=float, default=0.4)
     p.add_argument("--activity-thr", type=float, default=0.03,

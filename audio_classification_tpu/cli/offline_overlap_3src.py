@@ -46,7 +46,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     # Separation
     p.add_argument("--sep-backend", default="convtasnet")
     p.add_argument("--sep-checkpoint", default="", help="Optional Conv-TasNet torch checkpoint path")
-    p.add_argument("--osd-checkpoint", default="", help="Orbax OSD params from cli/distill_osd")
+    p.add_argument("--osd-checkpoint", default="", help="OSD weights: orbax dir (cli/distill_osd) or pyannote segmentation torch checkpoint (.bin/.ckpt/.pt)")
     # ASR
     p.add_argument("--paraformer", default="")
     p.add_argument("--sense-voice", default="")

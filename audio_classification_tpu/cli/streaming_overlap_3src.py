@@ -43,7 +43,7 @@ def parse_args(argv=None):
     p.add_argument("--osd-hop", type=float, default=0.1)
     p.add_argument("--sep-backend", default="convtasnet")
     p.add_argument("--sep-checkpoint", default="")
-    p.add_argument("--osd-checkpoint", default="", help="Orbax OSD params from cli/distill_osd")
+    p.add_argument("--osd-checkpoint", default="", help="OSD weights: orbax dir (cli/distill_osd) or pyannote segmentation torch checkpoint (.bin/.ckpt/.pt)")
     p.add_argument("--paraformer", default="")
     p.add_argument("--sense-voice", default="")
     p.add_argument("--encoder", default="")

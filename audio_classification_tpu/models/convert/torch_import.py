@@ -94,3 +94,114 @@ def load_convtasnet_torch(path: str, cfg: ConvTasNetConfig):
     p["mask_conv"]["bias"] = want("masker.mask_net.1.bias").astype(np.float32)
 
     return {"params": jax.tree.map(jnp.asarray, p)}
+
+
+def load_pyannet_torch(path: str, sample_rate: int = 16000,
+                       kernel_size: int = 251, stride: int = 10):
+    """pyannote segmentation checkpoint -> (PyanNetConfig, params).
+
+    The reference's OSD pipeline loads this model via
+    ``OverlappedSpeechDetection.from_pretrained`` (reference:
+    src/osd/osd.py:60-71); pyannote stores it as a pytorch-lightning
+    checkpoint whose state_dict uses the PyanNet naming
+    (``sincnet.conv1d.0.filterbank.low_hz_``, ``lstm.weight_ih_l0``,
+    ``linear.0.weight``, ``classifier.weight`` ...). Everything
+    architectural is inferred from tensor shapes; only the sinc kernel
+    size/stride (not stored — filters are synthesized from band edges)
+    come from arguments, defaulting to pyannote's 251/10.
+    """
+    from ..pyannet import PyanNetConfig
+
+    import jax
+    import jax.numpy as jnp
+
+    sd = _load_state_dict(path)
+    sd = {(k[len("model."):] if k.startswith("model.") else k): v
+          for k, v in sd.items()}
+
+    def want(name: str) -> np.ndarray:
+        for k in sd:
+            if k == name or k.endswith(name):
+                return sd[k]
+        raise KeyError(f"pyannet checkpoint missing tensor '{name}'")
+
+    low = want("sincnet.conv1d.0.filterbank.low_hz_").reshape(-1, 1)
+    band = want("sincnet.conv1d.0.filterbank.band_hz_").reshape(-1, 1)
+    n_out = int(want("sincnet.norm1d.0.weight").shape[0])
+    if low.shape[0] == n_out:
+        analytic = False
+    elif 2 * low.shape[0] == n_out:
+        analytic = True
+    else:
+        raise ValueError(
+            f"sinc parameter rows ({low.shape[0]}) match neither the "
+            f"filter count ({n_out}) nor half of it")
+
+    conv_channels = []
+    i = 1
+    while f"sincnet.conv1d.{i}.weight" in sd:
+        conv_channels.append(int(sd[f"sincnet.conv1d.{i}.weight"].shape[0]))
+        i += 1
+    if not conv_channels:
+        raise ValueError("pyannet checkpoint has no sincnet.conv1d.{1..} stages")
+    conv_kernel = int(sd["sincnet.conv1d.1.weight"].shape[2])
+
+    lstm_layers = 0
+    while f"lstm.weight_ih_l{lstm_layers}" in sd:
+        lstm_layers += 1
+    if lstm_layers == 0:
+        raise ValueError("pyannet checkpoint has no lstm.weight_ih_l0")
+    hidden = int(sd["lstm.weight_hh_l0"].shape[1])
+    bidirectional = "lstm.weight_ih_l0_reverse" in sd
+
+    linear_dims = []
+    i = 0
+    while f"linear.{i}.weight" in sd:
+        linear_dims.append(int(sd[f"linear.{i}.weight"].shape[0]))
+        i += 1
+    cls_w = want("classifier.weight")
+
+    cfg = PyanNetConfig(
+        sample_rate=sample_rate, n_filters=n_out, kernel_size=kernel_size,
+        stride=stride, analytic=analytic, conv_channels=tuple(conv_channels),
+        conv_kernel=conv_kernel, lstm_hidden=hidden, lstm_layers=lstm_layers,
+        bidirectional=bidirectional, linear_dims=tuple(linear_dims),
+        num_classes=int(cls_w.shape[0]),
+    )
+
+    params: Dict[str, Any] = {
+        "wav_norm": {"weight": want("sincnet.wav_norm1d.weight").reshape(-1),
+                     "bias": want("sincnet.wav_norm1d.bias").reshape(-1)},
+        "sinc": {"low_hz": low, "band_hz": band},
+        "norm0": {"weight": want("sincnet.norm1d.0.weight"),
+                  "bias": want("sincnet.norm1d.0.bias")},
+    }
+    for j in range(1, 1 + len(conv_channels)):
+        params[f"conv{j}"] = {"weight": sd[f"sincnet.conv1d.{j}.weight"],
+                              "bias": sd[f"sincnet.conv1d.{j}.bias"]}
+        params[f"norm{j}"] = {"weight": sd[f"sincnet.norm1d.{j}.weight"],
+                              "bias": sd[f"sincnet.norm1d.{j}.bias"]}
+    lstm = []
+    for layer in range(lstm_layers):
+        entry = {"fw": {
+            "w_ih": sd[f"lstm.weight_ih_l{layer}"],
+            "w_hh": sd[f"lstm.weight_hh_l{layer}"],
+            "b_ih": sd[f"lstm.bias_ih_l{layer}"],
+            "b_hh": sd[f"lstm.bias_hh_l{layer}"],
+        }}
+        if bidirectional:
+            entry["bw"] = {
+                "w_ih": sd[f"lstm.weight_ih_l{layer}_reverse"],
+                "w_hh": sd[f"lstm.weight_hh_l{layer}_reverse"],
+                "b_ih": sd[f"lstm.bias_ih_l{layer}_reverse"],
+                "b_hh": sd[f"lstm.bias_hh_l{layer}_reverse"],
+            }
+        lstm.append(entry)
+    params["lstm"] = lstm
+    params["linear"] = [{"weight": sd[f"linear.{j}.weight"],
+                         "bias": sd[f"linear.{j}.bias"]}
+                        for j in range(len(linear_dims))]
+    params["classifier"] = {"weight": cls_w, "bias": want("classifier.bias")}
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a, np.float32)), params)
+    return cfg, params

@@ -38,7 +38,8 @@ class Overlap3Config:
     sep_backend: str = "convtasnet"
     sep_checkpoint: str = ""
     # OSD
-    osd_checkpoint: str = ""          # orbax OSD params (cli/distill_osd output)
+    osd_checkpoint: str = ""          # orbax OSD params (cli/distill_osd) or
+                                      # pyannote torch ckpt (.bin/.ckpt/.pt)
     # ASR (model selection mirrors create_asr_model's one-of contract)
     paraformer: str = ""
     sense_voice: str = ""

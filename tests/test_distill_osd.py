@@ -61,6 +61,22 @@ def test_distill_osd_synthetic_end_to_end(tmp_path):
     assert isinstance(segs, list)
 
 
+def test_distill_osd_teacher_ckpt_inframework(tmp_path):
+    """--teacher-ckpt runs the pyannote teacher (PyanNet) on device."""
+    from test_pyannet import TINY, _random_state_dict, _save_ckpt
+
+    sd = _random_state_dict(TINY, np.random.RandomState(2))
+    path = _save_ckpt(tmp_path, sd, nested=True)
+    out = tmp_path / "osd_params"
+    m = main([
+        "--synthetic", "--preset", "tiny", "--steps", "10", "--batch", "2",
+        "--dur", "2.0", "--eval-files", "2", "--f1-target", "0.0",
+        "--teacher-ckpt", path, "--out", str(out), "--seed", "0",
+    ])
+    assert out.is_dir()
+    assert m["f1"] is not None
+
+
 def test_distill_osd_teacher_npz_path(tmp_path):
     # a teacher dump is consumed when --librimix-root provides the stems;
     # synthetic mode has no stems, so exercise interp directly + CLI parse
