@@ -53,6 +53,14 @@ def parse_args(argv=None):
     p.add_argument("--sep-backend", default="convtasnet")
     p.add_argument("--sep-checkpoint", default="")
     p.add_argument("--osd-checkpoint", default="", help="OSD weights: orbax dir (cli/distill_osd) or pyannote segmentation torch checkpoint (.bin/.ckpt/.pt)")
+    p.add_argument("--osd-onset", type=float, default=-1.0,
+                   help="PyanNet OSD: pyannote Binarize onset (enables hysteresis)")
+    p.add_argument("--osd-offset", type=float, default=-1.0,
+                   help="PyanNet OSD: pyannote Binarize offset")
+    p.add_argument("--osd-min-on", type=float, default=-1.0,
+                   help="PyanNet OSD: min_duration_on seconds")
+    p.add_argument("--osd-min-off", type=float, default=-1.0,
+                   help="PyanNet OSD: min_duration_off seconds")
     p.add_argument("--sep-nsrc", type=int, default=2)
     p.add_argument("--min-overlap-dur", type=float, default=0.4)
     p.add_argument("--activity-thr", type=float, default=0.03,

@@ -47,6 +47,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--sep-backend", default="convtasnet")
     p.add_argument("--sep-checkpoint", default="", help="Optional Conv-TasNet torch checkpoint path")
     p.add_argument("--osd-checkpoint", default="", help="OSD weights: orbax dir (cli/distill_osd) or pyannote segmentation torch checkpoint (.bin/.ckpt/.pt)")
+    p.add_argument("--osd-onset", type=float, default=-1.0,
+                   help="PyanNet OSD: pyannote Binarize onset (enables hysteresis)")
+    p.add_argument("--osd-offset", type=float, default=-1.0,
+                   help="PyanNet OSD: pyannote Binarize offset")
+    p.add_argument("--osd-min-on", type=float, default=-1.0,
+                   help="PyanNet OSD: min_duration_on seconds")
+    p.add_argument("--osd-min-off", type=float, default=-1.0,
+                   help="PyanNet OSD: min_duration_off seconds")
     # ASR
     p.add_argument("--paraformer", default="")
     p.add_argument("--sense-voice", default="")

@@ -97,6 +97,7 @@ class ModelPack:
         self.asr_family = asr_family
         self.onnx_stages: Dict[str, Any] = {}  # stage -> OnnxStage override
         self.osd_pyannet = None                # PyanNet override (exact-parity OSD)
+        self.osd_binarize = None               # pyannote Binarize hysteresis
         # CMVN stats from the reference model dir's am.mvn (AddShift/Rescale,
         # src/model.py:79-87); applied inside the ASR frontend.
         if cmvn is not None:
@@ -179,18 +180,22 @@ class ModelPack:
         self.params[name] = params
         self.version = getattr(self, "version", 0) + 1
 
-    def set_osd_pyannet(self, cfg, params) -> None:
+    def set_osd_pyannet(self, cfg, params, binarize=None) -> None:
         """Serve the OSD stage with the pyannote PyanNet architecture and
         imported weights (models/pyannet.py; reference: src/osd/osd.py:60-71
         loads this model through OverlappedSpeechDetection.from_pretrained).
         The stage program consumes RAW waveform (PyanNet owns its sinc
         frontend) instead of the shared fbank, and emits the same
         [B, T', (speech, overlap)] prob contract at PyanNet's frame rate.
-        Must be set before constructing a StageEngine.
+        ``binarize`` (models/pyannet.BinarizeConfig) switches segment
+        extraction from the plain threshold to pyannote's onset/offset
+        hysteresis + duration pruning. Must be set before constructing a
+        StageEngine.
         """
         from ..models.pyannet import PyanNet
 
         self.osd_pyannet = PyanNet(cfg)
+        self.osd_binarize = binarize
         self.load_params("osd", params)
 
     def set_onnx_stage(self, name: str, stage: Any) -> None:
@@ -707,9 +712,18 @@ class StageEngine:
             else:
                 n_out = max(int(np.ceil(self.fbank_cfg.frames_for(len(wav)) / cfg.subsample)), 1)
                 frame_sec = cfg.out_frame_sec
-            flags = probs_to_hop_flags(
-                probs[:, 1], n_out, dur, frame_sec, threshold, win_sec, hop_sec
-            )
+            binarize = getattr(self.pack, "osd_binarize", None)
+            if pyannet is not None and binarize is not None:
+                from ..models.pyannet import hysteresis_intervals
+                from .segments import rasterize_intervals
+
+                ivals = [(s, min(e, dur)) for s, e in hysteresis_intervals(
+                    probs[:n_out, 1], frame_sec, binarize) if s < dur]
+                flags = rasterize_intervals(ivals, dur, win_sec, hop_sec)
+            else:
+                flags = probs_to_hop_flags(
+                    probs[:, 1], n_out, dur, frame_sec, threshold, win_sec, hop_sec
+                )
             out[i] = flags_to_segments(flags, dur, win_sec, hop_sec)
         return out
 

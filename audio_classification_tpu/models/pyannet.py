@@ -300,6 +300,57 @@ class PyanNet:
         return probs * mask[..., None]
 
 
+@dataclass(frozen=True)
+class BinarizeConfig:
+    """pyannote ``Binarize`` hyperparameters (utils/signal.py semantics).
+
+    The reference's OverlappedSpeechDetection pipeline binarizes frame
+    scores with onset/offset hysteresis plus duration pruning — its tuned
+    hyperparameters, not a single threshold (reference: src/osd/osd.py:64-70
+    loads the pipeline whose ``instantiate`` carries these values).
+    """
+
+    onset: float = 0.5
+    offset: float = 0.5
+    min_duration_on: float = 0.0
+    min_duration_off: float = 0.0
+    pad_onset: float = 0.0
+    pad_offset: float = 0.0
+
+
+def hysteresis_intervals(probs: np.ndarray, frame_sec: float,
+                         bc: BinarizeConfig) -> list:
+    """Frame scores -> [(start_sec, end_sec)] active intervals.
+
+    pyannote Binarize semantics: a region opens when the score rises above
+    ``onset`` and closes when it falls below ``offset``; regions are then
+    padded, gaps shorter than ``min_duration_off`` are filled, and regions
+    shorter than ``min_duration_on`` are dropped (in that order).
+    """
+    p = np.asarray(probs, np.float64)
+    regions = []
+    active = False
+    start = 0.0
+    for i, v in enumerate(p):
+        t = (i + 0.5) * frame_sec
+        if not active and v > bc.onset:
+            active, start = True, t
+        elif active and v < bc.offset:
+            regions.append((start, t))
+            active = False
+    if active:
+        regions.append((start, len(p) * frame_sec))
+    regions = [(s - bc.pad_onset, e + bc.pad_offset) for s, e in regions]
+    merged: list = []
+    for s, e in regions:
+        if merged and s - merged[-1][1] < bc.min_duration_off:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return [(max(s, 0.0), e) for s, e in merged
+            if e - s >= bc.min_duration_on]
+
+
 def reduce_overlap_channels(probs: jnp.ndarray) -> jnp.ndarray:
     """[B, T', C] speaker activations -> [B, T', 2] (speech, overlap).
 

@@ -144,7 +144,9 @@ def build_engine(cfg) -> StageEngine:
             return OnnxWhisperStage(
                 files[0], files[1], sot_sequence=(wc.bos_id,),
                 eot_id=wc.eos_id, max_decode_len=wc.max_decode_len,
-                num_mel=wc.num_mel)
+                num_mel=wc.num_mel,
+                language=getattr(cfg, "whisper_language", "") or None,
+                task=getattr(cfg, "whisper_task", "transcribe"))
 
         _load_onnx("asr", files, "whisper", pack.whisper_cfg,
                    direct_builder=_whisper_direct)
@@ -196,7 +198,19 @@ def build_engine(cfg) -> StageEngine:
         from ..models.convert.torch_import import load_pyannet_torch
 
         pn_cfg, pn_params = load_pyannet_torch(osd_ckpt)
-        pack.set_osd_pyannet(pn_cfg, pn_params)
+        hyst = {name: float(getattr(cfg, f"osd_{name2}", -1.0))
+                for name, name2 in (("onset", "onset"), ("offset", "offset"),
+                                    ("min_duration_on", "min_on"),
+                                    ("min_duration_off", "min_off"))}
+        binarize = None
+        if any(v >= 0 for v in hyst.values()):
+            from ..models.pyannet import BinarizeConfig
+
+            defaults = BinarizeConfig()
+            binarize = BinarizeConfig(**{
+                k: (v if v >= 0 else getattr(defaults, k))
+                for k, v in hyst.items()})
+        pack.set_osd_pyannet(pn_cfg, pn_params, binarize=binarize)
     elif osd_ckpt:
         # per-stage OSD params from cli/distill_osd (orbax dir)
         from ..train.checkpoint import load_params

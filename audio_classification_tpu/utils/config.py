@@ -40,12 +40,23 @@ class Overlap3Config:
     # OSD
     osd_checkpoint: str = ""          # orbax OSD params (cli/distill_osd) or
                                       # pyannote torch ckpt (.bin/.ckpt/.pt)
+    # pyannote Binarize hysteresis for the PyanNet OSD path (negative =
+    # unset; any field >= 0 enables hysteresis, unset fields use pyannote
+    # defaults onset/offset 0.5, durations 0.0)
+    osd_onset: float = -1.0
+    osd_offset: float = -1.0
+    osd_min_on: float = -1.0
+    osd_min_off: float = -1.0
     # ASR (model selection mirrors create_asr_model's one-of contract)
     paraformer: str = ""
     sense_voice: str = ""
     encoder: str = ""
     decoder: str = ""
     joiner: str = ""
+    whisper_encoder: str = ""          # whisper family (sp-id script:316-345)
+    whisper_decoder: str = ""
+    whisper_language: str = ""         # "" = export default / multilingual sot
+    whisper_task: str = "transcribe"
     tokens: str = ""
     cmvn: str = ""                     # kaldi am.mvn stats for the ASR frontend
     decoding_method: str = "greedy_search"

@@ -211,6 +211,50 @@ def test_reduce_overlap_channels():
     np.testing.assert_allclose(red[0, 1], [0.1, 0.05], atol=1e-6)
 
 
+def test_hysteresis_intervals():
+    from audio_classification_tpu.models.pyannet import (
+        BinarizeConfig, hysteresis_intervals,
+    )
+
+    fs = 0.1
+    probs = np.array([0.1, 0.6, 0.7, 0.4, 0.45, 0.8, 0.2, 0.1, 0.9, 0.05])
+    iv = hysteresis_intervals(probs, fs, BinarizeConfig(onset=0.5, offset=0.3))
+    # opens at frame 1, survives the 0.4/0.45 dip (above offset), closes at
+    # frame 6; a second short region at frame 8
+    assert len(iv) == 2
+    np.testing.assert_allclose(iv[0], (0.15, 0.65), atol=1e-9)
+    np.testing.assert_allclose(iv[1], (0.85, 0.95), atol=1e-9)
+    iv2 = hysteresis_intervals(
+        probs, fs, BinarizeConfig(onset=0.5, offset=0.3, min_duration_off=0.3))
+    assert len(iv2) == 1 and abs(iv2[0][1] - 0.95) < 1e-9  # gap filled
+    iv3 = hysteresis_intervals(
+        probs, fs, BinarizeConfig(onset=0.5, offset=0.3, min_duration_on=0.2))
+    assert len(iv3) == 1  # 0.1 s region pruned
+
+
+def test_build_engine_pyannet_hysteresis(tmp_path):
+    """--osd-checkpoint (torch) + --osd-onset wire BinarizeConfig through."""
+    import dataclasses
+
+    from audio_classification_tpu.pipelines.offline_overlap3 import build_engine
+    from audio_classification_tpu.utils.config import Overlap3Config
+
+    cfg16 = dataclasses.replace(TINY, sample_rate=16000)
+    sd = _random_state_dict(cfg16, np.random.RandomState(9))
+    path = _save_ckpt(tmp_path, sd, nested=True)
+    cfg = Overlap3Config(preset="tiny", seed=0, max_batch=2,
+                         osd_checkpoint=path, osd_onset=0.6, osd_min_off=0.2)
+    eng = build_engine(cfg)
+    bz = eng.pack.osd_binarize
+    assert bz is not None and bz.onset == 0.6
+    assert bz.offset == 0.5 and bz.min_duration_off == 0.2  # defaults kept
+    # kernel/stride come from args (not stored in the ckpt): pyannote 251/10
+    assert eng.pack.osd_pyannet.cfg.kernel_size == 251
+    wav = (0.3 * np.random.RandomState(10).randn(16000)).astype(np.float32)
+    segs = eng.osd_segments_batch([wav], 16000, 0.5, 0.5, 0.1)
+    assert segs[0] and segs[0][0][0] == 0.0
+
+
 def test_engine_osd_pyannet_segments():
     """End-to-end: PyanNet-backed OSD stage through the engine."""
     cfg = PyanNetConfig(
