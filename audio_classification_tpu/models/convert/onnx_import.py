@@ -341,6 +341,27 @@ def load_onnx_graph(path: str) -> OnnxGraph:
     return _parse_graph(_graph_body(path))
 
 
+def load_onnx_metadata(path: str) -> Dict[str, str]:
+    """ModelProto.metadata_props (field 14, StringStringEntryProto) ->
+    {key: value}. sherpa-onnx exports store model hyperparameters here —
+    whisper's sot/eot token ids, sot_sequence, n_mels, language token
+    tables (reference: src/model.py:79-99 relies on sherpa-onnx reading
+    exactly these keys to configure its recognizers)."""
+    out: Dict[str, str] = {}
+    data = memoryview(open(path, "rb").read())
+    for field_no, wire, val in _iter_fields(data):  # ModelProto
+        if field_no == 14 and wire == 2:
+            k = v = ""
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 1 and w2 == 2:
+                    k = bytes(v2).decode("utf-8", errors="replace")
+                elif f2 == 2 and w2 == 2:
+                    v = bytes(v2).decode("utf-8", errors="replace")
+            if k:
+                out[k] = v
+    return out
+
+
 def load_onnx_weights(path: str) -> Dict[str, np.ndarray]:
     """Extract initializer tensors from an ONNX file -> {name: array}."""
     out: Dict[str, np.ndarray] = {}

@@ -319,15 +319,54 @@ class OnnxWhisperStage:
     family = "whisper"
 
     def __init__(self, encoder, decoder, sot_sequence=(1,), eot_id: int = 2,
-                 max_decode_len: int = 96, num_mel: int = 80):
+                 max_decode_len: int = 96, num_mel: int = 80,
+                 language: Optional[str] = None, task: str = "transcribe",
+                 verbose: bool = True):
+        # sherpa whisper exports carry their token ids in the encoder's
+        # metadata_props (sot/sot_sequence/eot/no_timestamps/n_mels +
+        # language token tables) — exactly what sherpa-onnx's C++ reads to
+        # configure itself. When present, metadata WINS over the argument
+        # defaults (arguments remain the fallback for plain exports).
+        # NOTE: a metadata n_mels must match the engine frontend's
+        # whisper_cfg.num_mel — mismatches fail loudly at trace time.
+        meta = {}
+        if isinstance(encoder, str):
+            from .onnx_import import load_onnx_metadata
+
+            meta = load_onnx_metadata(encoder)
         self.enc = encoder if isinstance(encoder, OnnxModel) else OnnxModel(encoder)
         self.dec = decoder if isinstance(decoder, OnnxModel) else OnnxModel(decoder)
         self.params = {"encoder": self.enc.params, "decoder": self.dec.params}
-        self.sot = tuple(int(t) for t in sot_sequence)
-        self.eot = int(eot_id)
+        sot = tuple(int(t) for t in sot_sequence)
+        eot, mel = int(eot_id), int(num_mel)
+        if meta.get("sot_sequence"):
+            sot = tuple(int(t) for t in meta["sot_sequence"].split(",") if t)
+        elif meta.get("sot"):
+            sot = (int(meta["sot"]),)
+        if meta.get("eot"):
+            eot = int(meta["eot"])
+        if meta.get("n_mels"):
+            mel = int(meta["n_mels"])
+        if language and meta.get("all_language_codes"):
+            codes = meta["all_language_codes"].split(",")
+            toks = [int(t) for t in meta.get("all_language_tokens", "").split(",") if t]
+            if language in codes and len(toks) == len(codes) and len(sot) >= 2:
+                # sot_sequence layout: [sot, language, task]
+                sot = (sot[0], toks[codes.index(language)]) + sot[2:]
+        if task == "translate" and meta.get("translate") and len(sot) >= 3:
+            sot = sot[:2] + (int(meta["translate"]),) + sot[3:]
+        if meta.get("no_timestamps"):
+            nt = int(meta["no_timestamps"])
+            if nt not in sot:
+                sot = sot + (nt,)  # sherpa appends it after the task token
+        self.sot = sot
+        self.eot = eot
         self.max_decode_len = int(max_decode_len)
-        self.num_mel = int(num_mel)
+        self.num_mel = mel
         self.outputs = ["ids", "lengths"]
+        if meta and verbose:
+            print(f"[onnx_stage] whisper metadata: sot={self.sot} "
+                  f"eot={self.eot} n_mels={self.num_mel}")
 
         ef, _, er = _classify_inputs(self.enc.graph)
         if not ef:

@@ -126,10 +126,15 @@ def graph_bytes(nodes: List[bytes], initializers: Dict[str, np.ndarray],
 
 def model_bytes(nodes: List[bytes], initializers: Dict[str, np.ndarray],
                 inputs: Sequence[bytes] = (),
-                outputs: Sequence[bytes] = ()) -> bytes:
+                outputs: Sequence[bytes] = (),
+                metadata: Dict[str, str] = None) -> bytes:
     graph = graph_bytes(nodes, initializers, inputs, outputs)
     opset = _len_field(1, b"") + _varint_field(2, 17)
-    return _varint_field(1, 8) + _len_field(7, graph) + _len_field(8, opset)
+    out = _varint_field(1, 8) + _len_field(7, graph) + _len_field(8, opset)
+    for k, v in (metadata or {}).items():  # metadata_props = field 14
+        entry = _len_field(1, k.encode()) + _len_field(2, str(v).encode())
+        out += _len_field(14, entry)
+    return out
 
 
 class GraphBuilder:

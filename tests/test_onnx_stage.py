@@ -349,7 +349,7 @@ def test_transducer_direct_rejects_single_graph(tmp_path):
         pack.set_onnx_stage("asr", OnnxStage(path, verbose=False))
 
 
-def _whisper_pair(tmp_path, rng, mel=80, d=8, V=64):
+def _whisper_pair(tmp_path, rng, mel=80, d=8, V=64, metadata=None):
     """encoder/decoder fixture like the sherpa whisper export (reference:
     sp-id script:316-345): channels-first mel encoder -> cross tensor;
     decoder with tokens/offset/self-cache IO and an AR transition matrix
@@ -363,7 +363,8 @@ def _whisper_pair(tmp_path, rng, mel=80, d=8, V=64):
          node("ReduceMean", ["proj"], ["cross"], axes=[1], keepdims=1)],
         {"we": we},
         inputs=[value_info("mel_in", np.float32, ["B", mel, "T"])],
-        outputs=[value_info("cross", np.float32, ["B", 1, d])])
+        outputs=[value_info("cross", np.float32, ["B", 1, d])],
+        metadata=metadata)
     (tmp_path / "wenc.onnx").write_bytes(enc)
 
     tmat = np.zeros((V, V), np.float32)
@@ -409,6 +410,34 @@ def test_whisper_pair_direct_through_engine(tmp_path):
     # greedy chain: prime(sot=3)->4, then 5, 6, then eot(2) stops emission
     assert int(got_n) == 3
     assert list(got_ids[:3]) == [4, 5, 6]
+
+
+def test_whisper_metadata_configures_stage(tmp_path):
+    """sherpa whisper exports self-describe via metadata_props; metadata
+    wins over argument fallbacks (sp-id script:316-345 relies on
+    sherpa-onnx reading exactly these keys)."""
+    from audio_classification_tpu.models.convert.onnx_import import load_onnx_metadata
+    from audio_classification_tpu.models.convert.onnx_stage import OnnxWhisperStage
+
+    rng = np.random.RandomState(15)
+    meta = {
+        "sot_sequence": "50258,50259,50359",
+        "eot": "50257", "n_mels": "80", "no_timestamps": "50363",
+        "all_language_codes": "en,zh",
+        "all_language_tokens": "50259,50260",
+        "translate": "50358",
+    }
+    enc_p, dec_p = _whisper_pair(tmp_path, rng, metadata=meta)
+    assert load_onnx_metadata(enc_p)["eot"] == "50257"
+    stage = OnnxWhisperStage(enc_p, dec_p, sot_sequence=(3,), eot_id=2,
+                             max_decode_len=4, num_mel=80, language="zh",
+                             verbose=False)
+    # language slot replaced, no_timestamps appended, args overridden
+    assert stage.sot == (50258, 50260, 50359, 50363)
+    assert stage.eot == 50257 and stage.num_mel == 80
+    tr = OnnxWhisperStage(enc_p, dec_p, max_decode_len=4, task="translate",
+                          verbose=False)
+    assert tr.sot == (50258, 50259, 50358, 50363)
 
 
 def test_whisper_direct_rejects_single_graph(tmp_path):
