@@ -109,6 +109,35 @@ def family_smoke(items, n: int = 8):
             f"({audio_sec:.0f}s audio in {dt:.2f}s; warmup {warm:.1f}s)")
 
 
+def tunnel_health():
+    """Probe the tunneled chip's transfer path and log stall behavior.
+
+    The box's TPU is reached through an RPC tunnel that intermittently
+    stalls for tens of seconds on ARBITRARILY SMALL transfers (measured:
+    29 s for a 10 KB device->host pull during one degraded window, with
+    the chip's matmul throughput simultaneously normal at ~90 TFLOP/s).
+    Logging p50/p95 of small-pull latency makes a degraded captured rtf
+    self-explaining instead of looking like a code regression.
+    """
+    import jax
+
+    lat = []
+    d = jax.device_put(np.ones(25_000, np.float32))  # 100 KB
+    d.block_until_ready()
+    f = jax.jit(lambda x: x + 1.0)
+    for _ in range(15):
+        t0 = time.perf_counter()
+        np.asarray(f(d))  # fresh result each time: no host-side caching
+        lat.append(time.perf_counter() - t0)
+    lat_ms = sorted(x * 1e3 for x in lat)
+    p50 = lat_ms[len(lat_ms) // 2]
+    p95 = lat_ms[int(len(lat_ms) * 0.95)]
+    log(f"bench: tunnel 100KB-pull p50={p50:.0f}ms p95={p95:.0f}ms "
+        f"max={lat_ms[-1]:.0f}ms" +
+        ("  [DEGRADED TUNNEL: expect inflated rtf]" if p95 > 1000 else ""))
+    return p95
+
+
 def main():
     import tempfile
     from pathlib import Path
@@ -126,7 +155,7 @@ def main():
     #   128/256: 0.0060 (regresses: sep time balloons)
     n_mix = int(os.environ.get("ACT_BENCH_MIXTURES", "128"))
     dur = float(os.environ.get("ACT_BENCH_DUR_SEC", "10"))
-    passes = max(int(os.environ.get("ACT_BENCH_PASSES", "5")), 1)
+    passes = max(int(os.environ.get("ACT_BENCH_PASSES", "7")), 1)
     dtype = os.environ.get("ACT_BENCH_DTYPE", "bfloat16")
     max_batch = int(os.environ.get("ACT_BENCH_MAX_BATCH", "64"))
     items = make_mixtures(n_mix, dur, sr)
@@ -160,6 +189,7 @@ def main():
         # program is compiled; steady-state serving reuses compiled programs,
         # so the measured passes exclude one-time XLA compilation.
         cache_before = _cache_entries()
+        tunnel_health()
         log(f"bench: warmup/compile pass (dtype={dtype}, max_batch={max_batch}) ...")
         t0 = time.time()
         pipe = Overlap3Pipeline(cfg)
@@ -208,6 +238,7 @@ def main():
             gc.collect()
             time.sleep(1.0)
 
+    tunnel_health()
     rtf = float(min(rtfs))
     log(f"bench: rtf min={rtf:.4f} median={float(np.median(rtfs)):.4f} "
         f"passes={rtfs} mfu_best={float(max(mfus))*100:.2f}%")

@@ -51,3 +51,22 @@ def test_trace_noop_and_real(tmp_path):
 
         jax.block_until_ready(jnp.ones(8) * 2)
     assert any((tmp_path / "prof").rglob("*")), "profiler wrote no files"
+
+
+def test_stabilize_pallas_cache_keys_idempotent():
+    """The Mosaic location-strip patch installs once and stays installed.
+
+    (The actual payload stability is TPU-lowering-only; verified on
+    hardware — see runtime/device.stabilize_pallas_cache_keys docstring.)
+    """
+    from jax._src import tpu_custom_call as tcc
+
+    from audio_classification_tpu.runtime.device import (
+        stabilize_pallas_cache_keys,
+    )
+
+    assert stabilize_pallas_cache_keys() is True
+    wrapped = tcc._lower_mosaic_module_to_asm
+    assert stabilize_pallas_cache_keys() is True  # no double-wrap
+    assert tcc._lower_mosaic_module_to_asm is wrapped
+    assert getattr(tcc, "_act_strip_debuginfo", False)
