@@ -144,8 +144,9 @@ class _EncBlock(nn.Module):
     ffn_mult: int
 
     @nn.compact
-    def __call__(self, x, mask):
-        x = x + MultiHeadSelfAttention(self.dim, self.heads, name="attn")(nn.LayerNorm()(x), mask)
+    def __call__(self, x, mask, mesh=None, sp_axis: str = "data"):
+        x = x + MultiHeadSelfAttention(self.dim, self.heads, name="attn")(
+            nn.LayerNorm()(x), mask, mesh, sp_axis)
         h = nn.LayerNorm()(x)
         x = x + nn.Dense(self.dim)(jax.nn.gelu(nn.Dense(self.dim * self.ffn_mult)(h)))
         if mask is not None:
@@ -170,7 +171,11 @@ class WhisperStyle(nn.Module):
         ]
         self.dec_ln = nn.LayerNorm(name="dec_ln")
 
-    def encode(self, feats, frame_mask):
+    def encode(self, feats, frame_mask, mesh=None, sp_axis: str = "data"):
+        """``mesh`` enables sequence parallelism: every encoder block's
+        attention runs ring-parallel over ``sp_axis`` with the frame mask
+        rotating the ring (same params as the dense path; the SenseVoice
+        encoder has the identical switch)."""
         c = self.cfg
         x = jax.nn.gelu(self.sub1(feats))
         x = jax.nn.gelu(self.sub2(x))
@@ -182,7 +187,7 @@ class WhisperStyle(nn.Module):
             mask = jnp.ones(x.shape[:2], bool)
         x = x + jnp.asarray(sinusoidal_positions(t, c.dim))[None]
         for blk in self.enc_blocks:
-            x = blk(x, mask)
+            x = blk(x, mask, mesh, sp_axis)
         return self.enc_ln(x), mask
 
     def decode_logits(self, tokens, mem, mem_mask):

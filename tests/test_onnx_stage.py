@@ -465,6 +465,40 @@ def test_build_engine_whisper_direct(tmp_path):
     assert isinstance(text[0], str)
 
 
+def test_fused_paths_with_direct_onnx_stages(tmp_path):
+    """Direct ONNX spk+ASR graphs inside the FUSED clean/overlap device
+    programs — the actual serving configuration when real checkpoints are
+    served with --onnx-exec direct. Fused outputs must match granular
+    stage composition (same contract as tests/test_fused_paths.py)."""
+    rng = np.random.RandomState(21)
+    pack = ModelPack(tiny_preset(), seed=0)
+    spk_path, _, _ = _speaker_graph(tmp_path, rng)
+    lfr_dim = pack.asr_cfg.lfr_m * pack.asr_cfg.num_mel
+    asr_path, _, _ = _asr_graph(tmp_path, rng, lfr_dim, pack.asr_cfg.vocab_size)
+    pack.set_onnx_stage("spk", OnnxStage(spk_path, verbose=False))
+    pack.set_onnx_stage("asr", OnnxStage(asr_path, skip_frames=0))
+    eng = StageEngine(pack)
+
+    chunks = [(0.3 * rng.randn(5000)).astype(np.float32),
+              (0.3 * rng.randn(8000)).astype(np.float32)]
+    target = eng.embed([_tone(8000)])[0]
+
+    fused = eng.process_clean(chunks, [target, target])
+    embs = eng.embed(chunks)
+    texts = eng.transcribe(chunks)
+    for (score, text), emb, ref_text in zip(fused, embs, texts):
+        assert abs(score - float(emb @ target)) < 5e-3
+        assert text == ref_text
+
+    ov = eng.process_overlap(chunks, [target, target])
+    branches = eng.separate(chunks, n_src=3)
+    for rec, br in zip(ov, branches):
+        scores = eng.embed([br[i] for i in range(3)]) @ target
+        assert np.abs(np.asarray(rec["scores"]) - scores).max() < 5e-3
+        assert rec["best"] == int(np.argmax(scores))
+        assert rec["text"] == eng.transcribe([br[rec["best"]]])[0]
+
+
 def test_set_onnx_stage_rejects_unsupported(tmp_path):
     rng = np.random.RandomState(6)
     path, _, _ = _speaker_graph(tmp_path, rng)

@@ -71,3 +71,40 @@ def test_sensevoice_seq_parallel_matches_dense():
                                         mesh=mesh, sp_axis="data")
         )(params, fsh, msh)
         np.testing.assert_allclose(np.asarray(sp), dense, atol=1e-4, rtol=1e-4)
+
+
+def test_whisper_encoder_seq_parallel_matches_dense():
+    """WhisperStyle.encode(mesh=...) — the second bundled ASR family with
+    the sequence-parallel switch; ring attention with the post-subsample
+    frame mask rotating the ring must match the dense path <=1e-4."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audio_classification_tpu.models.asr.whisper_style import (
+        WhisperStyle,
+        WhisperStyleConfig,
+    )
+    from audio_classification_tpu.parallel.mesh import make_mesh
+
+    cfg = WhisperStyleConfig(vocab_size=12, dim=16, heads=2, enc_layers=2,
+                             dec_layers=1, ffn_mult=2)
+    mesh = make_mesh(8, model_axis=1)
+    model = WhisperStyle(cfg)
+    rng = np.random.default_rng(2)
+    t, mel = 32, cfg.num_mel
+    feats = jnp.asarray(rng.standard_normal((2, t, mel)).astype(np.float32))
+    mask = jnp.asarray(np.arange(t)[None, :] < np.array([[t], [t - 10]]))
+    params = model.init(jax.random.PRNGKey(0), feats, mask,
+                        jnp.zeros((2, 3), jnp.int32))
+    dense, dmask = model.apply(params, feats, mask, method=WhisperStyle.encode)
+
+    fsh = jax.device_put(feats, NamedSharding(mesh, P(None, "data", None)))
+    msh = jax.device_put(mask, NamedSharding(mesh, P(None, "data")))
+    sp, smask = jax.jit(
+        lambda p, f, m: model.apply(p, f, m, mesh=mesh, sp_axis="data",
+                                    method=WhisperStyle.encode)
+    )(params, fsh, msh)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(dense),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(smask), np.asarray(dmask))
