@@ -91,15 +91,23 @@ class Paraformer(nn.Module):
     cfg: ParaformerConfig = ParaformerConfig()
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, frame_mask: Optional[jnp.ndarray] = None):
-        """[B, T_lfr, lfr_m*mel] -> (logits [B, max_tokens, V], counts [B])."""
+    def __call__(self, feats: jnp.ndarray, frame_mask: Optional[jnp.ndarray] = None,
+                 mesh=None, sp_axis: str = "data"):
+        """[B, T_lfr, lfr_m*mel] -> (logits [B, max_tokens, V], counts [B]).
+
+        ``mesh`` runs the ENCODER blocks sequence-parallel (ring attention
+        over ``sp_axis``); the CIF integration and the NAR decoder over
+        acoustic tokens stay dense — max_tokens is short and CIF's
+        cumulative firing is inherently sequential over frames.
+        """
         c = self.cfg
         x = nn.Dense(c.dim, name="in_proj")(feats)
         t = x.shape[1]
         mask = frame_mask if frame_mask is not None else jnp.ones(x.shape[:2], bool)
         x = x + jnp.asarray(sinusoidal_positions(t, c.dim))[None]
         for i in range(c.enc_layers):
-            x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel, name=f"enc_{i}")(x, mask)
+            x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel,
+                                 name=f"enc_{i}")(x, mask, mesh, sp_axis)
         x = nn.LayerNorm(name="enc_ln")(x)
 
         # CIF predictor: per-frame firing weight

@@ -47,7 +47,11 @@ class TransducerEncoder(nn.Module):
     cfg: TransducerConfig
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, frame_mask: Optional[jnp.ndarray] = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, feats: jnp.ndarray, frame_mask: Optional[jnp.ndarray] = None,
+                 mesh=None, sp_axis: str = "data") -> tuple[jnp.ndarray, jnp.ndarray]:
+        """``mesh`` enables sequence parallelism (ring attention over
+        ``sp_axis``, mask-aware) — same switch as the SenseVoice/Whisper
+        encoders."""
         c = self.cfg
         x = jax.nn.gelu(Conv1d(c.dim, 5, stride=2, name="sub1")(feats))
         x = jax.nn.gelu(Conv1d(c.dim, 5, stride=2, name="sub2")(x))
@@ -60,7 +64,8 @@ class TransducerEncoder(nn.Module):
             mask = jnp.ones((x.shape[0], t), bool)
         x = x + jnp.asarray(sinusoidal_positions(t, c.dim))[None]
         for i in range(c.layers):
-            x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel, name=f"block_{i}")(x, mask)
+            x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel,
+                                 name=f"block_{i}")(x, mask, mesh, sp_axis)
         return nn.LayerNorm(name="out_ln")(x), mask
 
 

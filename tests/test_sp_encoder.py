@@ -108,3 +108,70 @@ def test_whisper_encoder_seq_parallel_matches_dense():
     np.testing.assert_allclose(np.asarray(sp), np.asarray(dense),
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(smask), np.asarray(dmask))
+
+
+def test_transducer_encoder_seq_parallel_matches_dense():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audio_classification_tpu.models.asr.transducer import (
+        TransducerConfig,
+        TransducerEncoder,
+    )
+    from audio_classification_tpu.parallel.mesh import make_mesh
+
+    cfg = TransducerConfig(vocab_size=12, dim=16, heads=2, layers=2,
+                           ffn_mult=2)
+    mesh = make_mesh(8, model_axis=1)
+    model = TransducerEncoder(cfg)
+    rng = np.random.default_rng(3)
+    t, mel = 40, cfg.num_mel
+    feats = jnp.asarray(rng.standard_normal((2, t, mel)).astype(np.float32))
+    mask = jnp.asarray(np.arange(t)[None, :] < np.array([[t], [t - 13]]))
+    params = model.init(jax.random.PRNGKey(0), feats, mask)
+    dense, dmask = model.apply(params, feats, mask)
+
+    fsh = jax.device_put(feats, NamedSharding(mesh, P(None, "data", None)))
+    msh = jax.device_put(mask, NamedSharding(mesh, P(None, "data")))
+    sp, smask = jax.jit(
+        lambda p, f, m: model.apply(p, f, m, mesh=mesh, sp_axis="data")
+    )(params, fsh, msh)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(dense),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(smask), np.asarray(dmask))
+
+
+def test_paraformer_seq_parallel_matches_dense():
+    """Encoder blocks ring-parallel; CIF + NAR decoder stay dense — full
+    forward (logits, counts) must match the dense path."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audio_classification_tpu.models.asr.paraformer import (
+        Paraformer,
+        ParaformerConfig,
+    )
+    from audio_classification_tpu.parallel.mesh import make_mesh
+
+    cfg = ParaformerConfig(vocab_size=12, dim=16, heads=2, enc_layers=2,
+                           dec_layers=1, ffn_mult=2, max_tokens=8)
+    mesh = make_mesh(8, model_axis=1)
+    model = Paraformer(cfg)
+    rng = np.random.default_rng(4)
+    t = 24
+    lfr_dim = cfg.lfr_m * cfg.num_mel
+    feats = jnp.asarray(rng.standard_normal((2, t, lfr_dim)).astype(np.float32))
+    mask = jnp.asarray(np.arange(t)[None, :] < np.array([[t], [t - 7]]))
+    params = model.init(jax.random.PRNGKey(0), feats, mask)
+    d_logits, d_counts = model.apply(params, feats, mask)
+
+    fsh = jax.device_put(feats, NamedSharding(mesh, P(None, "data", None)))
+    msh = jax.device_put(mask, NamedSharding(mesh, P(None, "data")))
+    s_logits, s_counts = jax.jit(
+        lambda p, f, m: model.apply(p, f, m, mesh=mesh, sp_axis="data")
+    )(params, fsh, msh)
+    np.testing.assert_allclose(np.asarray(s_logits), np.asarray(d_logits),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(s_counts), np.asarray(d_counts))
