@@ -777,6 +777,54 @@ class StageEngine:
             return []
         return self.collect_transcribe(self.launch_transcribe(chunks, language, use_itn))
 
+    def transcribe_long(self, wav: np.ndarray, language: str = "auto",
+                        use_itn: bool = True) -> str:
+        """ONE long utterance with its FRAME axis spanning the mesh —
+        sequence parallelism as a product feature (SURVEY §5.7).
+
+        The reference's only long-audio strategy is time-segmentation
+        (src/osd/osd.py:99-108 win/hop rasterization), which cuts the
+        attention context at segment edges; here the SenseVoice encoder
+        runs ring attention over the mesh's data axis, so a minutes-long
+        utterance keeps FULL self-attention context while its activation
+        memory splits across chips. CTC families only (the scan decoders
+        are per-frame sequential); falls back to transcribe() when no mesh
+        is configured, the family has no CTC head, or a direct-exec ONNX
+        graph serves the stage (exported graphs carry no mesh switch).
+        """
+        wav = np.asarray(wav, np.float32)
+        if (self.mesh is None or self.pack.asr_family != "sensevoice"
+                or self.pack.onnx_stages.get("asr") is not None):
+            return self.transcribe([wav], language, use_itn)[0]
+        p = self.pack
+        lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
+        if getattr(self, "_asr_long", None) is None:
+            mesh, cdt = self.mesh, self.compute_dtype
+
+            def long_fn(params, wav_i16, lengths, language_id, use_itn):
+                w = wav_i16.astype(jnp.float32) * (1.0 / 32768.0)
+                feats, mask = sensevoice_frontend(
+                    w, lengths, p.asr_cfg, p.cmvn_shift, p.cmvn_scale)
+                logits = p.asr_model.apply(
+                    params, feats.astype(cdt), mask,
+                    language_id=language_id, use_itn=use_itn,
+                    mesh=mesh, sp_axis="data")
+                body = logits[:, p.asr_cfg.num_prompt:].astype(jnp.float32)
+                return ctc_greedy_decode(body, mask.astype(jnp.float32),
+                                         p.tokens.blank_id)
+
+            self._asr_long = jax.jit(
+                long_fn, static_argnames=("language_id", "use_itn"))
+        # snap to the bucket grid (programs cache per padded length)
+        t = self.buckets.bucket_for(len(wav))
+        padded = np.zeros((1, t), np.float32)
+        padded[0, : len(wav)] = wav[:t]
+        ids, n = self._asr_long(
+            self.exec_params["asr"], jnp.asarray(self._quantize_i16(padded)),
+            jnp.asarray([min(len(wav), t)], jnp.int32),
+            language_id=lang_id, use_itn=use_itn)
+        return p.tokens.decode(np.asarray(ids)[0][: int(np.asarray(n)[0])])
+
     def process_clean(
         self, chunks: Sequence[np.ndarray], target_vecs: Sequence[np.ndarray],
         language: str = "auto", use_itn: bool = True,

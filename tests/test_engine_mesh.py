@@ -70,3 +70,19 @@ def test_mesh_osd_segments(engines):
     sa = single.osd_segments(wav, 16000, 0.5, 0.5, 0.1)
     sb = sharded.osd_segments(wav, 16000, 0.5, 0.5, 0.1)
     assert sa == sb
+
+
+def test_transcribe_long_sequence_parallel(engines):
+    """transcribe_long shards ONE utterance's frame axis over the mesh
+    (ring attention) and must decode the same text as the batched dense
+    path; without a mesh it falls back to transcribe()."""
+    single, sharded = engines
+    wav = np.concatenate([_tone(16000, 300), _tone(16000, 550),
+                          _tone(8000, 800)])
+    dense = single.transcribe([wav])[0]
+    assert single.transcribe_long(wav) == dense  # no-mesh fallback
+    assert sharded.transcribe_long(wav) == dense
+    # program is cached per bucket: a second call with a same-bucket
+    # length reuses it
+    wav2 = wav[: len(wav) - 2000]
+    assert sharded.transcribe_long(wav2) == single.transcribe([wav2])[0]
