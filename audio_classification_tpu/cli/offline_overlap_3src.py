@@ -94,6 +94,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--profile-dir", default="", help="Write a jax.profiler device trace here")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="Shard stage batches over N chips (0 = single device)")
+    p.add_argument("--model-parallel", type=int, default=0,
+                   help="TP: shard the separators' TCN hidden dim over M "
+                        "chips (mesh = data x model; 0 = off)")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="bfloat16 halves MXU cost; norm statistics stay f32")
     p.add_argument("--wave-mixtures", type=int, default=0,

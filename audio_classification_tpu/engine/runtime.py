@@ -321,12 +321,29 @@ class StageEngine:
                 batch_multiple=data_n,
                 max_batch=max(buckets.max_batch, data_n),
             )
-            from ..parallel.mesh import data_sharding, replicated
+            from ..parallel.mesh import (
+                apply_param_specs, convtasnet_param_spec, data_sharding,
+                replicated,
+            )
 
             self._dsh = data_sharding(mesh)
             self._rep = replicated(mesh)
+            # TP: with a >1 "model" axis, the separators' wide TCN hidden
+            # dim shards over it (convtasnet_param_spec — the same rules
+            # the trainer uses); all other stages replicate. XLA inserts
+            # the psum at the res/skip contractions.
+            if mesh.shape.get("model", 1) > 1:
+                self._psh = {
+                    k: (apply_param_specs(mesh, v, convtasnet_param_spec)
+                        if k in ("sep3", "sep2")
+                        else jax.tree.map(lambda _: self._rep, v))
+                    for k, v in pack.params.items()
+                }
+            else:
+                self._psh = None
         else:
             self._dsh = self._rep = None
+            self._psh = None
         self.buckets = buckets
         self.fbank_cfg = fbank or FbankConfig()
         p = pack
@@ -498,27 +515,34 @@ class StageEngine:
             # (Plain jit here: AOT-compiled executables are strict about
             # input shardings; the observability path targets the
             # single-chip serving engine.)
-            shard = dict(in_shardings=(self._rep, self._dsh, self._dsh),
-                         out_shardings=self._dsh)
-            self._osd = jax.jit(osd_fn, **shard)
-            self._sep3 = jax.jit(partial(sep_fn, p.sep3_model), **shard)
-            self._sep2 = jax.jit(partial(sep_fn, p.sep2_model), **shard)
-            self._moss = jax.jit(partial(sep_fn, p.moss_model), **shard)
-            self._spk = jax.jit(spk_fn, **shard)
+            def psh(key):
+                return self._psh[key] if self._psh is not None else self._rep
+
+            all_psh = self._psh if self._psh is not None else self._rep
+
+            def shard_for(key):
+                return dict(in_shardings=(psh(key), self._dsh, self._dsh),
+                            out_shardings=self._dsh)
+
+            self._osd = jax.jit(osd_fn, **shard_for("osd"))
+            self._sep3 = jax.jit(partial(sep_fn, p.sep3_model), **shard_for("sep3"))
+            self._sep2 = jax.jit(partial(sep_fn, p.sep2_model), **shard_for("sep2"))
+            self._moss = jax.jit(partial(sep_fn, p.moss_model), **shard_for("mossformer"))
+            self._spk = jax.jit(spk_fn, **shard_for("spk"))
             self._asr = _kw_to_pos(
                 jax.jit(asr_fn, static_argnames=("language_id", "use_itn"),
-                        in_shardings=(self._rep, self._dsh, self._dsh),
+                        in_shardings=(psh("asr"), self._dsh, self._dsh),
                         out_shardings=(self._dsh, self._dsh)),
                 ("language_id", "use_itn"))
-            self._vad = jax.jit(vad_fn, **shard)
+            self._vad = jax.jit(vad_fn, **shard_for("vad"))
             self._clean_path = _kw_to_pos(
                 jax.jit(clean_path_fn, static_argnames=("language_id", "use_itn"),
-                        in_shardings=(self._rep, self._dsh, self._dsh, self._dsh)),
+                        in_shardings=(all_psh, self._dsh, self._dsh, self._dsh)),
                 ("language_id", "use_itn"))
             self._overlap_path = _kw_to_pos(
                 jax.jit(overlap_path_fn,
                         static_argnames=("language_id", "use_itn", "return_branches", "backend"),
-                        in_shardings=(self._rep, self._dsh, self._dsh, self._dsh)),
+                        in_shardings=(all_psh, self._dsh, self._dsh, self._dsh)),
                 ("language_id", "use_itn", "return_branches", "backend"))
             self._resample = jax.jit(resample_poly, static_argnames=("orig_sr", "new_sr"))
         else:

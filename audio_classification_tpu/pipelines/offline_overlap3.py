@@ -224,10 +224,11 @@ def build_engine(cfg) -> StageEngine:
     )
     mesh = None
     dp = int(getattr(cfg, "data_parallel", 0) or 0)
-    if dp > 1:
+    mp = int(getattr(cfg, "model_parallel", 0) or 0)
+    if dp > 1 or mp > 1:
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh(dp, model_axis=1)
+        mesh = make_mesh(max(dp, 1) * max(mp, 1), model_axis=max(mp, 1))
     return StageEngine(pack, buckets, mesh=mesh,
                        compute_dtype=getattr(cfg, "compute_dtype", "float32"))
 

@@ -86,6 +86,7 @@ class Overlap3Config:
     max_segment_sec: float = 64.0
     profile_dir: str = ""             # jax.profiler trace output dir
     data_parallel: int = 0            # shard stage batches over N chips (0 = single device)
+    model_parallel: int = 0           # TP: separators' TCN hidden dim over M chips
     compute_dtype: str = "float32"    # "bfloat16" halves MXU cost (norm stats stay f32)
     wave_mixtures: int = 0            # mixtures per wave (0 = 4x max_batch); larger waves
                                       # amortize per-phase dispatch latency over more audio

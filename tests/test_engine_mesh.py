@@ -86,3 +86,28 @@ def test_transcribe_long_sequence_parallel(engines):
     # length reuses it
     wav2 = wav[: len(wav) - 2000]
     assert sharded.transcribe_long(wav2) == single.transcribe([wav2])[0]
+
+
+def test_tp_engine_matches_single():
+    """TP serving: a (data 4, model 2) mesh shards the separators' TCN
+    hidden dim over "model" (convtasnet_param_spec, same rules as the
+    trainer) — separate() and the fused overlap path must match the
+    single-device engine."""
+    pack = ModelPack(tiny_preset(), seed=0)
+    spec = BucketSpec(lengths=(4000, 8000, 16000), max_batch=8)
+    single = StageEngine(pack, spec)
+    tp = StageEngine(pack, spec, mesh=make_mesh(8, model_axis=2))
+    assert tp._psh is not None
+    chunks = [_tone(5000), _tone(7000, 880)]
+    a = single.separate(chunks, n_src=3)
+    b = tp.separate(chunks, n_src=3)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-4)
+
+    target = single.embed([_tone(8000)])[0]
+    f1 = single.process_overlap(chunks, [target, target])
+    f2 = tp.process_overlap(chunks, [target, target])
+    for r1, r2 in zip(f1, f2):
+        np.testing.assert_allclose(np.asarray(r1["scores"]),
+                                   np.asarray(r2["scores"]), atol=5e-3)
+        assert r1["best"] == r2["best"] and r1["text"] == r2["text"]
