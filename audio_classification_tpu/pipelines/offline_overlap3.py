@@ -129,6 +129,20 @@ def build_engine(cfg) -> StageEngine:
         if skip < 0:
             skip = pack.asr_cfg.num_prompt
         _load_onnx("asr", sv_path, "sensevoice", pack.asr_cfg, skip_frames=skip)
+    wn_path = getattr(cfg, "wenet_ctc", "")
+    if wn_path.endswith(".onnx") and family == "sensevoice" and not sv_path:
+        # WeNet CTC family (reference sp-id:346-357, from_wenet_ctc): the
+        # export consumes PLAIN 80-dim fbank frames — no LFR stacking, no
+        # prompt positions in the logits — and shares the engine's CTC
+        # decode path. No graph-aware mapper exists for wenet topologies,
+        # so the graph always executes directly.
+        import dataclasses as _dc
+
+        from ..models.convert.onnx_stage import OnnxStage
+
+        pack.asr_cfg = _dc.replace(pack.asr_cfg, lfr_m=1, lfr_n=1)
+        skip = max(int(getattr(cfg, "onnx_asr_skip_frames", -1)), 0)
+        pack.set_onnx_stage("asr", OnnxStage(wn_path, skip_frames=skip))
     wh_path = getattr(cfg, "whisper_encoder", "")
     if wh_path.endswith(".onnx") and family == "whisper":
         wh_dec = getattr(cfg, "whisper_decoder", "")

@@ -465,6 +465,58 @@ def test_build_engine_whisper_direct(tmp_path):
     assert isinstance(text[0], str)
 
 
+def test_build_engine_wenet_ctc_direct(tmp_path):
+    """--wenet-ctc serves the export directly: plain fbank frames (LFR
+    collapsed to 1), no prompt skip, shared CTC decode (reference
+    sp-id:346-357 from_wenet_ctc)."""
+    from audio_classification_tpu.pipelines.offline_overlap3 import build_engine
+    from audio_classification_tpu.utils.config import Overlap3Config
+
+    rng = np.random.RandomState(22)
+    probe = ModelPack(tiny_preset(), seed=0)
+    mel = probe.asr_cfg.num_mel
+    V = probe.asr_cfg.vocab_size
+    # wenet-style signature: fbank frames + lengths only (no prompts)
+    w = (rng.randn(mel, V) * 0.5).astype(np.float32)
+    from helpers_onnx import model_bytes, node, value_info
+
+    graph = model_bytes(
+        [node("MatMul", ["speech", "w"], ["logits"])],
+        {"w": w},
+        inputs=[value_info("speech", np.float32, ["B", "T", mel]),
+                value_info("speech_lengths", np.int32, ["B"])],
+        outputs=[value_info("logits", np.float32, ["B", "T", V])])
+    (tmp_path / "wenet.onnx").write_bytes(graph)
+
+    cfg = Overlap3Config(preset="tiny", seed=0, max_batch=2)
+    cfg.wenet_ctc = str(tmp_path / "wenet.onnx")
+    eng = build_engine(cfg)
+    assert eng.pack.asr_cfg.lfr_m == 1 and eng.pack.asr_cfg.lfr_n == 1
+    assert eng.pack.onnx_stages["asr"].skip_frames == 0
+
+    wav = (0.3 * rng.randn(8000)).astype(np.float32)
+    got_ids, got_n = eng._collect_bucketed(eng.launch_transcribe([wav]))[0]
+
+    # oracle: the frontend with LFR collapsed must emit mel-dim frames
+    # (a leftover LFR stack would shape-error the matmul here)
+    import jax.numpy as jnp
+
+    from audio_classification_tpu.models.asr.sensevoice import sensevoice_frontend
+
+    feats, mask = sensevoice_frontend(
+        jnp.asarray(_as_engine_sees(eng, wav))[None],
+        jnp.asarray([len(wav)]), eng.pack.asr_cfg)
+    logits = np.asarray(feats) @ w
+    best = logits.argmax(-1)[0]
+    valid = np.asarray(mask)[0].astype(bool)
+    ids, prev = [], 0
+    for t_i, v in zip(best, valid):
+        if v and t_i != 0 and t_i != prev:
+            ids.append(int(t_i))
+        prev = t_i
+    assert list(got_ids[: int(got_n)]) == ids
+
+
 def test_fused_paths_with_direct_onnx_stages(tmp_path):
     """Direct ONNX spk+ASR graphs inside the FUSED clean/overlap device
     programs — the actual serving configuration when real checkpoints are
