@@ -21,7 +21,11 @@ Methodology (round-2 hardening):
   hit accounting (entries added vs programs built). Cross-process cache
   hits require the Mosaic location-strip patch
   (runtime/device.stabilize_pallas_cache_keys, installed by
-  enable_compilation_cache).
+  enable_compilation_cache),
+- stall dodging: before each measured pass a 3-pull probe checks the
+  tunnel; while a stall window is visible the pass WAITS (bounded by
+  ACT_BENCH_WAIT_BUDGET_S, default 600 s total) — measuring through a
+  multi-minute ambient stall measures the shared link, not the pipeline.
 
 Prints ONE JSON line:
   {"metric": "pipeline_rtf_total", "value": <rtf>, "unit": "rtf",
@@ -107,6 +111,48 @@ def family_smoke(items, n: int = 8):
         dt = _t.time() - t0
         log(f"bench: family={family} rtf_asr={dt/audio_sec:.4f} "
             f"({audio_sec:.0f}s audio in {dt:.2f}s; warmup {warm:.1f}s)")
+
+
+def _quick_pull_max(n: int = 3) -> float:
+    """Max latency (s) of n fresh 100 KB device->host pulls."""
+    import jax
+
+    d = jax.device_put(np.ones(25_000, np.float32))
+    d.block_until_ready()
+    f = jax.jit(lambda x: x + 1.0)
+    worst = 0.0
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(f(d))
+        worst = max(worst, time.perf_counter() - t0)
+    return worst
+
+
+def wait_clean_window(budget: list, max_wait_s: float = 240.0) -> bool:
+    """Pause while the tunnel is visibly stalling (experiment control).
+
+    The stalls are ambient, tens-of-seconds, and strike arbitrary RPCs
+    (see tunnel_health); measuring through one is measuring the shared
+    link, not the pipeline. Probing 3 pulls costs ~0.1 s on a healthy
+    link. ``budget`` is a 1-element list of remaining wait seconds shared
+    across passes so a fully-degraded box still terminates.
+    """
+    waited = 0.0
+    while budget[0] > 0:
+        worst = _quick_pull_max()
+        if worst < 1.0:
+            return True
+        step = min(20.0, budget[0], max_wait_s - waited)
+        if step <= 0:
+            break
+        log(f"bench: tunnel stalling ({worst:.1f}s pull) — waiting "
+            f"{step:.0f}s for a clean window ({budget[0]:.0f}s budget left)")
+        time.sleep(step)
+        budget[0] -= step
+        waited += step
+        if waited >= max_wait_s:
+            break
+    return False
 
 
 def tunnel_health():
@@ -210,7 +256,9 @@ def main():
         rtfs, mfus = [], []
         kind = device_kind()
         peak = PEAK_BF16_FLOPS.get(kind, 197e12)
+        wait_budget = [float(os.environ.get("ACT_BENCH_WAIT_BUDGET_S", "600"))]
         for i in range(passes):
+            wait_clean_window(wait_budget)
             flops0 = eng.executed_flops()
             pipeline = Overlap3Pipeline(Overlap3Config(**{**cfg.__dict__}), engine=eng)
             t0 = time.time()
