@@ -49,8 +49,15 @@ class ASRRecognizer:
         self.language = language
         self.use_itn = use_itn
 
-    def transcribe(self, samples: np.ndarray, sr: int) -> str:
+    def transcribe(self, samples: np.ndarray, sr: int,
+                   long_form: bool = False) -> str:
+        """``long_form`` routes through StageEngine.transcribe_long: the
+        utterance's frame axis spans the engine's mesh (sequence-parallel
+        ring attention) instead of batch sharding — full attention context
+        for minutes-long audio. No-op without a mesh / CTC family."""
         wav = self.engine.resample(np.asarray(samples, np.float32), sr, G_SAMPLE_RATE)
+        if long_form:
+            return self.engine.transcribe_long(wav, self.language, self.use_itn)
         return self.engine.transcribe([wav], self.language, self.use_itn)[0]
 
     def transcribe_batch(self, chunks, sr: int) -> List[str]:

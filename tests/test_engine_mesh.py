@@ -87,6 +87,12 @@ def test_transcribe_long_sequence_parallel(engines):
     wav2 = wav[: len(wav) - 2000]
     assert sharded.transcribe_long(wav2) == single.transcribe([wav2])[0]
 
+    # facade surface: ASRRecognizer.transcribe(long_form=True)
+    from audio_classification_tpu.models.facades import ASRRecognizer
+
+    rec = ASRRecognizer(sharded)
+    assert rec.transcribe(wav, 16000, long_form=True) == dense
+
 
 def test_tp_engine_matches_single():
     """TP serving: a (data 4, model 2) mesh shards the separators' TCN
