@@ -117,3 +117,16 @@ def test_tp_engine_matches_single():
         np.testing.assert_allclose(np.asarray(r1["scores"]),
                                    np.asarray(r2["scores"]), atol=5e-3)
         assert r1["best"] == r2["best"] and r1["text"] == r2["text"]
+
+
+def test_build_engine_model_parallel_flag():
+    """--data-parallel 4 --model-parallel 2 builds the (4, 2) mesh with TP
+    param shardings installed."""
+    from audio_classification_tpu.pipelines.offline_overlap3 import build_engine
+    from audio_classification_tpu.utils.config import Overlap3Config
+
+    eng = build_engine(Overlap3Config(preset="tiny", seed=0, max_batch=4,
+                                      data_parallel=4, model_parallel=2))
+    assert dict(eng.mesh.shape) == {"data": 4, "model": 2}
+    assert eng._psh is not None
+    assert eng.buckets.batch_multiple == 4
