@@ -453,6 +453,71 @@ def _gather_elements(ctx, node, ins):
     return [ctx.xp(ins).take_along_axis(x, idx, axis=axis)]
 
 
+@_op("GatherND")
+def _gather_nd(ctx, node, ins):
+    xp = ctx.xp(ins)
+    x = xp.asarray(ins[0])
+    idx = xp.asarray(ins[1])
+    b = int(node.attrs.get("batch_dims", 0))
+    k = _shape_of(idx)[-1]
+    if b:
+        # fold the shared leading batch dims into explicit index columns,
+        # reducing to the batch_dims=0 case
+        pre = _shape_of(idx)[:-1]
+        grids = []
+        for d in range(b):
+            shape = [1] * len(pre)
+            shape[d] = pre[d]
+            g = xp.arange(pre[d]).reshape(shape)
+            grids.append(xp.broadcast_to(g, tuple(pre))[..., None])
+        idx = xp.concatenate(grids + [idx], axis=-1)
+        k += b
+    return [x[tuple(idx[..., i] for i in range(k))]]
+
+
+@_op("ScatterND")
+def _scatter_nd(ctx, node, ins):
+    data, indices, updates = ins
+    xp = ctx.xp(ins)
+    k = _shape_of(indices)[-1]
+    red = node.attrs.get("reduction", b"none")
+    red = red.decode() if isinstance(red, bytes) else str(red)
+    if xp is np:
+        out = _np(data).copy()
+        tup = tuple(_np(indices)[..., i] for i in range(k))
+        if red == "add":
+            np.add.at(out, tup, _np(updates))
+        else:
+            out[tup] = _np(updates)
+        return [out]
+    jnp = ctx.jnp
+    tup = tuple(jnp.asarray(indices)[..., i] for i in range(k))
+    ref = jnp.asarray(data).at[tup]
+    return [ref.add(updates) if red == "add" else ref.set(updates)]
+
+
+@_op("ReverseSequence")
+def _reverse_sequence(ctx, node, ins):
+    """Per-row reversal of the first sequence_lens[b] steps — the op
+    bidirectional-RNN exports (silero/wenet style) wrap their backward
+    pass in."""
+    x, seq_lens = ins
+    batch_axis = int(node.attrs.get("batch_axis", 1))
+    time_axis = int(node.attrs.get("time_axis", 0))
+    xp = ctx.xp(ins)
+    x = xp.asarray(x)
+    x2 = xp.moveaxis(x, (batch_axis, time_axis), (0, 1))
+    t = x2.shape[1]
+    lens = xp.asarray(seq_lens).astype(np.int64 if xp is np else ctx.jnp.int32)
+    lens = lens.reshape(-1)
+    ar = xp.arange(t)[None, :]
+    idx = lens[:, None] - 1 - ar
+    idx = xp.where(idx >= 0, idx, ar)
+    idx = idx.reshape(idx.shape + (1,) * (x2.ndim - 2))
+    out = xp.take_along_axis(x2, xp.broadcast_to(idx, x2.shape), axis=1)
+    return [xp.moveaxis(out, (0, 1), (batch_axis, time_axis))]
+
+
 @_op("Squeeze")
 def _squeeze(ctx, node, ins):
     x = ins[0]

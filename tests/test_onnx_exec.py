@@ -546,3 +546,95 @@ def test_value_info_roundtrip(tmp_path):
     vi = g.inputs[0]
     assert vi.dtype == np.float32 and vi.shape == [2, "T", 80]
     assert len(g.outputs) == 1
+
+
+# ---------------------------------------------------- nd gather/scatter/rev
+
+def test_reverse_sequence_matches_numpy(tmp_path):
+    """ReverseSequence — the op bidirectional-RNN exports wrap their
+    backward pass in (silero/wenet style)."""
+    x = _f32(3, 7, 2)
+    lens = np.array([7, 4, 1], np.int64)
+    b = GraphBuilder()
+    b.raw("ReverseSequence", ["input", "lens"], ["out"],
+          batch_axis=0, time_axis=1)
+    b.value = "out"
+    out, _ = _run(tmp_path, b, {"input": x, "lens": lens},
+                  inputs=[("input", np.float32, [3, 7, 2]),
+                          ("lens", np.int64, [3])])
+    ref = x.copy()
+    for i, l in enumerate(lens):
+        ref[i, :l] = x[i, :l][::-1]
+    np.testing.assert_allclose(out["out"], ref, atol=0)
+
+    # default layout: time-major (time_axis=0, batch_axis=1)
+    xt = np.ascontiguousarray(x.transpose(1, 0, 2))
+    b2 = GraphBuilder()
+    b2.raw("ReverseSequence", ["input", "lens"], ["out"])
+    b2.value = "out"
+    out2, _ = _run(tmp_path, b2, {"input": xt, "lens": lens},
+                   inputs=[("input", np.float32, [7, 3, 2]),
+                           ("lens", np.int64, [3])])
+    np.testing.assert_allclose(out2["out"], ref.transpose(1, 0, 2), atol=0)
+    outj, _ = _run(tmp_path, b2, {"input": xt, "lens": lens},
+                   inputs=[("input", np.float32, [7, 3, 2]),
+                           ("lens", np.int64, [3])], jit=True)
+    np.testing.assert_allclose(outj["out"], ref.transpose(1, 0, 2), atol=0)
+
+
+def test_gather_nd_matches_numpy(tmp_path):
+    x = _f32(4, 5, 6)
+    idx = np.array([[1, 2], [3, 0], [0, 4]], np.int64)  # [3, 2] -> [3, 6]
+    b = GraphBuilder()
+    b.raw("GatherND", ["input", "idx"], ["out"])
+    b.value = "out"
+    out, _ = _run(tmp_path, b, {"input": x, "idx": idx},
+                  inputs=[("input", np.float32, [4, 5, 6]),
+                          ("idx", np.int64, [3, 2])])
+    np.testing.assert_allclose(out["out"], x[idx[:, 0], idx[:, 1]], atol=0)
+    outj, _ = _run(tmp_path, b, {"input": x, "idx": idx},
+                   inputs=[("input", np.float32, [4, 5, 6]),
+                           ("idx", np.int64, [3, 2])], jit=True)
+    np.testing.assert_allclose(outj["out"], x[idx[:, 0], idx[:, 1]], atol=0)
+
+
+def test_gather_nd_batch_dims(tmp_path):
+    x = _f32(2, 5, 3)
+    idx = np.array([[[1], [4]], [[0], [2]]], np.int64)  # [2, 2, 1], bd=1
+    b = GraphBuilder()
+    b.raw("GatherND", ["input", "idx"], ["out"], batch_dims=1)
+    b.value = "out"
+    out, _ = _run(tmp_path, b, {"input": x, "idx": idx},
+                  inputs=[("input", np.float32, [2, 5, 3]),
+                          ("idx", np.int64, [2, 2, 1])])
+    ref = np.stack([x[0, [1, 4]], x[1, [0, 2]]])
+    np.testing.assert_allclose(out["out"], ref, atol=0)
+
+
+def test_scatter_nd_set_and_add(tmp_path):
+    x = _f32(5, 3)
+    idx = np.array([[1], [3]], np.int64)
+    upd = _f32(2, 3)
+    for red, want in (
+        (None, None),   # replace
+        ("add", None),
+    ):
+        b = GraphBuilder()
+        kw = {"reduction": red} if red else {}
+        b.raw("ScatterND", ["input", "idx", "upd"], ["out"], **kw)
+        b.value = "out"
+        out, _ = _run(tmp_path, b, {"input": x, "idx": idx, "upd": upd},
+                      inputs=[("input", np.float32, [5, 3]),
+                              ("idx", np.int64, [2, 1]),
+                              ("upd", np.float32, [2, 3])])
+        ref = x.copy()
+        if red == "add":
+            ref[[1, 3]] += upd
+        else:
+            ref[[1, 3]] = upd
+        np.testing.assert_allclose(out["out"], ref, atol=1e-6)
+        outj, _ = _run(tmp_path, b, {"input": x, "idx": idx, "upd": upd},
+                       inputs=[("input", np.float32, [5, 3]),
+                               ("idx", np.int64, [2, 1]),
+                               ("upd", np.float32, [2, 3])], jit=True)
+        np.testing.assert_allclose(outj["out"], ref, atol=1e-6)
