@@ -457,9 +457,27 @@ class StageEngine:
             cap = min(ids.shape[1], TOKEN_CAP)
             return ids[:, :cap].astype(jnp.int32), jnp.minimum(n, cap).astype(jnp.int32)
 
+        def _pack_i32(*arrays):
+            """Pack per-item results into ONE [B, W] int32 matrix (float32
+            columns bitcast losslessly). Each batch then costs a single
+            device->host transfer instead of one per output array: this
+            box's tunnel stalls ONLY on D2H pulls (measured on identical
+            100 KB ops: h2d 115 ms, compute 488 ms, d2h 276 s worst), so
+            every separate pull is a stall lottery ticket — and in remote
+            serving generally, one packed pull amortizes the fixed
+            per-transfer latency once instead of N times.
+            """
+            cols = []
+            for a in arrays:
+                a2 = a.reshape(a.shape[0], -1)
+                if a2.dtype == jnp.float32:
+                    a2 = jax.lax.bitcast_convert_type(a2, jnp.int32)
+                cols.append(a2.astype(jnp.int32))
+            return jnp.concatenate(cols, axis=1)
+
         def asr_fn(params, wav_i16, lengths, language_id, use_itn):
             ids, n = _asr_core(params, _dq(wav_i16), lengths, language_id, use_itn)
-            return _cap_ids(ids, n)
+            return _pack_i32(*_cap_ids(ids, n))  # [B, cap+1]
 
         def vad_fn(params, wav_i16, lengths):
             feats, mask = _fbank_mask(_dq(wav_i16), lengths)
@@ -470,18 +488,21 @@ class StageEngine:
         # ---- fused path programs: audio goes up once, only scores + token
         # ids come back; separated branches/embeddings never leave HBM ----
         def clean_path_fn(params, wav_i16, lengths, target_vec, language_id, use_itn):
-            """wav + per-item target -> (sv_score [B], ids, n_tokens)."""
+            """wav + per-item target -> packed [B, 1+cap+1]: (sv_score
+            (bitcast f32), ids, n_tokens) in one D2H transfer."""
             wav = _dq(wav_i16)
             emb = _embed_core(params["spk"], wav, lengths)
-            score = jnp.sum(emb * target_vec, axis=-1)
+            score = jnp.sum(emb * target_vec, axis=-1).astype(jnp.float32)
             ids, n = _asr_core(params["asr"], wav, lengths, language_id, use_itn)
-            return (score, *_cap_ids(ids, n))
+            return _pack_i32(score, *_cap_ids(ids, n))
 
         def overlap_path_fn(params, wav_i16, lengths, target_vec, language_id, use_itn,
                             return_branches, backend="convtasnet"):
             """wav -> separate -> per-branch SV -> best-branch ASR, on device.
 
-            -> (branch_scores [B, S], best [B], ids, n_tokens[, branches]).
+            -> packed [B, S+1+cap+1]: (branch_scores (bitcast f32) [S],
+            best, ids, n_tokens) in one D2H transfer[, + branches [B,S,T]
+            as a second output when the separation eval needs waveforms].
             """
             wav = _dq(wav_i16)
             if backend == "mossformer":
@@ -494,13 +515,14 @@ class StageEngine:
             rep_len = jnp.repeat(lengths, s)
             emb = _embed_core(params["spk"], flat, rep_len).reshape(b, s, -1)
             scores = jnp.sum(emb * target_vec[:, None, :], axis=-1)  # [B, S]
+            scores = scores.astype(jnp.float32)
             best = jnp.argmax(scores, axis=-1)
             best_wav = est[jnp.arange(b), best]
             ids, n = _asr_core(params["asr"], best_wav, lengths, language_id, use_itn)
-            out = (scores, best.astype(jnp.int32), *_cap_ids(ids, n))
+            packed = _pack_i32(scores, best.astype(jnp.int32), *_cap_ids(ids, n))
             if return_branches:
-                out = out + (est,)
-            return out
+                return (packed, est)
+            return packed
 
         def _kw_to_pos(fn, names):
             """pjit with in_shardings rejects kwargs; reorder the call sites'
@@ -532,7 +554,7 @@ class StageEngine:
             self._asr = _kw_to_pos(
                 jax.jit(asr_fn, static_argnames=("language_id", "use_itn"),
                         in_shardings=(psh("asr"), self._dsh, self._dsh),
-                        out_shardings=(self._dsh, self._dsh)),
+                        out_shardings=self._dsh),
                 ("language_id", "use_itn"))
             self._vad = jax.jit(vad_fn, **shard_for("vad"))
             self._clean_path = _kw_to_pos(
@@ -788,10 +810,16 @@ class StageEngine:
                                    language_id=lang_id, use_itn=use_itn),
         )
 
+    def collect_tokens(self, handle) -> List[Tuple[np.ndarray, int]]:
+        """Unpack the ASR programs' packed rows -> [(ids, n_tokens)]."""
+        return [
+            (row[:-1], int(row[-1])) for row in self._collect_bucketed(handle)
+        ]
+
     def collect_transcribe(self, handle) -> List[str]:
         return [
-            self.pack.tokens.decode(ids[: int(n)])
-            for ids, n in self._collect_bucketed(handle)
+            self.pack.tokens.decode(ids[:n])
+            for ids, n in self.collect_tokens(handle)
         ]
 
     def transcribe(self, chunks: Sequence[np.ndarray], language: str = "auto",
@@ -872,10 +900,11 @@ class StageEngine:
         )
 
     def collect_clean(self, handle) -> List[Tuple[float, str]]:
-        return [
-            (float(score), self.pack.tokens.decode(ids[: int(n)]))
-            for score, ids, n in self._collect_bucketed(handle)
-        ]
+        out = []
+        for row in self._collect_bucketed(handle):
+            score = float(np.ascontiguousarray(row[:1]).view(np.float32)[0])
+            out.append((score, self.pack.tokens.decode(row[1:-1][: int(row[-1])])))
+        return out
 
     def process_overlap(
         self, chunks: Sequence[np.ndarray], target_vecs: Sequence[np.ndarray],
@@ -892,7 +921,7 @@ class StageEngine:
             return []
         handle = self.launch_overlap(chunks, target_vecs, language, use_itn,
                                      return_branches, backend)
-        return self.collect_overlap(handle, chunks, return_branches)
+        return self.collect_overlap(handle, chunks, return_branches, backend)
 
     def launch_overlap(self, chunks, target_vecs, language: str = "auto",
                        use_itn: bool = True, return_branches: bool = False,
@@ -907,20 +936,27 @@ class StageEngine:
             extras=[np.asarray(v, np.float32) for v in target_vecs],
         )
 
-    def collect_overlap(self, handle, chunks, return_branches: bool = False) -> List[dict]:
+    def collect_overlap(self, handle, chunks, return_branches: bool = False,
+                        backend: str = "convtasnet") -> List[dict]:
+        s = (self.pack.preset.mossformer.n_src if backend == "mossformer"
+             else self.pack.preset.sep3.n_src)
         outs = self._collect_bucketed(handle)
         results = []
         for chunk, out in zip(chunks, outs):
             if return_branches:
-                scores, best, ids, n, est = out
+                row, est = out
             else:
-                scores, best, ids, n = out
+                row, est = out, None
+            scores = np.ascontiguousarray(row[:s]).view(np.float32)
+            best = int(row[s])
+            ids = row[s + 1 : -1]
+            n = int(row[-1])
             rec = {
                 "scores": scores,
-                "best": int(best),
-                "text": self.pack.tokens.decode(ids[: int(n)]),
+                "best": best,
+                "text": self.pack.tokens.decode(ids[:n]),
             }
-            if return_branches:
+            if est is not None:
                 rec["branches"] = est[:, : chunk.shape[-1]]
             results.append(rec)
         return results

@@ -458,7 +458,7 @@ class Overlap3Pipeline:
             # the shared device timeline, rtf_total stays exact)
             if h_ov is not None:
                 ov_out = eng.collect_overlap(h_ov, [r["chunk"] for _, r in overlap_rows],
-                                             cfg.eval_separation)
+                                             cfg.eval_separation, cfg.sep_backend)
                 t_ov = time.time() - t_launch
                 self._time["sep"] += t_ov
                 total_ov_samples = sum(len(r["chunk"]) for _, r in overlap_rows) or 1

@@ -100,7 +100,7 @@ def test_asr_stage_through_engine(tmp_path):
 
     # varied signal so framewise argmax changes over time
     wav = (0.3 * rng.randn(8000)).astype(np.float32)
-    got_ids, got_n = eng._collect_bucketed(eng.launch_transcribe([wav]))[0]
+    got_ids, got_n = eng.collect_tokens(eng.launch_transcribe([wav]))[0]
     text = pack.tokens.decode(got_ids[: int(got_n)])
 
     # independent oracle: frontend feats -> matmul -> numpy greedy collapse
@@ -215,7 +215,7 @@ def test_paraformer_direct_through_engine(tmp_path):
     eng = StageEngine(pack)
 
     wav = (0.3 * rng.randn(8000)).astype(np.float32)
-    got_ids, got_n = eng._collect_bucketed(eng.launch_transcribe([wav]))[0]
+    got_ids, got_n = eng.collect_tokens(eng.launch_transcribe([wav]))[0]
 
     import jax.numpy as jnp
 
@@ -314,7 +314,7 @@ def test_transducer_triple_direct_through_engine(tmp_path):
     eng = StageEngine(pack)
 
     wav = (0.3 * rng.randn(8000)).astype(np.float32)
-    got_ids, got_n = eng._collect_bucketed(eng.launch_transcribe([wav]))[0]
+    got_ids, got_n = eng.collect_tokens(eng.launch_transcribe([wav]))[0]
 
     # independent numpy greedy loop over the same graphs' math
     import jax.numpy as jnp
@@ -406,7 +406,7 @@ def test_whisper_pair_direct_through_engine(tmp_path):
     eng = StageEngine(pack)
 
     wav = (0.3 * rng.randn(8000)).astype(np.float32)
-    got_ids, got_n = eng._collect_bucketed(eng.launch_transcribe([wav]))[0]
+    got_ids, got_n = eng.collect_tokens(eng.launch_transcribe([wav]))[0]
     # greedy chain: prime(sot=3)->4, then 5, 6, then eot(2) stops emission
     assert int(got_n) == 3
     assert list(got_ids[:3]) == [4, 5, 6]
@@ -495,7 +495,7 @@ def test_build_engine_wenet_ctc_direct(tmp_path):
     assert eng.pack.onnx_stages["asr"].skip_frames == 0
 
     wav = (0.3 * rng.randn(8000)).astype(np.float32)
-    got_ids, got_n = eng._collect_bucketed(eng.launch_transcribe([wav]))[0]
+    got_ids, got_n = eng.collect_tokens(eng.launch_transcribe([wav]))[0]
 
     # oracle: the frontend with LFR collapsed must emit mel-dim frames
     # (a leftover LFR stack would shape-error the matmul here)
