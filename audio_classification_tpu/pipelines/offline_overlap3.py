@@ -66,10 +66,6 @@ def build_engine(cfg) -> StageEngine:
 
     enable_compilation_cache()
     preset = tiny_preset() if getattr(cfg, "preset", "full") == "tiny" else EnginePreset()
-    tokens = None
-    tok_path = getattr(cfg, "tokens", "")
-    if tok_path and Path(tok_path).is_file():
-        tokens = TokenTable.load(tok_path)
     seed = getattr(cfg, "seed", -1)
     # family selection mirrors the reference's one-of contract
     # (reference: src/model.py:37-100)
@@ -81,6 +77,13 @@ def build_engine(cfg) -> StageEngine:
         family = "whisper"
     else:
         family = "sensevoice"
+    tokens = None
+    tok_path = getattr(cfg, "tokens", "")
+    if tok_path and Path(tok_path).is_file():
+        # sherpa-onnx whisper exports carry base64 byte-BPE tokens
+        # (sp-id...asr.py:331-345); other families use literal symbols.
+        tokens = TokenTable.load(
+            tok_path, base64_tokens=True if family == "whisper" else None)
     cmvn = None
     cmvn_path = getattr(cfg, "cmvn", "")
     if cmvn_path:

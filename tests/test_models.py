@@ -175,6 +175,52 @@ def test_token_table_roundtrip(tmp_path):
     assert tt.decode([4, 1, 2, 3]) == "HELLO你"
 
 
+def test_token_table_whisper_base64(tmp_path):
+    """sherpa-onnx whisper tokens.txt: base64 byte fragments per id; a single
+    UTF-8 char (CJK, emoji) may span several tokens (sp-id...asr.py:331-345)."""
+    import base64 as b64
+
+    # "你好" = e4 bd a0 e5 a5 bd ; split mid-character across tokens.
+    frag1, frag2, frag3 = b"\xe4\xbd", b"\xa0\xe5\xa5", b"\xbd"
+    emoji = "🚀".encode("utf-8")  # f0 9f 9a 80, split 2+2
+    lines = [
+        f"{b64.b64encode(b' Hello').decode()} 0",
+        f"{b64.b64encode(frag1).decode()} 1",
+        f"{b64.b64encode(frag2).decode()} 2",
+        f"{b64.b64encode(frag3).decode()} 3",
+        f"{b64.b64encode(emoji[:2]).decode()} 4",
+        f"{b64.b64encode(emoji[2:]).decode()} 5",
+        "<|endoftext|> 6",  # literal special line stays literal
+    ]
+    p = tmp_path / "tokens.txt"
+    p.write_text("\n".join(lines), encoding="utf-8")
+    tt = TokenTable.load(p, base64_tokens=True)
+    assert tt.is_byte_bpe
+    assert tt.decode([0, 1, 2, 3, 4, 5, 6]) == "Hello你好🚀"
+    # specials alone decode to empty, not garbage
+    assert tt.decode([6]) == ""
+
+
+def test_token_table_base64_autodetect(tmp_path):
+    """Auto-detect must flag a whisper-style table but NOT a plain vocab
+    whose symbols happen to look base64-ish (e.g. 'abcd')."""
+    import base64 as b64
+
+    whisper = tmp_path / "whisper_tokens.txt"
+    whisper.write_text(
+        f"{b64.b64encode('你'.encode()).decode()} 0\n"
+        f"{b64.b64encode(b' the').decode()} 1\n<|endoftext|> 2\n",
+        encoding="utf-8")
+    tt = TokenTable.load(whisper)
+    assert tt.is_byte_bpe and tt.decode([0, 1]) == "你 the"
+
+    plain = tmp_path / "plain_tokens.txt"
+    plain.write_text("<blk> 0\nabcd 1\n你 2\n▁he 3\n", encoding="utf-8")
+    tt2 = TokenTable.load(plain)
+    assert not tt2.is_byte_bpe
+    assert tt2.decode([1, 2]) == "abcd你"
+
+
 def test_sensevoice_forward_and_decode():
     cfg = SenseVoiceConfig(vocab_size=8, dim=32, heads=2, layers=1, conv_kernel=3)
     wav = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8000)).astype(np.float32) * 0.1)
