@@ -96,6 +96,192 @@ def load_convtasnet_torch(path: str, cfg: ConvTasNetConfig):
     return {"params": jax.tree.map(jnp.asarray, p)}
 
 
+class MossFormerImportError(RuntimeError):
+    """Structured MossFormer import failure: lists every unmatched role and
+    every leftover checkpoint tensor so naming drift is diagnosable."""
+
+    def __init__(self, missing, shape_errors, unused):
+        self.missing = list(missing)
+        self.shape_errors = list(shape_errors)
+        self.unused = list(unused)
+        lines = ["MossFormer torch checkpoint does not map onto this architecture."]
+        if missing:
+            lines.append("  roles with no matching tensor:")
+            lines += [f"    - {m}" for m in missing]
+        if shape_errors:
+            lines.append("  shape mismatches (role: got vs want):")
+            lines += [f"    - {e}" for e in shape_errors]
+        if unused:
+            lines.append(f"  checkpoint tensors left unmatched ({len(unused)}):")
+            lines += [f"    - {k}" for k in unused[:20]]
+            if len(unused) > 20:
+                lines.append(f"    ... and {len(unused) - 20} more")
+        lines.append(
+            "  The ModelScope `speech_mossformer_separation_temporal_8k` "
+            "distribution's exact naming is unverifiable offline "
+            "(reference: src/mossformer/infer.py:13-23); this importer keys "
+            "on the published ClearVoice/ModelScope module naming. If your "
+            "checkpoint drifts, re-export to ONNX or rename per the roles above.")
+        super().__init__("\n".join(lines))
+
+
+def load_mossformer_torch(path: str, cfg: "MossFormerConfig" = None):
+    """Best-effort ModelScope/ClearVoice MossFormer state_dict -> JAX params.
+
+    The reference's second separation backend ships as a torch checkpoint on
+    ModelScope (`iic/speech_mossformer_separation_temporal_8k`, loaded by the
+    ModelScope pipeline — reference: src/mossformer/infer.py:13-23). The
+    published implementation is a conv encoder/decoder around FLASH-style
+    gated-attention (GAU) blocks; this maps its tensors onto
+    ``models/mossformer.MossFormer`` by ROLE, accepting the naming variants
+    seen in ClearVoice/ModelScope (``mask_net.mdl.mossformerM.layers.{i}``)
+    and this framework's canonical mirror naming (``mask_net.layers.{i}``).
+    Any unmatched role, leftover tensor, or shape mismatch raises
+    :class:`MossFormerImportError` listing everything at once.
+    """
+    from ..mossformer import MossFormer, MossFormerConfig
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = cfg or MossFormerConfig()
+    sd = _load_state_dict(path)
+    # strip common wrappers
+    for pre in ("model.", "module.", "separator."):
+        if all(k.startswith(pre) for k in sd):
+            sd = {k[len(pre):]: v for k, v in sd.items()}
+
+    model = MossFormer(cfg)
+    t0 = max(cfg.enc_kernel * 4, 64)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, t0)), jnp.ones((1, t0)))
+    p = jax.tree.map(np.asarray, params)["params"]
+
+    matched = set()
+    missing, shape_errors = [], []
+
+    def find(cands):
+        """First sd tensor whose key equals/ends with any candidate suffix."""
+        for c in cands:
+            for k in sd:
+                if k == c or k.endswith("." + c) or k.endswith(c):
+                    matched.add(k)
+                    return k, sd[k]
+        return None, None
+
+    def take(role, cands, want_shape, transform):
+        k, v = find(cands)
+        if v is None:
+            missing.append(f"{role} (tried: {', '.join(cands)})")
+            return None
+        try:
+            out = transform(v)
+        except Exception as e:  # transpose/reshape of a wrong-rank tensor
+            shape_errors.append(f"{role}: {k} has shape {tuple(v.shape)} ({e})")
+            return None
+        if tuple(out.shape) != tuple(want_shape):
+            shape_errors.append(
+                f"{role}: {k} -> {tuple(out.shape)} vs want {tuple(want_shape)}")
+            return None
+        return out.astype(np.float32)
+
+    def lin_w(v):
+        """torch Linear [out,in] or 1x1 Conv1d [out,in,1] -> flax [in,out]."""
+        if v.ndim == 3 and v.shape[-1] == 1:
+            v = v[..., 0]
+        return v.T
+
+    def put(dst, key, val):
+        if val is not None:
+            dst[key] = val
+
+    c = cfg
+    d_e = c.dim * c.expansion
+    # conv encoder: torch [enc_dim, 1, K] -> flax [K, 1, enc_dim]
+    put(p["encoder"], "kernel",
+        take("encoder", ["encoder.conv1d.weight", "encoder.weight"],
+             p["encoder"]["kernel"].shape, lambda v: v.transpose(2, 1, 0)))
+    put(p["in_proj"], "kernel",
+        take("in_proj.weight",
+             ["mask_net.conv1d_encoder.weight", "mask_net.bottleneck.weight",
+              "in_proj.weight"], (c.enc_dim, c.dim), lin_w))
+    put(p["in_proj"], "bias",
+        take("in_proj.bias",
+             ["mask_net.conv1d_encoder.bias", "mask_net.bottleneck.bias",
+              "in_proj.bias"], (c.dim,), lambda v: v.reshape(-1)))
+
+    for i in range(c.layers):
+        g = p[f"gau_{i}"]
+        stems = [f"mask_net.mdl.mossformerM.layers.{i}",
+                 f"mask_net.mdl.layers.{i}", f"mask_net.layers.{i}",
+                 f"layers.{i}"]
+
+        def blk(names, want, tf, _stems=stems, _i=i):
+            cands = [f"{s}.{n}" for n in names for s in _stems]
+            return take(f"layer{_i}.{names[0]}", cands, want, tf)
+
+        put(g["ln"], "gamma", blk(["norm.weight", "ln.weight", "norm.gamma"],
+                                  (c.dim,), lambda v: v.reshape(-1)))
+        put(g["ln"], "beta", blk(["norm.bias", "ln.bias", "norm.beta"],
+                                 (c.dim,), lambda v: v.reshape(-1)))
+        # depthwise conv: torch [dim, 1, K] -> flax [K, 1, dim]
+        put(g["dwconv"], "kernel", blk(["conv.weight", "dwconv.weight"],
+                                       (c.conv_kernel, 1, c.dim),
+                                       lambda v: v.transpose(2, 1, 0)))
+        put(g["dwconv"], "bias", blk(["conv.bias", "dwconv.bias"],
+                                     (c.dim,), lambda v: v.reshape(-1)))
+        put(g["to_u"], "kernel", blk(["to_u.weight", "to_hidden.u.weight"],
+                                     (c.dim, d_e), lin_w))
+        put(g["to_u"], "bias", blk(["to_u.bias", "to_hidden.u.bias"],
+                                   (d_e,), lambda v: v.reshape(-1)))
+        put(g["to_v"], "kernel", blk(["to_v.weight", "to_hidden.v.weight"],
+                                     (c.dim, d_e), lin_w))
+        put(g["to_v"], "bias", blk(["to_v.bias", "to_hidden.v.bias"],
+                                   (d_e,), lambda v: v.reshape(-1)))
+        put(g["to_qk"], "kernel", blk(["to_qk.weight"], (c.dim, c.qk_dim), lin_w))
+        put(g["to_qk"], "bias", blk(["to_qk.bias"], (c.qk_dim,),
+                                    lambda v: v.reshape(-1)))
+        put(g, "gamma", blk(["offset_scale.gamma", "qk_offset_scale.gamma"],
+                            (2, c.qk_dim), lambda v: v.reshape(2, c.qk_dim)))
+        put(g, "beta", blk(["offset_scale.beta", "qk_offset_scale.beta"],
+                           (2, c.qk_dim), lambda v: v.reshape(2, c.qk_dim)))
+        put(g["to_out"], "kernel", blk(["to_out.weight"], (d_e, c.dim), lin_w))
+        put(g["to_out"], "bias", blk(["to_out.bias"], (c.dim,),
+                                     lambda v: v.reshape(-1)))
+
+    put(p["ln_out"], "gamma",
+        take("ln_out.weight", ["mask_net.norm_out.weight", "ln_out.weight",
+                               "mask_net.norm_out.gamma"],
+             (c.dim,), lambda v: v.reshape(-1)))
+    put(p["ln_out"], "beta",
+        take("ln_out.bias", ["mask_net.norm_out.bias", "ln_out.bias",
+                             "mask_net.norm_out.beta"],
+             (c.dim,), lambda v: v.reshape(-1)))
+    put(p["mask_head"], "kernel",
+        take("mask_head.weight",
+             ["mask_net.mask_head.weight", "mask_net.conv1d_out.weight",
+              "mask_head.weight"], (c.dim, c.n_src * c.enc_dim), lin_w))
+    put(p["mask_head"], "bias",
+        take("mask_head.bias",
+             ["mask_net.mask_head.bias", "mask_net.conv1d_out.bias",
+              "mask_head.bias"], (c.n_src * c.enc_dim,),
+             lambda v: v.reshape(-1)))
+    # decoder: torch ConvTranspose1d [enc_dim, 1, K] -> ours [K, enc_dim]
+    dec = take("decoder", ["decoder.weight"], (c.enc_kernel, c.enc_dim),
+               lambda v: v[:, 0, :].T if v.ndim == 3 else v)
+    if dec is not None:
+        p["decoder"] = dec
+
+    # non-parameter buffers (rotary tables, bookkeeping) may ride along in a
+    # real checkpoint; only unmatched WEIGHTS indicate a naming/arch mismatch.
+    _buffer = ("num_batches_tracked", "rotary", "freqs", "pe", "position")
+    unused = sorted(
+        k for k in sd if k not in matched
+        and not any(b in k.lower() for b in _buffer))
+    if missing or shape_errors or unused:
+        raise MossFormerImportError(missing, shape_errors, unused)
+    return {"params": jax.tree.map(jnp.asarray, p)}
+
+
 def load_pyannet_torch(path: str, sample_rate: int = 16000,
                        kernel_size: int = 251, stride: int = 10):
     """pyannote segmentation checkpoint -> (PyanNetConfig, params).

@@ -159,13 +159,25 @@ class Separator:
         if self.checkpoint:
             if not os.path.isfile(self.checkpoint):
                 raise FileNotFoundError(f"Separator checkpoint not found: {self.checkpoint}")
-            from .convert.torch_import import load_convtasnet_torch
+            if self.backend == "mossformer":
+                # ModelScope torch distribution (reference:
+                # src/mossformer/infer.py:13-23) — best-effort name-mapped
+                # import, loud MossFormerImportError on drift.
+                from .convert.torch_import import load_mossformer_torch
 
-            cfg = self.engine.pack.preset.sep3 if self.n_src == 3 else self.engine.pack.preset.sep2
-            self.engine.pack.load_params(
-                "sep3" if self.n_src == 3 else "sep2",
-                load_convtasnet_torch(self.checkpoint, cfg),
-            )
+                self.engine.pack.load_params(
+                    "mossformer",
+                    load_mossformer_torch(self.checkpoint,
+                                          self.engine.pack.preset.mossformer),
+                )
+            else:
+                from .convert.torch_import import load_convtasnet_torch
+
+                cfg = self.engine.pack.preset.sep3 if self.n_src == 3 else self.engine.pack.preset.sep2
+                self.engine.pack.load_params(
+                    "sep3" if self.n_src == 3 else "sep2",
+                    load_convtasnet_torch(self.checkpoint, cfg),
+                )
         if self.backend == "mossformer":
             self.sample_rate = self.engine.pack.preset.mossformer.sample_rate
 
