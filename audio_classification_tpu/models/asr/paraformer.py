@@ -105,9 +105,17 @@ class Paraformer(nn.Module):
         t = x.shape[1]
         mask = frame_mask if frame_mask is not None else jnp.ones(x.shape[:2], bool)
         x = x + jnp.asarray(sinusoidal_positions(t, c.dim))[None]
+        blk_mask = mask
+        if mesh is not None:
+            # warning-clean SP entry/exit (parallel/sp_encoder.sp_seq_shard)
+            from ...parallel.sp_encoder import sp_seq_shard, sp_seq_unshard
+
+            x, blk_mask, orig_t = sp_seq_shard(x, mask, mesh, sp_axis)
         for i in range(c.enc_layers):
             x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel,
-                                 name=f"enc_{i}")(x, mask, mesh, sp_axis)
+                                 name=f"enc_{i}")(x, blk_mask, mesh, sp_axis)
+        if mesh is not None:
+            x = sp_seq_unshard(x, mesh, orig_t)
         x = nn.LayerNorm(name="enc_ln")(x)
 
         # CIF predictor: per-frame firing weight

@@ -74,6 +74,18 @@ class SenseVoiceEncoder(nn.Module):
         lang_emb = self.param("lang_embed", nn.initializers.normal(0.02), (len(LANGUAGES), c.dim))
         itn_emb = self.param("itn_embed", nn.initializers.normal(0.02), (2, c.dim))
         prompt_pad = self.param("prompt_pad", nn.initializers.normal(0.02), (c.num_prompt - 2, c.dim))
+        if mesh is not None:
+            # pin the tiny prompt params replicated: left to itself the
+            # partitioner shards them over the mesh and then full-remats the
+            # row slices/concat below (observed spmd_partitioner.cc warnings
+            # on SenseVoiceEncoder/slice|concatenate in the round-2 dryrun)
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            lang_emb = jax.lax.with_sharding_constraint(lang_emb, rep)
+            itn_emb = jax.lax.with_sharding_constraint(itn_emb, rep)
+            prompt_pad = jax.lax.with_sharding_constraint(prompt_pad, rep)
         prompt = jnp.concatenate(
             [lang_emb[language_id][None], itn_emb[1 if use_itn else 0][None], prompt_pad], axis=0
         )  # [num_prompt, dim]
@@ -86,9 +98,19 @@ class SenseVoiceEncoder(nn.Module):
             mask = None
         pos = jnp.asarray(sinusoidal_positions(t + c.num_prompt, c.dim))
         x = x + pos[None]
+        orig_total = None
+        if mesh is not None:
+            # warning-clean SP: the prompt concat above runs in a REPLICATED
+            # prologue; one pinned reshard (padded to the axis size) enters
+            # the sharded regime — see parallel/sp_encoder.sp_seq_shard.
+            from ...parallel.sp_encoder import sp_seq_shard, sp_seq_unshard
+
+            x, mask, orig_total = sp_seq_shard(x, mask, mesh, sp_axis)
         for i in range(c.layers):
             x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel,
                                  name=f"block_{i}")(x, mask, mesh, sp_axis)
+        if mesh is not None:
+            x = sp_seq_unshard(x, mesh, orig_total)
         x = nn.LayerNorm(name="final_ln")(x)
         return nn.Dense(c.vocab_size, name="ctc_head")(x)
 

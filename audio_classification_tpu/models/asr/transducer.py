@@ -63,9 +63,17 @@ class TransducerEncoder(nn.Module):
         else:
             mask = jnp.ones((x.shape[0], t), bool)
         x = x + jnp.asarray(sinusoidal_positions(t, c.dim))[None]
+        blk_mask = mask
+        if mesh is not None:
+            # warning-clean SP entry/exit (parallel/sp_encoder.sp_seq_shard)
+            from ...parallel.sp_encoder import sp_seq_shard, sp_seq_unshard
+
+            x, blk_mask, orig_t = sp_seq_shard(x, mask, mesh, sp_axis)
         for i in range(c.layers):
             x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel,
-                                 name=f"block_{i}")(x, mask, mesh, sp_axis)
+                                 name=f"block_{i}")(x, blk_mask, mesh, sp_axis)
+        if mesh is not None:
+            x = sp_seq_unshard(x, mesh, orig_t)
         return nn.LayerNorm(name="out_ln")(x), mask
 
 

@@ -186,8 +186,16 @@ class WhisperStyle(nn.Module):
         else:
             mask = jnp.ones(x.shape[:2], bool)
         x = x + jnp.asarray(sinusoidal_positions(t, c.dim))[None]
+        blk_mask = mask
+        if mesh is not None:
+            # warning-clean SP entry/exit (parallel/sp_encoder.sp_seq_shard)
+            from ...parallel.sp_encoder import sp_seq_shard, sp_seq_unshard
+
+            x, blk_mask, orig_t = sp_seq_shard(x, mask, mesh, sp_axis)
         for blk in self.enc_blocks:
-            x = blk(x, mask, mesh, sp_axis)
+            x = blk(x, blk_mask, mesh, sp_axis)
+        if mesh is not None:
+            x = sp_seq_unshard(x, mesh, orig_t)
         return self.enc_ln(x), mask
 
     def decode_logits(self, tokens, mem, mem_mask):

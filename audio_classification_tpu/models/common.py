@@ -151,6 +151,9 @@ class MultiHeadSelfAttention(nn.Module):
             q, k, v = heads4d(q), heads4d(k), heads4d(v)
             kv_mask = mask if mask is not None else jnp.ones((b, t), bool)
             n = mesh.shape[sp_axis]
+            # Encoders aligned via sp_seq_shard arrive with T divisible by
+            # the axis size, so this fallback pad/slice (which costs a
+            # misaligned reshard) stays dead in the warning-clean SP path.
             pad = (-t) % n  # ring blocks need T divisible by the axis size
             if pad:
                 q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
@@ -158,7 +161,9 @@ class MultiHeadSelfAttention(nn.Module):
                 v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
                 kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad)))
             out = ring_attention(q, k, v, mesh, axis=sp_axis, kv_mask=kv_mask)
-            out = out[:, :t].reshape(b, t, self.dim)
+            if pad:
+                out = out[:, :t]
+            out = out.reshape(b, t, self.dim)
             return nn.Dense(self.dim, name="out")(out)
 
         def heads_split(z):

@@ -75,7 +75,10 @@ def ring_attention(
     blocks rotate around the ring alongside K/V. Returns [B, T, H, D] with
     the same sharding.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     spec = P(None, axis, None, None)
     mask_spec = P(None, axis)

@@ -21,6 +21,53 @@ from flax import linen as nn
 from .ring_attention import reference_attention, ring_attention
 
 
+def sp_seq_shard(x: jnp.ndarray, mask, mesh, sp_axis: str = "data"):
+    """Enter the sequence-parallel regime without involuntary reshards.
+
+    Encoders build their sequence with shard-hostile ops — prompt concats
+    (SenseVoice prepends 4 frames), position adds, subsampling — whose
+    offsets never align with shard boundaries. Left to propagation, the
+    SPMD partitioner reshards those ops with "involuntary full
+    rematerialization" (observed: spmd_partitioner warnings over
+    SenseVoiceEncoder/slice|concatenate in the round-2 dryrun). Instead:
+    pin the prologue REPLICATED (per-frame work, cheap), pad the sequence
+    to a multiple of the axis size, and cross into the sharded regime with
+    ONE explicit constraint — a local slice per device, no collective, no
+    warning. Returns ``(x, mask, orig_t)``; padded positions are masked out.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape[sp_axis]
+    b, t = x.shape[0], x.shape[1]
+    if mask is None:
+        mask = jnp.ones((b, t), bool)
+    mask = mask.astype(bool)
+    rep = NamedSharding(mesh, P())
+    x = jax.lax.with_sharding_constraint(x, rep)
+    mask = jax.lax.with_sharding_constraint(mask, rep)
+    pad = (-t) % n
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    x = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(None, sp_axis, None)))
+    mask = jax.lax.with_sharding_constraint(
+        mask, NamedSharding(mesh, P(None, sp_axis)))
+    return x, mask, t
+
+
+def sp_seq_unshard(x: jnp.ndarray, mesh, orig_t: int) -> jnp.ndarray:
+    """Leave the sequence-parallel regime: ONE explicit all-gather (cheap on
+    d-dim activations), then slice the ring padding off replicated — the
+    misaligned slice never touches a sharded tensor, so no remat."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P()))
+    if x.shape[1] != orig_t:
+        x = x[:, :orig_t]
+    return x
+
+
 class SPMultiHeadSelfAttention(nn.Module):
     """MHSA whose attention core is ring-parallel when a mesh is supplied.
 

@@ -175,3 +175,56 @@ def test_paraformer_seq_parallel_matches_dense():
     np.testing.assert_allclose(np.asarray(s_logits), np.asarray(d_logits),
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(s_counts), np.asarray(d_counts))
+
+
+def test_sp_encoders_lower_without_remat_warnings(capfd):
+    """VERDICT round-2 item 2: the SP path must compile WITHOUT the SPMD
+    partitioner's "Involuntary full rematerialization" warnings (round-2
+    dryrun showed a wall of them over SenseVoiceEncoder/slice|concatenate).
+    capfd reads the OS-level fd, which is where XLA's C++ logger writes.
+    Distinctive dims force fresh compiles (a cache hit would be vacuous)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_classification_tpu.models.asr.sensevoice import (
+        SenseVoiceConfig,
+        SenseVoiceEncoder,
+    )
+    from audio_classification_tpu.models.asr.whisper_style import (
+        WhisperStyle,
+        WhisperStyleConfig,
+    )
+    from audio_classification_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, model_axis=1)
+    rng = np.random.default_rng(11)
+    capfd.readouterr()  # drain anything earlier
+
+    sv_cfg = SenseVoiceConfig(vocab_size=13, dim=16, heads=2, layers=2,
+                              ffn_mult=2, conv_kernel=3)
+    sv = SenseVoiceEncoder(sv_cfg)
+    t = 26  # prompt+t misaligned with the 8-way axis: pads must stay clean
+    feats = jnp.asarray(rng.standard_normal((1, t, 10)).astype(np.float32))
+    mask = jnp.asarray(np.arange(t)[None, :] < t - 3)
+    params = sv.init(jax.random.PRNGKey(0), feats, mask)
+    # inputs arrive UNSHARDED (exactly how transcribe_long calls it); the
+    # encoder's sp_seq_shard pads + pins the sharding internally
+    jax.jit(lambda p, f, m: sv.apply(p, f, m, mesh=mesh, sp_axis="data")
+            )(params, feats, mask).block_until_ready()
+
+    wcfg = WhisperStyleConfig(vocab_size=13, dim=16, heads=2, enc_layers=2,
+                              dec_layers=1, ffn_mult=2)
+    wm = WhisperStyle(wcfg)
+    t2, mel = 34, wcfg.num_mel
+    wf = jnp.asarray(rng.standard_normal((1, t2, mel)).astype(np.float32))
+    wmask = jnp.asarray(np.arange(t2)[None, :] < t2 - 5)
+    wparams = wm.init(jax.random.PRNGKey(0), wf, wmask,
+                      jnp.zeros((1, 3), jnp.int32))
+    enc_out = jax.jit(
+        lambda p, f, m: wm.apply(p, f, m, mesh=mesh, sp_axis="data",
+                                 method=WhisperStyle.encode)
+    )(wparams, wf, wmask)
+    jax.block_until_ready(enc_out)
+
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[:2000]
