@@ -34,6 +34,15 @@ def parse_args(argv=None):
                    help="Print each --onnx graph's IO signature, op census "
                         "and any ops the direct executor (onnx_exec) does "
                         "not support, then exit (no checkpoint written)")
+    p.add_argument("--verify", default="", metavar="MODEL_DIR",
+                   help="Acceptance procedure over a LOCAL copy of the "
+                        "reference's model dir (install.sh layout): per "
+                        "graph jit-vs-eager exec parity, per stage mapped-"
+                        "JAX vs direct-graph parity, torch import smoke; "
+                        "writes verify.json and exits non-zero on any "
+                        "failed check")
+    p.add_argument("--verify-out", default="verify.json",
+                   help="Report path for --verify (default verify.json)")
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sep-checkpoint-3", default="", help="asteroid ConvTasNet 3-src torch checkpoint")
@@ -51,6 +60,23 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.verify:
+        from ..models.convert.verify import verify_model_dir
+
+        result = verify_model_dir(args.verify, args.verify_out,
+                                  preset=args.preset)
+        for rec in result["checks"]:
+            extra = rec.get("reason") or ", ".join(
+                f"{k}={v}" for k, v in rec.items()
+                if k not in ("model", "check", "status", "seconds", "reason"))
+            print(f"[{rec['status']:>7}] {rec['model']} :: {rec['check']} "
+                  f"({rec['seconds']}s) {extra}")
+        print(f"verify: {'OK' if result['ok'] else 'FAILED'} — "
+              f"{len(result['models_found'])} models, "
+              f"{len(result['checks'])} checks -> {args.verify_out}")
+        if not result["ok"]:
+            raise SystemExit(1)
+        return
     if args.probe:
         if not args.onnx:
             raise SystemExit("--probe needs at least one --onnx file")

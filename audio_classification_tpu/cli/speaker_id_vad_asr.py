@@ -66,6 +66,19 @@ def get_args(argv=None):
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--data-parallel", type=int, default=0, dest="data_parallel",
+                   help="Devices on the mesh 'data' axis (DP batch sharding; "
+                        "also carries long-form sequence parallelism)")
+    p.add_argument("--model-parallel", type=int, default=0, dest="model_parallel",
+                   help="Devices on the mesh 'model' axis (TP)")
+    p.add_argument("--long-form", action="store_true", dest="long_form",
+                   help="Transcribe each utterance as ONE sequence-parallel "
+                        "program: its frame axis spans the mesh's data axis "
+                        "(ring attention) instead of per-segment batching. "
+                        "Frame-parallel decoder families only (sense-voice "
+                        "CTC, paraformer CIF); transducer/whisper and "
+                        "direct-exec ONNX graphs fall back to segment mode, "
+                        "as does a mesh-less engine")
     return p.parse_args(argv)
 
 
@@ -186,7 +199,11 @@ def main(argv=None):
         print(f"VAD applied: kept {kept * 100:.1f}% of test audio")
         inputs = trimmed
     embs = extractor.compute_batch(inputs, 16000)
-    texts = recognizer.transcribe_batch(inputs, 16000)
+    if args.long_form:
+        texts = [recognizer.transcribe(s, 16000, long_form=True)
+                 for s in inputs]
+    else:
+        texts = recognizer.transcribe_batch(inputs, 16000)
     for (spk_true, wav), embedding, text in zip(flat, embs, texts):
         emb_n = _l2(np.asarray(embedding, dtype=np.float32))
         pred = manager.search(embedding, threshold=args.threshold) or "unknown"

@@ -53,6 +53,20 @@ class BucketSpec:
         )
         return b
 
+    def long_bucket_for(self, n: int) -> int:
+        """Bucket for the LONG-FORM path (transcribe_long): same geometric
+        ×2 grid extended past the configured cap, but pre-declared — no
+        warning, because long-form inputs are expected to exceed the
+        segment cap and each grid point compiles once (and persists in the
+        XLA compilation cache across processes)."""
+        for b in self.lengths:
+            if n <= b:
+                return b
+        b = self.lengths[-1]
+        while b < n:
+            b *= 2
+        return b
+
     def batch_size_for(self, n_items: int) -> int:
         b = self.batch_multiple
         while b < n_items and b < self.max_batch:

@@ -211,7 +211,8 @@ def test_speaker_onnx_import_matches_numpy_oracle(tmp_path):
 
 # --------------------------------------------------------------- sensevoice
 
-def _build_sensevoice_fixture(cfg, feat_dim, rng, gb, int8_qkv=False):
+def _build_sensevoice_fixture(cfg, feat_dim, rng, gb, int8_qkv=False,
+                              itn_index=0):
     def rgemm(din, dout):
         w = (rng.standard_normal((dout, din)) * 0.2).astype(np.float32)
         b = (rng.standard_normal(dout) * 0.05).astype(np.float32)
@@ -246,8 +247,10 @@ def _build_sensevoice_fixture(cfg, feat_dim, rng, gb, int8_qkv=False):
     itn_i = gb.add_init("itn", itn)
     pad_i = gb.add_init("pad", pad)
     idx = gb.add_init("idx", np.array([0], np.int64))
+    itn_idx = (gb.add_init("itn_idx", np.array([itn_index], np.int64))
+               if itn_index else idx)
     l_out = gb.raw("Gather", [lang_i, idx], ["lang_sel"])
-    i_out = gb.raw("Gather", [itn_i, idx], ["itn_sel"])
+    i_out = gb.raw("Gather", [itn_i, itn_idx], ["itn_sel"])
     gb.raw("Concat", [l_out, i_out, pad_i], ["prompt"], axis=0)
     spec.update(lang=lang, itn=itn, pad=pad)
 
