@@ -1,16 +1,24 @@
 """Split a `<spk> <wav>` list into train/test sets.
 
-Reimplements the reference tool (reference: scripts/split_speakers.py:36-167)
-with the same two modes and rebalancing guards:
-- speaker   : disjoint speaker IDs between splits
-- utterance : per-speaker stratified utterance split (default)
-Deterministic via --seed (default 42); default 80/20 ratio.
+Same capability surface as the reference tool (reference:
+scripts/split_speakers.py:36-167): two modes with small-dataset guards,
+deterministic under --seed.
+
+- ``speaker``   — the splits get DISJOINT speaker identities (held-out
+  speakers), each guaranteed non-empty when two or more speakers exist.
+- ``utterance`` — every speaker appears in both splits: their utterances
+  are shuffled and divided per the ratio, always leaving at least one
+  utterance on each side for speakers with two or more (a single-utterance
+  speaker goes to train); if a whole side still comes out empty, one
+  utterance migrates to fill it.
 """
 from __future__ import annotations
 
 import argparse
 import random
+from dataclasses import dataclass
 from pathlib import Path
+from typing import Dict, List, Tuple
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -24,53 +32,93 @@ def parse_args(argv=None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
-def split_lines(lines, mode: str, train_ratio: float, seed: int):
-    by_spk = {}
+@dataclass
+class Split:
+    train: List[str]
+    test: List[str]
+    speakers: List[str]
+
+    def speakers_in(self, lines: List[str]) -> set:
+        return {_spk(ln) for ln in lines}
+
+
+def _spk(line: str) -> str:
+    return line.split(maxsplit=1)[0]
+
+
+def _group(lines: List[str]) -> Dict[str, List[str]]:
+    groups: Dict[str, List[str]] = {}
     for ln in lines:
-        spk, *_ = ln.split(maxsplit=1)
-        by_spk.setdefault(spk, []).append(ln)
-    unique_speakers = sorted(by_spk)
-    if not unique_speakers:
+        groups.setdefault(_spk(ln), []).append(ln)
+    return groups
+
+
+def _split_by_speaker(lines: List[str], speakers: List[str],
+                      train_ratio: float, rng: random.Random) -> Split:
+    order = list(speakers)
+    rng.shuffle(order)
+    cut = int(len(order) * train_ratio)
+    train_ids, test_ids = set(order[:cut]), set(order[cut:])
+    # a degenerate ratio or tiny roster may empty one side: donate one
+    # speaker across so both splits exist whenever two speakers do
+    for src, dst in ((test_ids, train_ids), (train_ids, test_ids)):
+        if not dst and len(src) > 1:
+            dst.add(src.pop())
+        elif not dst and src:
+            moved = next(iter(src))
+            src.discard(moved)
+            dst.add(moved)
+    return Split(
+        train=[ln for ln in lines if _spk(ln) in train_ids],
+        test=[ln for ln in lines if _spk(ln) in test_ids],
+        speakers=speakers,
+    )
+
+
+def _split_by_utterance(lines: List[str], speakers: List[str],
+                        train_ratio: float, rng: random.Random) -> Split:
+    groups = _group(lines)
+    train: List[str] = []
+    test: List[str] = []
+    for spk in speakers:
+        utts = list(groups[spk])
+        rng.shuffle(utts)
+        if len(utts) == 1:
+            take = 1
+        else:
+            # at least one utterance stays on each side of the cut
+            take = min(max(int(len(utts) * train_ratio), 1), len(utts) - 1)
+        train += utts[:take]
+        test += utts[take:]
+    # tiny-dataset guards: migrate one utterance into an empty split,
+    # preferring a speaker that keeps >=1 line on the donating side
+    if not test and train:
+        donors = [spk for spk in reversed(speakers)
+                  if sum(1 for ln in train if _spk(ln) == spk) >= 2]
+        if donors:
+            moved = next(ln for ln in reversed(train) if _spk(ln) == donors[0])
+            train.remove(moved)
+            test.append(moved)
+    if not train and test:
+        train.append(test.pop())
+    return Split(train=train, test=test, speakers=speakers)
+
+
+def split_lines(lines: List[str], mode: str, train_ratio: float,
+                seed: int) -> Tuple[List[str], List[str], List[str]]:
+    """-> (train_lines, test_lines, sorted unique speakers)."""
+    speakers = sorted(_group(lines))
+    if not speakers:
         raise SystemExit("No speakers found in input file")
     rng = random.Random(seed)
+    splitter = _split_by_speaker if mode == "speaker" else _split_by_utterance
+    result = splitter(lines, speakers, train_ratio, rng)
+    return result.train, result.test, result.speakers
 
-    if mode == "speaker":
-        spk_shuffled = unique_speakers.copy()
-        rng.shuffle(spk_shuffled)
-        split_idx = int(len(spk_shuffled) * train_ratio)
-        train_set = set(spk_shuffled[:split_idx])
-        test_set = set(spk_shuffled[split_idx:])
-        if not train_set and test_set:
-            s = next(iter(test_set)); test_set.remove(s); train_set.add(s)
-        if not test_set and train_set:
-            s = next(iter(train_set)); train_set.remove(s); test_set.add(s)
-        train_lines = [ln for ln in lines if ln.split(maxsplit=1)[0] in train_set]
-        test_lines = [ln for ln in lines if ln.split(maxsplit=1)[0] in test_set]
-        return train_lines, test_lines, unique_speakers
 
-    train_lines, test_lines = [], []
-    for spk in unique_speakers:
-        utts = by_spk[spk].copy()
-        rng.shuffle(utts)
-        n = len(utts)
-        if n == 1:
-            n_train = 1
-        else:
-            n_train = min(max(int(n * train_ratio), 1), n - 1)
-        train_lines.extend(utts[:n_train])
-        test_lines.extend(utts[n_train:])
-    # rebalancing guards for tiny datasets
-    if not test_lines and train_lines:
-        for spk in reversed(unique_speakers):
-            spk_trains = [ln for ln in train_lines if ln.split(maxsplit=1)[0] == spk]
-            if len(spk_trains) >= 2:
-                mv = spk_trains[-1]
-                train_lines.remove(mv)
-                test_lines.append(mv)
-                break
-    if not train_lines and test_lines:
-        train_lines.append(test_lines.pop())
-    return train_lines, test_lines, unique_speakers
+def _write_list(path: Path, lines: List[str]) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("\n".join(lines) + ("\n" if lines else ""), encoding="utf-8")
 
 
 def main(argv=None) -> None:
@@ -78,24 +126,18 @@ def main(argv=None) -> None:
     assert 0.0 < args.train_ratio < 1.0, "train-ratio must be in (0,1)"
     with args.input.open("r", encoding="utf-8") as f:
         lines = [ln.rstrip("\n") for ln in f if ln.strip()]
-    train_lines, test_lines, unique_speakers = split_lines(lines, args.mode, args.train_ratio, args.seed)
+    train, test, speakers = split_lines(lines, args.mode, args.train_ratio, args.seed)
 
-    args.train_out.parent.mkdir(parents=True, exist_ok=True)
-    args.test_out.parent.mkdir(parents=True, exist_ok=True)
-    args.train_out.write_text("\n".join(train_lines) + ("\n" if train_lines else ""), encoding="utf-8")
-    args.test_out.write_text("\n".join(test_lines) + ("\n" if test_lines else ""), encoding="utf-8")
+    _write_list(args.train_out, train)
+    _write_list(args.test_out, test)
 
-    if args.mode == "speaker":
-        tr = {ln.split(maxsplit=1)[0] for ln in train_lines}
-        te = {ln.split(maxsplit=1)[0] for ln in test_lines}
-        print("Mode: speaker")
-        print(f"Speakers: total={len(unique_speakers)}, train={len(tr)}, test={len(te)}")
-    else:
-        tr = {ln.split(maxsplit=1)[0] for ln in train_lines}
-        te = {ln.split(maxsplit=1)[0] for ln in test_lines}
-        print("Mode: utterance")
-        print(f"Speakers: total={len(unique_speakers)}, in-train={len(tr)}, in-test={len(te)}")
-    print(f"Lines: train={len(train_lines)}, test={len(test_lines)}")
+    split = Split(train, test, speakers)
+    print(f"Mode: {args.mode}")
+    label = "train/test" if args.mode == "speaker" else "in-train/in-test"
+    print(f"Speakers: total={len(speakers)}, "
+          f"{label.split('/')[0]}={len(split.speakers_in(train))}, "
+          f"{label.split('/')[1]}={len(split.speakers_in(test))}")
+    print(f"Lines: train={len(train)}, test={len(test)}")
     print(f"Wrote: {args.train_out} and {args.test_out}")
 
 
