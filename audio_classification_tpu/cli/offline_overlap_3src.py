@@ -108,6 +108,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--onnx-asr-skip-frames", type=int, default=-1,
                    help="Leading logit frames dropped in direct ONNX ASR "
                         "exec (-1 = the family's prompt count)")
+    p.add_argument("--no-fused-paths", dest="fused_paths",
+                   action="store_false", default=True,
+                   help="Dispatch sep/SV/ASR as granular stage programs "
+                        "instead of fused path programs: slower (branches "
+                        "cross device->host), but time_sep/time_asr become "
+                        "reference-comparable per-stage walls")
     return p.parse_args(argv)
 
 

@@ -437,24 +437,30 @@ class Overlap3Pipeline:
             ]
             t_launch = time.time()
             h_ov = h_cl = h_tg = None
-            if overlap_rows:
-                h_ov = eng.launch_overlap(
-                    [r["chunk"] for _, r in overlap_rows],
-                    [mx["target_vec"] for mx, _ in overlap_rows],
-                    cfg.language, return_branches=cfg.eval_separation,
-                    backend=cfg.sep_backend,
-                )
-            if clean_rows:
-                h_cl = eng.launch_clean(
-                    [r["chunk"] for _, r in clean_rows],
-                    [mx["target_vec"] for mx, _ in clean_rows],
-                    cfg.language,
-                )
-            if tspan_rows:
-                h_tg = eng.launch_transcribe(
-                    [mx["target_np"][r["s_i"]:r["e_i"]] for mx, r in tspan_rows],
-                    cfg.language,
-                )
+            if not getattr(cfg, "fused_paths", True):
+                # granular stage programs: time_sep/time_asr become
+                # reference-comparable per-stage walls (slower: branches
+                # cross D2H and each stage dispatches separately)
+                self._run_wave_granular(overlap_rows, clean_rows, tspan_rows)
+            else:  # fused paths (default serving configuration)
+                if overlap_rows:
+                    h_ov = eng.launch_overlap(
+                        [r["chunk"] for _, r in overlap_rows],
+                        [mx["target_vec"] for mx, _ in overlap_rows],
+                        cfg.language, return_branches=cfg.eval_separation,
+                        backend=cfg.sep_backend,
+                    )
+                if clean_rows:
+                    h_cl = eng.launch_clean(
+                        [r["chunk"] for _, r in clean_rows],
+                        [mx["target_vec"] for mx, _ in clean_rows],
+                        cfg.language,
+                    )
+                if tspan_rows:
+                    h_tg = eng.launch_transcribe(
+                        [mx["target_np"][r["s_i"]:r["e_i"]] for mx, r in tspan_rows],
+                        cfg.language,
+                    )
 
             # collect A (stage times are disjoint wall segments; with the
             # overlapped launches the per-stage split is an attribution of
@@ -495,19 +501,20 @@ class Overlap3Pipeline:
                     self._eval_separation(mx, file_mode, ds, sep_sisdr, sep_sisdri, sep_details_rows)
 
             # collect B + C
-            t_bc = time.time()
-            if h_cl is not None:
-                cl_out = eng.collect_clean(h_cl)
-                total_cl_samples = sum(len(r["chunk"]) for _, r in clean_rows) or 1
-                t_cl = time.time() - t_bc
-                for (mx, r), (score, text) in zip(clean_rows, cl_out):
-                    r["sv_score"] = score
-                    r["fused_text"] = text
-                    r["fused_share"] = t_cl * len(r["chunk"]) / total_cl_samples
-            if h_tg is not None:
-                for (mx, r), text in zip(tspan_rows, eng.collect_transcribe(h_tg)):
-                    r["target_text"] = text
-            self._time["asr"] += time.time() - t_bc
+            if h_cl is not None or h_tg is not None:
+                t_bc = time.time()
+                if h_cl is not None:
+                    cl_out = eng.collect_clean(h_cl)
+                    total_cl_samples = sum(len(r["chunk"]) for _, r in clean_rows) or 1
+                    t_cl = time.time() - t_bc
+                    for (mx, r), (score, text) in zip(clean_rows, cl_out):
+                        r["sv_score"] = score
+                        r["fused_text"] = text
+                        r["fused_share"] = t_cl * len(r["chunk"]) / total_cl_samples
+                if h_tg is not None:
+                    for (mx, r), text in zip(tspan_rows, eng.collect_transcribe(h_tg)):
+                        r["target_text"] = text
+                self._time["asr"] += time.time() - t_bc
 
             # ---- gate (metrics bookkeeping) + granular ASR for pass-through
             # clean rows of mixtures with no enrollment
@@ -700,6 +707,63 @@ class Overlap3Pipeline:
                     f"{best:.4f}", f"{sdri:.4f}",
                     ";".join(str(i) for i in idx_sel),
                 ])
+
+    def _run_wave_granular(self, overlap_rows, clean_rows, tspan_rows) -> None:
+        """Granular stage dispatch (``fused_paths=False``): stage walls book
+        exactly as the reference's per-stage timers do — separation to
+        time_sep (overlap3_core.py:689-691), every ASR call to time_asr
+        (:644-649,795-799), SV embedding UNBOOKED (the reference never adds
+        it to a stage bucket) — so time_sep/time_asr are directly
+        reference-comparable. Rows get the same fields the fused collectors
+        set, so gating/metrics code downstream is shared."""
+        eng, cfg = self.engine, self.cfg
+        if overlap_rows:
+            t_s = time.time()
+            ests = eng.separate([r["chunk"] for _, r in overlap_rows],
+                                n_src=3, backend=cfg.sep_backend)
+            self._time["sep"] += time.time() - t_s
+            flat = [np.asarray(est[i]) for est in ests for i in range(est.shape[0])]
+            embs = eng.embed(flat)
+            best_wavs, owners = [], []
+            pos = 0
+            for (mx, r), est in zip(overlap_rows, ests):
+                k = est.shape[0]
+                scores = embs[pos:pos + k] @ np.asarray(mx["target_vec"])
+                pos += k
+                r["branch_scores"] = {i: float(s) for i, s in enumerate(scores)}
+                r["fused_best"] = int(np.argmax(scores))
+                if cfg.eval_separation:
+                    r["branches"] = [np.asarray(est[i]) for i in range(k)]
+                best_wavs.append(np.asarray(est[r["fused_best"]]))
+                owners.append(r)
+            t_a = time.time()
+            texts = eng.transcribe(best_wavs, cfg.language)
+            asr_el = time.time() - t_a
+            self._time["asr"] += asr_el
+            tot = sum(len(w) for w in best_wavs) or 1
+            for r, text, w in zip(owners, texts, best_wavs):
+                r["fused_text"] = text
+                r["fused_share"] = asr_el * len(w) / tot
+        if clean_rows:
+            embs = eng.embed([r["chunk"] for _, r in clean_rows])
+            for (mx, r), v in zip(clean_rows, embs):
+                r["sv_score"] = float(np.dot(np.asarray(v), np.asarray(mx["target_vec"])))
+            t_a = time.time()
+            texts = eng.transcribe([r["chunk"] for _, r in clean_rows], cfg.language)
+            asr_el = time.time() - t_a
+            self._time["asr"] += asr_el
+            tot = sum(len(r["chunk"]) for _, r in clean_rows) or 1
+            for (mx, r), text in zip(clean_rows, texts):
+                r["fused_text"] = text
+                r["fused_share"] = asr_el * len(r["chunk"]) / tot
+        if tspan_rows:
+            t_a = time.time()
+            texts = eng.transcribe(
+                [mx["target_np"][r["s_i"]:r["e_i"]] for mx, r in tspan_rows],
+                self.cfg.language)
+            self._time["asr"] += time.time() - t_a
+            for (mx, r), text in zip(tspan_rows, texts):
+                r["target_text"] = text
 
     def _gate_row(self, mx: dict, r: dict, M: dict, A: dict, asr_items, asr_owner) -> None:
         """SV gating + ASR work collection for one segment row

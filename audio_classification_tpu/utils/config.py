@@ -95,6 +95,10 @@ class Overlap3Config:
                                       # "auto" tries map then falls back to direct
     onnx_asr_skip_frames: int = -1    # leading logit frames to drop in direct ASR exec
                                       # (-1 = the family's prompt count)
+    fused_paths: bool = True          # True: sep+SV+ASR in one device program per path
+                                      # (fastest; path wall books to time_sep/time_asr).
+                                      # False: granular stage programs — time_sep/time_asr
+                                      # are then reference-comparable per-stage walls
 
 
 @dataclass

@@ -158,3 +158,24 @@ def test_cli_writes_artifacts(fixture_dir, tmp_path):
         assert key in summary
     csv_head = (d / "segments.csv").read_text().splitlines()[0]
     assert csv_head == "wav,start,end,kind,stream,text,asr_time,sv_score,target_src,target_src_text"
+
+
+def test_granular_paths_match_fused(fixture_dir, file_mode_result):
+    """--no-fused-paths: granular stage programs produce the same records
+    and gate decisions as the fused paths (same weights, same math), while
+    time_sep/time_asr become reference-comparable per-stage walls."""
+    fused_result, _ = file_mode_result
+    cfg = _base_cfg(fixture_dir, fused_paths=False)
+    res = Overlap3Pipeline(cfg).run()
+    assert len(res.segments) == len(fused_result.segments)
+    for a, b in zip(res.segments, fused_result.segments):
+        assert a["kind"] == b["kind"]
+        assert a["text"] == b["text"]
+        assert a["stream"] == b["stream"]
+        if a["sv_score"] is not None:
+            assert abs(a["sv_score"] - b["sv_score"]) < 5e-3
+    m = res.metrics
+    assert m["segments_total"] == fused_result.metrics["segments_total"]
+    # granular walls: both stages were actually timed
+    assert m["time_sep_sec"] > 0 and m["time_asr_sec"] > 0
+    assert m["rtf_total"] > 0
