@@ -748,13 +748,70 @@ def _einsum(ctx, node, ins):
 
 @_op("MatMulInteger")
 def _matmul_integer(ctx, node, ins):
+    """int8/uint8 matmul accumulating in int32 (ORT dynamic-quant linear).
+
+    On TPU the product itself runs as a NATIVE int8 MXU matmul
+    (lax.dot_general with s8 operands and preferred_element_type=s32 —
+    2x the bf16 MXU rate on v5e) instead of upcasting to int32 first.
+    Zero points come out exactly via the algebraic expansion
+      (a - za)(b - zb) = ab - za*colsum(b) - zb*rowsum(a) + K*za*zb
+    (integer math; bit-identical to the upcast form). uint8 operands
+    shift to s8 by -128 with the zero point shifted to match."""
     a, b = ins[0], ins[1]
-    azp = ins[2] if len(ins) > 2 and ins[2] is not None else 0
-    bzp = ins[3] if len(ins) > 3 and ins[3] is not None else 0
-    jnp = ctx.jnp
-    a32 = jnp.asarray(a, np.int32) - jnp.asarray(azp, np.int32)
-    b32 = jnp.asarray(b, np.int32) - jnp.asarray(bzp, np.int32)
-    return [jnp.matmul(a32, b32)]
+    azp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+    bzp = ins[3] if len(ins) > 3 and ins[3] is not None else None
+    xp = ctx.xp(ins)
+    a_dt, b_dt = _dtype_of(a), _dtype_of(b)
+    per_tensor = all(
+        z is None or (_is_const(z) and _np(z).size == 1) or getattr(z, "ndim", 1) == 0
+        for z in (azp, bzp)
+    )
+    if (xp is not np and per_tensor
+            and a_dt in (np.int8, np.uint8) and b_dt in (np.int8, np.uint8)
+            and len(_shape_of(a)) >= 2 and len(_shape_of(b)) == 2):
+        import jax.lax as lax
+        jnp = ctx.jnp
+
+        def to_s8(x, zp, dt):
+            # zero point: None if it statically vanishes, else an int32
+            # scalar (python int for const zp, traced for dynamic zp —
+            # DynamicQuantizeLinear emits its zp as a runtime value)
+            if zp is None:
+                zv = None
+            elif _is_const(zp):
+                zv = int(_np(zp).reshape(())) or None
+            else:
+                zv = zp.astype(np.int32).reshape(())
+            if dt == np.uint8:
+                # u8 - 128 fits s8 exactly; shift the zero point to match
+                x = (x.astype(np.int16) - 128).astype(np.int8)
+                zv = -128 if zv is None else zv - 128
+            return x, zv
+
+        a8, za = to_s8(jnp.asarray(a), azp, a_dt)
+        b8, zb = to_s8(jnp.asarray(b), bzp, b_dt)
+        k = np.int32(a8.shape[-1])
+        corr = lax.dot_general(
+            a8, b8,
+            dimension_numbers=(((a8.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=np.int32,
+        )  # [..., M, N]
+        if za is not None:
+            colsum = jnp.sum(b8.astype(np.int32), axis=0)  # [N]
+            corr = corr - za * colsum
+        if zb is not None:
+            rowsum = jnp.sum(a8.astype(np.int32), axis=-1, keepdims=True)
+            corr = corr - zb * rowsum
+        if za is not None and zb is not None:
+            corr = corr + k * za * zb
+        return [corr]
+    a32 = xp.asarray(_np(a) if _is_const(a) else a, np.int32)
+    b32 = xp.asarray(_np(b) if _is_const(b) else b, np.int32)
+    if azp is not None:
+        a32 = a32 - xp.asarray(_np(azp) if _is_const(azp) else azp, np.int32)
+    if bzp is not None:
+        b32 = b32 - xp.asarray(_np(bzp) if _is_const(bzp) else bzp, np.int32)
+    return [xp.matmul(a32, b32)]
 
 
 @_op("DequantizeLinear")

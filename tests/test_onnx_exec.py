@@ -375,6 +375,30 @@ def test_dynamic_quantize_matmul_integer_approximates_float(tmp_path):
     assert float(np.mean(np.abs(out["y"] - ref))) < 0.2
 
 
+@pytest.mark.parametrize("a_dtype", [np.uint8, np.int8])
+@pytest.mark.parametrize("jit", [False, True])
+def test_matmul_integer_zero_points_bit_exact(tmp_path, a_dtype, jit):
+    """The s8 MXU path's algebraic zero-point expansion must be
+    bit-identical to the naive int32 upcast form (it is integer math:
+    (a-za)(b-zb) = ab - za*colsum(b) - zb*rowsum(a) + K*za*zb)."""
+    lo, hi = (0, 255) if a_dtype == np.uint8 else (-127, 127)
+    a = RNG.integers(lo, hi, (2, 5, 12), dtype=a_dtype)
+    w = RNG.integers(-127, 127, (12, 7), dtype=np.int8)
+    azp = np.asarray(131 if a_dtype == np.uint8 else -9, a_dtype)
+    bzp = np.asarray(3, np.int8)
+    b = GraphBuilder()
+    b.raw("MatMulInteger",
+          ["input", b.add_init("w", w),
+           b.add_init("azp", azp), b.add_init("bzp", bzp)], ["mi"])
+    b.value = "mi"
+    out, _ = _run(tmp_path, b, {"input": a},
+                  inputs=[("input", a_dtype, list(a.shape))], jit=jit)
+    ref = ((a.astype(np.int32) - np.int32(azp))
+           @ (w.astype(np.int32) - np.int32(bzp)))
+    np.testing.assert_array_equal(out["mi"], ref)
+    assert out["mi"].dtype == np.int32
+
+
 # ------------------------------------------------------------ control flow
 
 def test_if_constant_condition_inlines(tmp_path):
