@@ -746,9 +746,9 @@ def _einsum(ctx, node, ins):
     return [ctx.jnp.einsum(eq, *ins)]
 
 
-@_op("MatMulInteger")
-def _matmul_integer(ctx, node, ins):
-    """int8/uint8 matmul accumulating in int32 (ORT dynamic-quant linear).
+def _int_matmul_core(ctx, a, b, azp, bzp):
+    """(a - azp) @ (b - bzp) in exact int32 (core of MatMulInteger /
+    QLinearMatMul, ORT's dynamic- and static-quant linear layers).
 
     On TPU the product itself runs as a NATIVE int8 MXU matmul
     (lax.dot_general with s8 operands and preferred_element_type=s32 —
@@ -756,17 +756,29 @@ def _matmul_integer(ctx, node, ins):
     Zero points come out exactly via the algebraic expansion
       (a - za)(b - zb) = ab - za*colsum(b) - zb*rowsum(a) + K*za*zb
     (integer math; bit-identical to the upcast form). uint8 operands
-    shift to s8 by -128 with the zero point shifted to match."""
-    a, b = ins[0], ins[1]
-    azp = ins[2] if len(ins) > 2 and ins[2] is not None else None
-    bzp = ins[3] if len(ins) > 3 and ins[3] is not None else None
-    xp = ctx.xp(ins)
+    shift to s8 by -128 with the zero point shifted to match. The b zero
+    point may be per-column ([N], ORT per-channel weight quantization) —
+    the correction terms broadcast over the output columns; a per-row a
+    zero point falls back to the upcast form."""
+    xp = ctx.xp([a, b, azp, bzp])
     a_dt, b_dt = _dtype_of(a), _dtype_of(b)
-    per_tensor = all(
-        z is None or (_is_const(z) and _np(z).size == 1) or getattr(z, "ndim", 1) == 0
-        for z in (azp, bzp)
-    )
-    if (xp is not np and per_tensor
+
+    def _zp_rank(z):
+        # size-1 vectors count as per-tensor scalars ([1]-shaped zps occur
+        # in the wild even though the spec says shape [])
+        if z is None:
+            return 0
+        if _is_const(z):
+            return 0 if _np(z).size == 1 else _np(z).ndim
+        if getattr(z, "ndim", 1) == 1 and z.shape[0] == 1:
+            return 0
+        return getattr(z, "ndim", 1)
+
+    n_cols = _shape_of(b)[-1] if len(_shape_of(b)) == 2 else -1
+    bzp_ok = _zp_rank(bzp) == 0 or (
+        _zp_rank(bzp) == 1
+        and (_np(bzp).shape[0] if _is_const(bzp) else bzp.shape[0]) == n_cols)
+    if (xp is not np and _zp_rank(azp) == 0 and bzp_ok
             and a_dt in (np.int8, np.uint8) and b_dt in (np.int8, np.uint8)
             and len(_shape_of(a)) >= 2 and len(_shape_of(b)) == 2):
         import jax.lax as lax
@@ -774,14 +786,17 @@ def _matmul_integer(ctx, node, ins):
 
         def to_s8(x, zp, dt):
             # zero point: None if it statically vanishes, else an int32
-            # scalar (python int for const zp, traced for dynamic zp —
-            # DynamicQuantizeLinear emits its zp as a runtime value)
+            # scalar/[N] vector (python int for scalar const zp, array for
+            # per-column, traced for dynamic zp — DynamicQuantizeLinear
+            # emits its zp as a runtime value)
             if zp is None:
                 zv = None
             elif _is_const(zp):
-                zv = int(_np(zp).reshape(())) or None
+                zn = _np(zp).astype(np.int32)
+                zv = (int(zn.reshape(())) or None) if zn.size == 1 \
+                    else zn.reshape(-1)
             else:
-                zv = zp.astype(np.int32).reshape(())
+                zv = zp.astype(np.int32).reshape(() if zp.ndim == 0 else -1)
             if dt == np.uint8:
                 # u8 - 128 fits s8 exactly; shift the zero point to match
                 x = (x.astype(np.int16) - 128).astype(np.int8)
@@ -800,18 +815,54 @@ def _matmul_integer(ctx, node, ins):
             colsum = jnp.sum(b8.astype(np.int32), axis=0)  # [N]
             corr = corr - za * colsum
         if zb is not None:
+            # scalar zb broadcasts; per-column zb [N] broadcasts over the
+            # output columns against rowsum's [..., M, 1]
             rowsum = jnp.sum(a8.astype(np.int32), axis=-1, keepdims=True)
             corr = corr - zb * rowsum
         if za is not None and zb is not None:
             corr = corr + k * za * zb
-        return [corr]
+        return corr
     a32 = xp.asarray(_np(a) if _is_const(a) else a, np.int32)
     b32 = xp.asarray(_np(b) if _is_const(b) else b, np.int32)
     if azp is not None:
         a32 = a32 - xp.asarray(_np(azp) if _is_const(azp) else azp, np.int32)
     if bzp is not None:
         b32 = b32 - xp.asarray(_np(bzp) if _is_const(bzp) else bzp, np.int32)
-    return [xp.matmul(a32, b32)]
+    return xp.matmul(a32, b32)
+
+
+@_op("MatMulInteger")
+def _matmul_integer(ctx, node, ins):
+    """See _int_matmul_core (sherpa-onnx int8 exports, e.g. SenseVoice:
+    DynamicQuantizeLinear activations x int8 weights)."""
+    a, b = ins[0], ins[1]
+    azp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+    bzp = ins[3] if len(ins) > 3 and ins[3] is not None else None
+    return [_int_matmul_core(ctx, a, b, azp, bzp)]
+
+
+@_op("QLinearMatMul")
+def _qlinear_matmul(ctx, node, ins):
+    """Static-quant matmul: deq(a) @ deq(b) requantized to y's scale/zp.
+
+    Integer core via _int_matmul_core (s8 MXU path), then one fused
+    float rescale: y = saturate(round(acc * (sa*sb/sy)) + y_zp)."""
+    a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp = ins[:8]
+    acc = _int_matmul_core(ctx, a, b, a_zp, b_zp)
+    xp = ctx.xp(ins)
+
+    def fv(x):  # scale operand -> float32 (const or traced)
+        return (_np(x) if _is_const(x) else x).astype(np.float32)
+
+    scale = fv(a_s) * fv(b_s) / fv(y_s)
+    if getattr(scale, "ndim", 0) == 1 and scale.shape[0] > 1:
+        scale = scale.reshape(-1)  # per-column b scale broadcasts over N
+    y_dt = _dtype_of(y_zp) if y_zp is not None else np.uint8
+    info = np.iinfo(y_dt)
+    q = xp.round(acc.astype(np.float32) * scale)
+    if y_zp is not None:
+        q = q + (_np(y_zp) if _is_const(y_zp) else y_zp).astype(np.float32)
+    return [xp.clip(q, info.min, info.max).astype(y_dt)]
 
 
 @_op("DequantizeLinear")
@@ -909,6 +960,89 @@ def _conv(ctx, node, ins):
     if b is not None:
         out = out + ctx.jnp.reshape(b, (1, -1) + (1,) * nsp)
     return [out]
+
+
+def _int_conv_core(ctx, node, x, w, xzp, wzp):
+    """Integer conv accumulating in int32 (core of ConvInteger/QLinearConv).
+
+    Zero points are subtracted BEFORE the conv so XLA's zero padding is
+    exact (a padded cell represents x_zero_point, i.e. dequantized 0 —
+    onnxruntime's semantics). When both zero points statically vanish the
+    conv runs as a native s8xs8->s32 MXU conv; otherwise the operands ride
+    as int32 (still exact — products fit 18 bits, accumulation < 2^31 for
+    any real kernel). The w zero point may be per-output-channel [M]."""
+    import jax
+    jnp = ctx.jnp
+    nsp = len(_shape_of(w)) - 2
+    strides = _as_list(node.attrs.get("strides"), [1] * nsp)
+    dil = _as_list(node.attrs.get("dilations"), [1] * nsp)
+    groups = node.attrs.get("group", 1)
+    k = _shape_of(w)[2:]
+    k_eff = [(kk - 1) * d + 1 for kk, d in zip(k, dil)]
+    pads = _conv_padding(node, _shape_of(x)[2:], k_eff, strides)
+
+    def shift(t, zp, channel_shape=None):
+        # returns (tensor, statically_zero) with zp subtracted in int32
+        if zp is not None and _is_const(zp) and not _np(zp).any():
+            zp = None
+        if zp is None:
+            return jnp.asarray(t), True
+        z = (_np(zp) if _is_const(zp) else zp).astype(np.int32)
+        if getattr(z, "ndim", 0) == 1 and z.size > 1 and channel_shape:
+            z = z.reshape(channel_shape)
+        return jnp.asarray(t).astype(np.int32) - z, False
+
+    xs, x0 = shift(x, xzp)
+    ws, w0 = shift(w, wzp, channel_shape=(-1,) + (1,) * (nsp + 1))
+    if not (x0 and w0 and _dtype_of(x) == np.int8 and _dtype_of(w) == np.int8):
+        xs = xs.astype(np.int32)
+        ws = ws.astype(np.int32)
+    spatial = "".join("DHW"[3 - nsp + i] for i in range(nsp))
+    dn = jax.lax.conv_dimension_numbers(
+        _shape_of(x), _shape_of(w),
+        (f"NC{spatial}", f"OI{spatial}", f"NC{spatial}"))
+    return jax.lax.conv_general_dilated(
+        xs, ws, window_strides=strides, padding=pads, rhs_dilation=dil,
+        dimension_numbers=dn, feature_group_count=groups,
+        preferred_element_type=np.int32)
+
+
+@_op("ConvInteger")
+def _conv_integer(ctx, node, ins):
+    """See _int_conv_core (ORT dynamic-quant conv)."""
+    x, w = ins[0], ins[1]
+    xzp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+    wzp = ins[3] if len(ins) > 3 and ins[3] is not None else None
+    return [_int_conv_core(ctx, node, x, w, xzp, wzp)]
+
+
+@_op("QLinearConv")
+def _qlinear_conv(ctx, node, ins):
+    """Static-quant conv: deq(x) * deq(w) (+ int32 bias pre-scaled to
+    x_scale*w_scale) requantized to y's scale/zp. Integer core via
+    _int_conv_core, then one fused float rescale (per-output-channel
+    w scale supported)."""
+    x, x_s, x_zp, w, w_s, w_zp, y_s, y_zp = ins[:8]
+    bias = ins[8] if len(ins) > 8 and ins[8] is not None else None
+    acc = _int_conv_core(ctx, node, x, w, x_zp, w_zp)
+    nsp = acc.ndim - 2
+    jnp = ctx.jnp
+    if bias is not None:
+        b32 = (_np(bias) if _is_const(bias) else bias).astype(np.int32)
+        acc = acc + jnp.reshape(b32, (1, -1) + (1,) * nsp)
+
+    def fv(t):
+        return (_np(t) if _is_const(t) else t).astype(np.float32)
+
+    scale = fv(x_s) * fv(w_s) / fv(y_s)
+    if getattr(scale, "ndim", 0) == 1 and scale.shape[0] > 1:
+        scale = scale.reshape((1, -1) + (1,) * nsp)  # per-channel w scale
+    y_dt = _dtype_of(y_zp) if y_zp is not None else np.uint8
+    info = np.iinfo(y_dt)
+    q = jnp.round(acc.astype(np.float32) * scale)
+    if y_zp is not None:
+        q = q + fv(y_zp)
+    return [jnp.clip(q, info.min, info.max).astype(y_dt)]
 
 
 @_op("ConvTranspose")

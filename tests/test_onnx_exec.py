@@ -399,6 +399,101 @@ def test_matmul_integer_zero_points_bit_exact(tmp_path, a_dtype, jit):
     assert out["mi"].dtype == np.int32
 
 
+@pytest.mark.parametrize("jit", [False, True])
+def test_matmul_integer_per_column_weight_zp(tmp_path, jit):
+    """ORT per-channel weight quantization: b zero point is a [N] vector."""
+    a = RNG.integers(0, 255, (4, 10), dtype=np.uint8)
+    w = RNG.integers(-127, 127, (10, 6), dtype=np.int8)
+    azp = np.asarray(77, np.uint8)
+    bzp = RNG.integers(-8, 8, 6).astype(np.int8)
+    b = GraphBuilder()
+    b.raw("MatMulInteger",
+          ["input", b.add_init("w", w),
+           b.add_init("azp", azp), b.add_init("bzp", bzp)], ["mi"])
+    b.value = "mi"
+    out, _ = _run(tmp_path, b, {"input": a},
+                  inputs=[("input", np.uint8, list(a.shape))], jit=jit)
+    ref = ((a.astype(np.int32) - 77)
+           @ (w.astype(np.int32) - bzp.astype(np.int32)[None, :]))
+    np.testing.assert_array_equal(out["mi"], ref)
+
+
+@pytest.mark.parametrize("jit", [False, True])
+def test_qlinear_matmul_matches_emulation(tmp_path, jit):
+    a = RNG.integers(0, 255, (3, 8), dtype=np.uint8)
+    w = RNG.integers(-127, 127, (8, 5), dtype=np.int8)
+    a_s, w_s, y_s = np.float32(0.02), np.float32(0.1), np.float32(0.05)
+    a_zp, w_zp, y_zp = np.uint8(120), np.int8(4), np.uint8(128)
+    b = GraphBuilder()
+    b.raw("QLinearMatMul",
+          ["input", b.add_init("as", a_s), b.add_init("azp", a_zp),
+           b.add_init("w", w), b.add_init("ws", w_s), b.add_init("wzp", w_zp),
+           b.add_init("ys", y_s), b.add_init("yzp", y_zp)], ["y"])
+    b.value = "y"
+    out, _ = _run(tmp_path, b, {"input": a},
+                  inputs=[("input", np.uint8, list(a.shape))], jit=jit)
+    acc = (a.astype(np.int32) - 120) @ (w.astype(np.int32) - 4)
+    ref = np.clip(np.round(acc.astype(np.float32) * (0.02 * 0.1 / 0.05))
+                  + 128, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out["y"], ref)
+    assert out["y"].dtype == np.uint8
+
+
+@pytest.mark.parametrize("jit", [False, True])
+def test_conv_integer_matches_torch_int(tmp_path, jit):
+    """uint8 x / int8 w with nonzero zero points; torch float64 conv of the
+    shifted operands is an exact integer oracle (products fit 53 bits)."""
+    x = RNG.integers(0, 255, (2, 3, 17), dtype=np.uint8)
+    w = RNG.integers(-127, 127, (5, 3, 4), dtype=np.int8)
+    xzp = np.uint8(101)
+    wzp = RNG.integers(-6, 6, 5).astype(np.int8)  # per-output-channel
+    b = GraphBuilder()
+    b.raw("ConvInteger",
+          ["input", b.add_init("w", w),
+           b.add_init("xzp", xzp), b.add_init("wzp", wzp)], ["y"],
+          strides=[2], pads=[1, 1])
+    b.value = "y"
+    out, _ = _run(tmp_path, b, {"input": x},
+                  inputs=[("input", np.uint8, list(x.shape))], jit=jit)
+    # ORT pads with x_zero_point (dequantized zero): shift first, pad 0.
+    ref = torch.nn.functional.conv1d(
+        torch.from_numpy(x.astype(np.float64)) - 101.0,
+        torch.from_numpy(w.astype(np.float64))
+        - torch.from_numpy(wzp.astype(np.float64))[:, None, None],
+        stride=2, padding=1).numpy().astype(np.int32)
+    np.testing.assert_array_equal(out["y"], ref)
+    assert out["y"].dtype == np.int32
+
+
+@pytest.mark.parametrize("jit", [False, True])
+def test_qlinear_conv_with_bias_per_channel_scale(tmp_path, jit):
+    x = RNG.integers(0, 255, (1, 2, 15), dtype=np.uint8)
+    w = RNG.integers(-127, 127, (4, 2, 3), dtype=np.int8)
+    bias = RNG.integers(-2000, 2000, 4).astype(np.int32)
+    x_s, y_s = np.float32(0.04), np.float32(0.1)
+    w_s = (np.abs(RNG.standard_normal(4)) * 0.05 + 0.01).astype(np.float32)
+    x_zp, y_zp = np.uint8(114), np.uint8(128)
+    w_zp = np.zeros(4, np.int8)
+    b = GraphBuilder()
+    b.raw("QLinearConv",
+          ["input", b.add_init("xs", x_s), b.add_init("xzp", x_zp),
+           b.add_init("w", w), b.add_init("ws", w_s), b.add_init("wzp", w_zp),
+           b.add_init("ys", y_s), b.add_init("yzp", y_zp),
+           b.add_init("bias", bias)], ["y"], pads=[1, 1])
+    b.value = "y"
+    out, _ = _run(tmp_path, b, {"input": x},
+                  inputs=[("input", np.uint8, list(x.shape))], jit=jit)
+    acc = torch.nn.functional.conv1d(
+        torch.from_numpy(x.astype(np.float64)) - 114.0,
+        torch.from_numpy(w.astype(np.float64)),
+        torch.from_numpy(bias.astype(np.float64)),
+        padding=1).numpy()
+    ref = np.clip(np.round(acc * (x_s * w_s / y_s)[None, :, None])
+                  + 128, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out["y"], ref)
+    assert out["y"].dtype == np.uint8
+
+
 # ------------------------------------------------------------ control flow
 
 def test_if_constant_condition_inlines(tmp_path):
