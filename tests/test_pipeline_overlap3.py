@@ -176,6 +176,21 @@ def test_granular_paths_match_fused(fixture_dir, file_mode_result):
             assert abs(a["sv_score"] - b["sv_score"]) < 5e-3
     m = res.metrics
     assert m["segments_total"] == fused_result.metrics["segments_total"]
-    # granular walls: both stages were actually timed
-    assert m["time_sep_sec"] > 0 and m["time_asr_sec"] > 0
+    # granular wall: ASR was actually timed (whether the random-weight OSD
+    # flags any overlap on this fixture is borderline — the sep wall is
+    # asserted in test_granular_books_time_sep with a forced threshold)
+    assert m["time_asr_sec"] > 0
     assert m["rtf_total"] > 0
+
+
+def test_granular_books_time_sep(fixture_dir):
+    """With osd_thr=0 every segment is overlap regardless of the random
+    OSD weights, so the granular separation path must run and book a
+    reference-comparable time_sep wall (overlap3_core.py:689-691)."""
+    cfg = _base_cfg(fixture_dir, fused_paths=False, osd_thr=0.0)
+    res = Overlap3Pipeline(cfg).run()
+    assert res.segments and all(r["kind"] == "overlap" for r in res.segments)
+    m = res.metrics
+    assert m["time_sep_sec"] > 0 and m["time_asr_sec"] > 0
+    # overlap records carry per-branch SV scores + a chosen stream
+    assert all(isinstance(r["stream"], int) for r in res.segments)
