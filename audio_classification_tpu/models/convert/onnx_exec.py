@@ -865,6 +865,110 @@ def _qlinear_matmul(ctx, node, ins):
     return [xp.clip(q, info.min, info.max).astype(y_dt)]
 
 
+def _fval(x):
+    """scale/zero-point operand -> float32 (const or traced)."""
+    return (_np(x) if _is_const(x) else x).astype(np.float32)
+
+
+def _deq_f32(x, scale, zp):
+    """dequantize to float32 (per-tensor scale/zp, const or traced)."""
+    xf = (_np(x) if _is_const(x) else x).astype(np.float32)
+    if zp is not None:
+        xf = xf - _fval(zp)
+    return xf * _fval(scale)
+
+
+def _requant(xp, y_f32, y_scale, y_zp):
+    """round/shift/saturate float32 back onto y's integer grid."""
+    y_dt = _dtype_of(y_zp) if y_zp is not None else np.uint8
+    info = np.iinfo(y_dt)
+    q = xp.round(y_f32 / _fval(y_scale))
+    if y_zp is not None:
+        q = q + _fval(y_zp)
+    return xp.clip(q, info.min, info.max).astype(y_dt)
+
+
+def _qlinear_eltwise(fn):
+    """com.microsoft QLinear elementwise family (QLinearAdd/Mul/...):
+    deq -> float op -> requant, the same float-rescale semantics ORT's
+    contrib kernels implement. On TPU the whole chain fuses into one
+    VPU program under jit."""
+    def handler(ctx, node, ins):
+        a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp = ins[:8]
+        xp = ctx.xp(ins)
+        y = fn(xp, _deq_f32(a, a_s, a_zp), _deq_f32(b, b_s, b_zp), node)
+        return [_requant(xp, y, y_s, y_zp)]
+    return handler
+
+
+_op("QLinearAdd")(_qlinear_eltwise(lambda xp, a, b, node: a + b))
+_op("QLinearMul")(_qlinear_eltwise(lambda xp, a, b, node: a * b))
+
+
+def _qlinear_unary(fn):
+    def handler(ctx, node, ins):
+        x, x_s, x_zp, y_s, y_zp = ins[:5]
+        xp = ctx.xp(ins)
+        return [_requant(xp, fn(ctx, node, _deq_f32(x, x_s, x_zp)), y_s, y_zp)]
+    return handler
+
+
+def _sigmoid_f(ctx, node, x):
+    xp = np if isinstance(x, np.ndarray) else ctx.jnp
+    return 1.0 / (1.0 + xp.exp(-x))
+
+
+_op("QLinearSigmoid")(_qlinear_unary(_sigmoid_f))
+_op("QLinearLeakyRelu")(_qlinear_unary(
+    lambda ctx, node, x: (np if isinstance(x, np.ndarray) else ctx.jnp).where(
+        x >= 0, x, np.float32(node.attrs.get("alpha", 0.01)) * x)))
+
+
+@_op("QLinearGlobalAveragePool")
+def _qlinear_global_avgpool(ctx, node, ins):
+    x, x_s, x_zp, y_s, y_zp = ins[:5]
+    xp = ctx.xp(ins)
+    nd = len(_shape_of(x))
+    axes = tuple(range(1, nd - 1)) if node.attrs.get("channels_last", 0) \
+        else tuple(range(2, nd))
+    # mean over the integer grid first (exact up to one float division),
+    # then one rescale: avoids materializing the dequantized tensor
+    mean = xp.mean((_np(x) if _is_const(x) else x).astype(np.float32),
+                   axis=axes, keepdims=True)
+    if x_zp is not None:
+        mean = mean - _fval(x_zp)
+    return [_requant(xp, mean * _fval(x_s), y_s, y_zp)]
+
+
+@_op("QGemm")
+def _qgemm(ctx, node, ins):
+    """com.microsoft QGemm: alpha * deq(A') @ deq(B') + bias, with
+    A'/B' optionally transposed; integer core via _int_matmul_core (s8
+    MXU path). Bias is int32 at scale a_scale*b_scale. Output is
+    quantized when y_scale is given, float32 otherwise (per contrib-op
+    spec)."""
+    a, a_s, a_zp, b, b_s, b_zp = ins[:6]
+    bias = ins[6] if len(ins) > 6 and ins[6] is not None else None
+    y_s = ins[7] if len(ins) > 7 and ins[7] is not None else None
+    y_zp = ins[8] if len(ins) > 8 and ins[8] is not None else None
+    xp = ctx.xp(ins)
+    if node.attrs.get("transA", 0):
+        a = xp.swapaxes(_np(a) if _is_const(a) else a, -1, -2)
+    if node.attrs.get("transB", 0):
+        b = xp.swapaxes(_np(b) if _is_const(b) else b, -1, -2)
+    acc = _int_matmul_core(ctx, a, b, a_zp, b_zp)
+    if bias is not None:
+        acc = acc + (_np(bias) if _is_const(bias) else bias).astype(np.int32)
+    alpha = np.float32(node.attrs.get("alpha", 1.0))
+    scale = alpha * _fval(a_s) * _fval(b_s)
+    if getattr(scale, "ndim", 0) == 1 and scale.shape[0] > 1:
+        scale = scale.reshape(-1)
+    y = acc.astype(np.float32) * scale
+    if y_s is None:
+        return [y]
+    return [_requant(xp, y, y_s, y_zp)]
+
+
 @_op("DequantizeLinear")
 def _dequantize(ctx, node, ins):
     x, scale = ins[0], ins[1]

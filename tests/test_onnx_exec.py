@@ -494,6 +494,84 @@ def test_qlinear_conv_with_bias_per_channel_scale(tmp_path, jit):
     assert out["y"].dtype == np.uint8
 
 
+@pytest.mark.parametrize("jit", [False, True])
+def test_qlinear_add_matches_emulation(tmp_path, jit):
+    a = RNG.integers(0, 255, (2, 9), dtype=np.uint8)
+    c = RNG.integers(0, 255, (2, 9), dtype=np.uint8)
+    b = GraphBuilder()
+    b.raw("QLinearAdd",
+          ["input", b.add_init("as", np.float32(0.02)), b.add_init("az", np.uint8(10)),
+           b.add_init("c", c), b.add_init("cs", np.float32(0.03)), b.add_init("cz", np.uint8(20)),
+           b.add_init("ys", np.float32(0.05)), b.add_init("yz", np.uint8(7))], ["y"])
+    b.value = "y"
+    out, _ = _run(tmp_path, b, {"input": a},
+                  inputs=[("input", np.uint8, list(a.shape))], jit=jit)
+    f = (a.astype(np.float32) - 10) * 0.02 + (c.astype(np.float32) - 20) * 0.03
+    ref = np.clip(np.round(f / 0.05) + 7, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out["y"], ref)
+
+
+@pytest.mark.parametrize("jit", [False, True])
+@pytest.mark.parametrize("quantized_out", [True, False])
+def test_qgemm_matches_emulation(tmp_path, jit, quantized_out):
+    a = RNG.integers(0, 255, (3, 6), dtype=np.uint8)
+    w = RNG.integers(-127, 127, (4, 6), dtype=np.int8)  # transB layout
+    bias = RNG.integers(-500, 500, 4).astype(np.int32)
+    b = GraphBuilder()
+    inits = [("as", np.float32(0.02)), ("az", np.uint8(99)), ("w", w),
+             ("ws", np.float32(0.07)), ("wz", np.int8(2)), ("bias", bias)]
+    if quantized_out:
+        inits += [("ys", np.float32(0.2)), ("yz", np.uint8(128))]
+    names = ["input"] + [b.add_init(k, v) for k, v in inits]
+    b.raw("QGemm", names, ["y"], transB=1, alpha=1.0)
+    b.value = "y"
+    out, _ = _run(tmp_path, b, {"input": a},
+                  inputs=[("input", np.uint8, list(a.shape))], jit=jit)
+    acc = (a.astype(np.int64) - 99) @ (w.astype(np.int64).T - 2) + bias
+    f = acc.astype(np.float32) * (0.02 * 0.07)
+    if quantized_out:
+        ref = np.clip(np.round(f / 0.2) + 128, 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(out["y"], ref)
+    else:
+        np.testing.assert_allclose(out["y"], f, rtol=1e-6)
+
+
+@pytest.mark.parametrize("jit", [False, True])
+def test_static_quant_cnn_chain(tmp_path, jit):
+    """A statically-quantized CNN block end to end (the shape of an int8
+    ERes2Net export): QuantizeLinear -> QLinearConv -> QLinearSigmoid ->
+    QLinearGlobalAveragePool -> DequantizeLinear, vs float within
+    quantization tolerance."""
+    x = (RNG.standard_normal((1, 2, 30)).astype(np.float32) * 0.4)
+    w = RNG.integers(-100, 100, (3, 2, 3), dtype=np.int8)
+    ws = np.float32(0.01)
+    b = GraphBuilder()
+    xs = b.add_init("xs", np.float32(1 / 64))
+    xz = b.add_init("xz", np.uint8(128))
+    cs = b.add_init("cs", np.float32(1 / 32))
+    cz = b.add_init("cz", np.uint8(128))
+    ss = b.add_init("ss", np.float32(1 / 256))
+    sz = b.add_init("sz", np.uint8(0))
+    ps = b.add_init("ps", np.float32(1 / 256))
+    pz = b.add_init("pz", np.uint8(0))
+    b.raw("QuantizeLinear", ["input", xs, xz], ["xq"])
+    b.raw("QLinearConv",
+          ["xq", xs, xz, b.add_init("w", w), b.add_init("ws", ws),
+           b.add_init("wz", np.int8(0)), cs, cz],
+          ["cq"], pads=[1, 1])
+    b.raw("QLinearSigmoid", ["cq", cs, cz, ss, sz], ["sq"])
+    b.raw("QLinearGlobalAveragePool", ["sq", ss, sz, ps, pz], ["pq"])
+    b.raw("DequantizeLinear", ["pq", ps, pz], ["y"])
+    b.value = "y"
+    out, _ = _run(tmp_path, b, {"input": x},
+                  inputs=[("input", np.float32, list(x.shape))], jit=jit)
+    conv = torch.nn.functional.conv1d(
+        torch.from_numpy(x), torch.from_numpy(w.astype(np.float32) * ws),
+        padding=1).numpy()
+    ref = (1.0 / (1.0 + np.exp(-conv))).mean(-1, keepdims=True)
+    np.testing.assert_allclose(out["y"], ref, atol=0.03)
+
+
 # ------------------------------------------------------------ control flow
 
 def test_if_constant_condition_inlines(tmp_path):
