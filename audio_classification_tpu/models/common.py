@@ -86,7 +86,14 @@ def conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1, dilation: int =
 
 
 class Conv1d(nn.Module):
-    """Feature-last 1-D convolution with optional depthwise grouping."""
+    """Feature-last 1-D convolution with optional depthwise grouping.
+
+    ``quant="int8"`` (groups=1 only) runs the conv on the s8 MXU path
+    (ops/quant.int8_conv1d): dynamic per-sample activation quant with an
+    optional ``mask`` bounding the scale reduction to valid positions,
+    symmetric per-out-channel weight quant, int32 accumulation. Bias and
+    everything around the conv stay in the activation dtype.
+    """
 
     features: int
     kernel_size: int
@@ -95,18 +102,26 @@ class Conv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     padding: str = "SAME"
+    quant: str = "none"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cin = x.shape[-1]
         k = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (self.kernel_size, cin // self.groups, self.features),
         )
-        # harmonize with the activation dtype (mixed-precision safety: conv
-        # requires identical lhs/rhs dtypes)
-        y = conv1d(x, k.astype(x.dtype), self.stride, self.dilation, self.padding, self.groups)
+        if self.quant == "int8" and self.groups == 1:
+            from ..ops.quant import int8_conv1d
+            y = int8_conv1d(x, k, self.stride, self.dilation, self.padding,
+                            mask=mask, out_dtype=x.dtype)
+        else:
+            # harmonize with the activation dtype (mixed-precision safety:
+            # conv requires identical lhs/rhs dtypes)
+            y = conv1d(x, k.astype(x.dtype), self.stride, self.dilation,
+                       self.padding, self.groups)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(x.dtype)

@@ -36,6 +36,8 @@ class ConvTasNetConfig:
     n_repeats: int = 3        # R
     mask_act: str = "relu"
     sample_rate: int = 16000
+    quant: str = "none"       # "int8": pointwise convs + encoder/decoder on
+                              # the s8 MXU path (ops/quant), 2x bf16 rate
 
     @property
     def stride(self) -> int:
@@ -51,7 +53,12 @@ class TCNBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> tuple[jnp.ndarray, jnp.ndarray]:
         c = self.cfg
-        h = Conv1d(c.hidden, 1, name="in_conv")(x)
+        # pointwise convs carry the block's FLOPs -> quantizable; the cheap
+        # depthwise conv stays in the activation dtype (VPU-bound anyway).
+        # `mask` bounds the activation-scale reduction so padded frames
+        # (which hold normalized garbage post-GLN) can't shift a sample's
+        # quantization grid — padded-vs-solo exactness holds under int8.
+        h = Conv1d(c.hidden, 1, quant=c.quant, name="in_conv")(x, mask)
         h = PReLU(name="prelu1")(h)
         h = GlobalLayerNorm(c.hidden, name="norm1")(h, mask)
         if mask is not None:
@@ -59,8 +66,8 @@ class TCNBlock(nn.Module):
         h = Conv1d(c.hidden, c.conv_kernel, dilation=self.dilation, groups=c.hidden, name="dw_conv")(h)
         h = PReLU(name="prelu2")(h)
         h = GlobalLayerNorm(c.hidden, name="norm2")(h, mask)
-        res = Conv1d(c.bottleneck, 1, name="res_conv")(h)
-        skip = Conv1d(c.bottleneck, 1, name="skip_conv")(h)
+        res = Conv1d(c.bottleneck, 1, quant=c.quant, name="res_conv")(h, mask)
+        skip = Conv1d(c.bottleneck, 1, quant=c.quant, name="skip_conv")(h, mask)
         return x + res, skip
 
 
@@ -81,9 +88,10 @@ class ConvTasNet(nn.Module):
             sm = jnp.pad(sample_mask.astype(x.dtype), ((0, 0), (0, pad)))[..., None]
             x = x * sm
 
-        # --- encoder: [B, F, N]
+        # --- encoder: [B, F, N] (input is pre-masked above, so the
+        # per-sample int8 scale needs no extra mask)
         w = Conv1d(c.enc_dim, c.enc_kernel, stride=stride, use_bias=False,
-                   padding="VALID", name="encoder")(x)
+                   padding="VALID", quant=c.quant, name="encoder")(x)
         w = jax.nn.relu(w)
         n_frames = w.shape[1]
         frame_mask = None
@@ -94,14 +102,14 @@ class ConvTasNet(nn.Module):
 
         # --- masker TCN
         h = GlobalLayerNorm(c.enc_dim, name="ln_in")(w, frame_mask)
-        h = Conv1d(c.bottleneck, 1, name="bottleneck")(h)
+        h = Conv1d(c.bottleneck, 1, quant=c.quant, name="bottleneck")(h, frame_mask)
         skips = 0.0
         for r in range(c.n_repeats):
             for xb in range(c.n_blocks):
                 h, skip = TCNBlock(c, dilation=2**xb, name=f"tcn_{r}_{xb}")(h, frame_mask)
                 skips = skips + skip
         m = PReLU(name="mask_prelu")(skips)
-        m = Conv1d(c.n_src * c.enc_dim, 1, name="mask_conv")(m)
+        m = Conv1d(c.n_src * c.enc_dim, 1, quant=c.quant, name="mask_conv")(m, frame_mask)
         m = m.reshape(b, n_frames, c.n_src, c.enc_dim)
         if c.mask_act == "relu":
             m = jax.nn.relu(m)
@@ -120,7 +128,14 @@ class ConvTasNet(nn.Module):
 
         # --- decoder: transposed conv == overlap-add of basis frames
         dec = self.param("decoder", nn.initializers.lecun_normal(), (c.enc_kernel, c.enc_dim))
-        frames = jnp.einsum("bfsn,kn->bsfk", masked, dec, preferred_element_type=jnp.float32)
+        if c.quant == "int8":
+            from ..ops.quant import int8_matmul
+            # masked is already zeroed at padded frames; contraction over
+            # the basis axis rides the s8 MXU like the pointwise convs
+            frames = int8_matmul(masked, dec.T, out_dtype=jnp.float32)
+            frames = jnp.transpose(frames, (0, 2, 1, 3))  # [B,F,S,K]->[B,S,F,K]
+        else:
+            frames = jnp.einsum("bfsn,kn->bsfk", masked, dec, preferred_element_type=jnp.float32)
         sig = _overlap_add_frames(frames, stride)  # [B, S, T'']
         sig = sig[..., : t]
         if sig.shape[-1] < t:

@@ -66,6 +66,18 @@ def build_engine(cfg) -> StageEngine:
 
     enable_compilation_cache()
     preset = tiny_preset() if getattr(cfg, "preset", "full") == "tiny" else EnginePreset()
+    quant = getattr(cfg, "quant", "none")
+    if quant not in ("none", "int8"):
+        raise ValueError(f"--quant must be none|int8, got {quant!r}")
+    if quant == "int8":
+        import dataclasses as _dc
+
+        # separators carry the pipeline's FLOPs (SURVEY §6); their pointwise
+        # convs + encoder/decoder switch to the s8 MXU path (ops/quant)
+        preset = _dc.replace(
+            preset,
+            sep3=_dc.replace(preset.sep3, quant="int8"),
+            sep2=_dc.replace(preset.sep2, quant="int8"))
     seed = getattr(cfg, "seed", -1)
     # family selection mirrors the reference's one-of contract
     # (reference: src/model.py:37-100)

@@ -99,6 +99,8 @@ class Overlap3Config:
                                       # (fastest; path wall books to time_sep/time_asr).
                                       # False: granular stage programs — time_sep/time_asr
                                       # are then reference-comparable per-stage walls
+    quant: str = "none"               # "int8": separators run dynamic-int8 on the s8
+                                      # MXU path (2x bf16 rate; ops/quant)
 
 
 @dataclass

@@ -305,6 +305,25 @@ def roofline_microbench(kind: str, dtype: str):
     log(f"bench: microbench sep3 batch={b} t={t}samp iters={iters} "
         f"wall={dt:.2f}s flops/iter={flops:.3g} MFU={mfu*100:.2f}% "
         f"rtf={dt/(iters*audio_s):.5f} (saturated, dispatch amortized)")
+
+    # int8 serving mode (--quant int8, ops/quant): same weights, pointwise
+    # convs + encoder/decoder ride the s8 MXU (2x the bf16 peak on v5e)
+    import dataclasses as _dc
+
+    qmodel = ConvTasNet(_dc.replace(cfg, quant="int8"))
+    qcompiled = jax.jit(lambda p, m, k: qmodel.apply(p, m, k)).lower(
+        params, mix, mask).compile()
+    sync(qcompiled(params, mix, mask))  # warm
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = qcompiled(params, mix, mask)
+    sync(out)
+    dtq = time.perf_counter() - t0
+    mfu_q = flops * iters / (dtq * 2 * peak)  # vs the s8 peak
+    log(f"bench: microbench sep3 INT8 batch={b} iters={iters} "
+        f"wall={dtq:.2f}s MFU={mfu_q*100:.2f}% (of 2x-bf16 s8 peak) "
+        f"rtf={dtq/(iters*audio_s):.5f} speedup_vs_{dtype}={dt/dtq:.2f}x")
     return mfu
 
 

@@ -183,6 +183,18 @@ def test_granular_paths_match_fused(fixture_dir, file_mode_result):
     assert m["rtf_total"] > 0
 
 
+def test_int8_quant_pipeline_runs(fixture_dir):
+    """--quant int8: the separators run on the s8 MXU path end to end;
+    records keep the schema and the all-overlap threshold forces the
+    quantized separation program to actually execute."""
+    cfg = _base_cfg(fixture_dir, quant="int8", osd_thr=0.0)
+    res = Overlap3Pipeline(cfg).run()
+    assert res.segments and all(r["kind"] == "overlap" for r in res.segments)
+    assert all(np.isfinite(rec["sv_score"]) for rec in res.segments
+               if rec["sv_score"] is not None)
+    assert res.metrics["rtf_total"] > 0
+
+
 def test_granular_books_time_sep(fixture_dir):
     """With osd_thr=0 every segment is overlap regardless of the random
     OSD weights, so the granular separation path must run and book a
