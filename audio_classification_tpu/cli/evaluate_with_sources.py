@@ -85,6 +85,9 @@ def parse_args(argv=None):
                    help="Dataset speaker count (2 -> Libri2Mix, 3 -> Libri3Mix)")
     p.add_argument("--dataset-sample-rate", type=int, default=8000, choices=[8000, 16000])
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8: separators run dynamic-int8 on the s8 MXU "
+                        "path (2x the bf16 MXU rate on v5e)")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-batch", type=int, default=8)

@@ -61,6 +61,9 @@ def parse_args(argv=None):
     # dataset location (the reference pulls Libri2Mix_8k from ModelScope; here local)
     p.add_argument("--librimix-root", required=True, help="Parent dir of Libri2Mix (wav8k)")
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8: separators run dynamic-int8 on the s8 MXU "
+                        "path (2x the bf16 MXU rate on v5e)")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-batch", type=int, default=8)

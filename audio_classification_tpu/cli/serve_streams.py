@@ -55,6 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--sv-threshold", type=float, default=0.6)
     p.add_argument("--min-overlap-dur", type=float, default=0.4)
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8: separators run dynamic-int8 on the s8 MXU "
+                        "path (2x the bf16 MXU rate on v5e)")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-batch", type=int, default=16)
