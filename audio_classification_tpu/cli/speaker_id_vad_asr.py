@@ -55,6 +55,8 @@ def get_args(argv=None):
     p.add_argument("--whisper-language", default="")
     p.add_argument("--whisper-task", default="transcribe", choices=["transcribe", "translate"])
     p.add_argument("--decoding-method", default="greedy_search")
+    p.add_argument("--num-active-paths", type=int, default=4,
+                   help="beam width for modified_beam_search (transducer)")
     p.add_argument("--feature-dim", type=int, default=80)
     p.add_argument("--language", default="auto")
     p.add_argument("--threshold", type=float, default=0.5)

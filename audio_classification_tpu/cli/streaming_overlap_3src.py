@@ -52,6 +52,8 @@ def parse_args(argv=None):
     p.add_argument("--tokens", default="")
     p.add_argument("--cmvn", default="", help="kaldi am.mvn CMVN stats for the ASR frontend")
     p.add_argument("--decoding-method", default="greedy_search")
+    p.add_argument("--num-active-paths", type=int, default=4,
+                   help="beam width for modified_beam_search (transducer)")
     p.add_argument("--feature-dim", type=int, default=80)
     p.add_argument("--language", default="auto")
     p.add_argument("--num-threads", type=int, default=1)

@@ -91,10 +91,23 @@ class ModelPack:
     """
 
     def __init__(self, preset: EnginePreset, seed: int = 0, tokens: Optional[TokenTable] = None,
-                 asr_family: str = "sensevoice", cmvn: Optional[Tuple] = None):
+                 asr_family: str = "sensevoice", cmvn: Optional[Tuple] = None,
+                 decoding_method: str = "greedy_search", num_active_paths: int = 4):
         self.preset = preset
         self.tokens = tokens or TokenTable.char_table("abcdefghijklmnopqrstuvwxyz '")
         self.asr_family = asr_family
+        # reference: src/model.py:47-99 passes decoding_method through to
+        # sherpa-onnx, whose beam decoder (num_active_paths hyps) exists for
+        # the transducer family only — same constraint here
+        if decoding_method not in ("greedy_search", "modified_beam_search"):
+            raise ValueError(f"decoding_method must be greedy_search|"
+                             f"modified_beam_search, got {decoding_method!r}")
+        if decoding_method == "modified_beam_search" and asr_family != "transducer":
+            raise ValueError("modified_beam_search is only supported for the "
+                             "transducer family (as in sherpa-onnx); "
+                             f"asr_family={asr_family!r}")
+        self.decoding_method = decoding_method
+        self.num_active_paths = int(num_active_paths)
         self.onnx_stages: Dict[str, Any] = {}  # stage -> OnnxStage override
         self.osd_pyannet = None                # PyanNet override (exact-parity OSD)
         self.osd_binarize = None               # pyannote Binarize hysteresis
@@ -424,8 +437,16 @@ class StageEngine:
             def _asr_core(params, wav, lengths, language_id=0, use_itn=True):
                 feats, mask = transducer_frontend(wav, lengths, p.transducer_cfg)
                 if asr_exec is not None:
-                    # exact reference graphs, greedy scan on device
+                    # exact reference graphs; greedy or beam scan on device
+                    if pack.decoding_method == "modified_beam_search":
+                        return asr_exec.decode(params, feats, mask,
+                                               beam=pack.num_active_paths)
                     return asr_exec.decode(params, feats, mask)
+                if pack.decoding_method == "modified_beam_search":
+                    return p.asr_model.apply(
+                        params, feats.astype(cdt), mask,
+                        pack.num_active_paths,
+                        method=Transducer.beam_decode)
                 return p.asr_model.apply(params, feats.astype(cdt), mask, method=Transducer.greedy_decode)
 
         elif pack.asr_family == "paraformer":

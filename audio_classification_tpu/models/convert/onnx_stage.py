@@ -229,9 +229,17 @@ class OnnxTransducerStage:
             d = d[:, 0]
         return d
 
-    def decode(self, params, feats, mask):
+    def decode(self, params, feats, mask, beam: int = 0):
         """[B, T, mel] feats + frame mask -> (ids [B, T'], lengths [B]),
-        the same contract as Transducer.greedy_decode."""
+        the same contract as Transducer.greedy_decode.
+
+        ``beam > 1`` runs modified beam search over the export's own
+        decoder/joiner graphs (reference: src/model.py:47-99 routes
+        ``decoding_method="modified_beam_search"`` + ``num_active_paths``
+        to sherpa-onnx's beam decoder): the beam axis folds into the
+        graphs' batch dim ([B*K] calls), one top-k over beam*vocab
+        candidates per frame, backtracked by a reverse scan — the same
+        search as models/asr/transducer.Transducer.beam_decode."""
         import jax
         import jax.numpy as jnp
 
@@ -251,6 +259,9 @@ class OnnxTransducerStage:
             t_in = max(feats.shape[1], 1)
             out_len = jnp.minimum((in_len * t + t_in - 1) // t_in, t)
         omask = jnp.arange(t)[None, :] < out_len[:, None]
+
+        if beam and beam > 1:
+            return self._beam_search(params, enc, omask, int(beam))
 
         def step(carry, inputs):
             ctx, count = carry
@@ -280,6 +291,68 @@ class OnnxTransducerStage:
         scatter = jnp.where(emit, pos, t)
         packed = jnp.full((b, t + 1), self.blank_id, jnp.int32)
         packed = packed.at[jnp.arange(b)[:, None], scatter].set(syms)[:, :t]
+        return packed, counts
+
+    def _beam_search(self, params, enc, omask, k: int):
+        """Modified beam search over the export graphs (see ``decode``)."""
+        import jax
+        import jax.numpy as jnp
+
+        b, t, d = enc.shape
+        beam_iota = jnp.arange(k, dtype=jnp.int32)[None, :]
+
+        def step(carry, inputs):
+            ctx, scores = carry        # [B, K, context], [B, K]
+            e_t, m_t = inputs          # [B, D], [B]
+            pred = self._predict(params, ctx.reshape(b * k, self.context))
+            e_bk = jnp.broadcast_to(e_t[:, None, :], (b, k, d)).reshape(b * k, d)
+            logits = self.join.raw_fn(
+                params["joiner"],
+                {self.join_enc: e_bk, self.join_dec: pred},
+            )[self.join_out]                                  # [B*K, V]
+            vocab = logits.shape[-1]
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            cand = scores[:, :, None] + logp.reshape(b, k, vocab)
+            top_scores, top_idx = jax.lax.top_k(cand.reshape(b, k * vocab), k)
+            parent = (top_idx // vocab).astype(jnp.int32)
+            sym = (top_idx % vocab).astype(jnp.int32)
+            emit = sym != self.blank_id
+            parent_ctx = jnp.take_along_axis(ctx, parent[:, :, None], axis=1)
+            new_ctx = jnp.where(
+                emit[:, :, None],
+                jnp.concatenate([parent_ctx[:, :, 1:], sym[:, :, None]], axis=2),
+                parent_ctx,
+            )
+            live = m_t[:, None]
+            new_ctx = jnp.where(live[:, :, None], new_ctx, ctx)
+            new_scores = jnp.where(live, top_scores, scores)
+            parent = jnp.where(live, parent, beam_iota)
+            out_sym = jnp.where(live & emit, sym, self.blank_id)
+            return (new_ctx, new_scores), (parent, out_sym)
+
+        ctx0 = jnp.full((b, k, self.context), self.blank_id, jnp.int32)
+        scores0 = jnp.where(beam_iota == 0, 0.0, -1e30) * jnp.ones((b, 1))
+        (_, final_scores), (parents, syms) = jax.lax.scan(
+            step, (ctx0, scores0.astype(jnp.float32)),
+            (enc.transpose(1, 0, 2), omask.T),
+        )
+
+        best = jnp.argmax(final_scores, axis=-1).astype(jnp.int32)
+
+        def back(cur, inputs):
+            par_t, sym_t = inputs
+            s = jnp.take_along_axis(sym_t, cur[:, None], axis=1)[:, 0]
+            nxt = jnp.take_along_axis(par_t, cur[:, None], axis=1)[:, 0]
+            return nxt, s
+
+        _, best_syms = jax.lax.scan(back, best, (parents, syms), reverse=True)
+        syms_bt = best_syms.T
+        emit = syms_bt != self.blank_id
+        counts = jnp.sum(emit.astype(jnp.int32), axis=1)
+        pos = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
+        scatter = jnp.where(emit, pos, t)
+        packed = jnp.full((b, t + 1), self.blank_id, jnp.int32)
+        packed = packed.at[jnp.arange(b)[:, None], scatter].set(syms_bt)[:, :t]
         return packed, counts
 
     def describe(self) -> str:

@@ -103,7 +103,10 @@ def build_engine(cfg) -> StageEngine:
 
         cmvn = load_kaldi_cmvn(cmvn_path)
     pack = ModelPack(preset, seed=max(int(seed), 0), tokens=tokens,
-                     asr_family=family, cmvn=cmvn)
+                     asr_family=family, cmvn=cmvn,
+                     decoding_method=getattr(cfg, "decoding_method",
+                                             "greedy_search"),
+                     num_active_paths=getattr(cfg, "num_active_paths", 4))
     # ONNX weight imports: the reference's model flags point at ONNX files
     # (src/model.py:79-124). Mode (cfg.onnx_exec):
     #   "map"    — graph-aware weight mapping onto this framework's modules,

@@ -59,7 +59,10 @@ class Overlap3Config:
     whisper_task: str = "transcribe"
     tokens: str = ""
     cmvn: str = ""                     # kaldi am.mvn stats for the ASR frontend
-    decoding_method: str = "greedy_search"
+    decoding_method: str = "greedy_search"  # greedy_search | modified_beam_search
+                                            # (beam: transducer family only,
+                                            # as in sherpa-onnx)
+    num_active_paths: int = 4               # beam width for modified_beam_search
     feature_dim: int = 80
     language: str = "auto"
     num_threads: int = 1
@@ -120,7 +123,10 @@ class SidBenchmarkConfig:
     joiner: str = ""
     tokens: str = ""
     cmvn: str = ""
-    decoding_method: str = "greedy_search"
+    decoding_method: str = "greedy_search"  # greedy_search | modified_beam_search
+                                            # (beam: transducer family only,
+                                            # as in sherpa-onnx)
+    num_active_paths: int = 4               # beam width for modified_beam_search
     feature_dim: int = 80
     language: str = "auto"
     debug: bool = False

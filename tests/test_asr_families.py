@@ -80,6 +80,70 @@ def test_paraformer_forward_and_greedy():
     assert (np.asarray(lens) <= TINY_P.max_tokens).all()
 
 
+def test_transducer_beam1_equals_greedy():
+    """beam=1 modified beam search is exactly the greedy argmax recursion."""
+    wav = jnp.asarray(np.random.default_rng(1).standard_normal((3, 8000)).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([8000, 5000, 2500])
+    feats, mask = transducer_frontend(wav, lengths, TINY_T)
+    model = Transducer(TINY_T)
+    params = model.init(jax.random.PRNGKey(0), feats, mask, method=Transducer.greedy_decode)
+    g_ids, g_n = model.apply(params, feats, mask, method=Transducer.greedy_decode)
+    b_ids, b_n = model.apply(params, feats, mask, 1, method=Transducer.beam_decode)
+    np.testing.assert_array_equal(np.asarray(g_ids), np.asarray(b_ids))
+    np.testing.assert_array_equal(np.asarray(g_n), np.asarray(b_n))
+
+
+def test_transducer_beam_score_monotone_in_width():
+    """A wider beam can only find a hypothesis with >= accumulated
+    log-probability (no merging, so scores are directly comparable)."""
+    wav = jnp.asarray(np.random.default_rng(2).standard_normal((2, 8000)).astype(np.float32) * 0.3)
+    lengths = jnp.asarray([8000, 6000])
+    feats, mask = transducer_frontend(wav, lengths, TINY_T)
+    model = Transducer(TINY_T)
+    params = model.init(jax.random.PRNGKey(3), feats, mask, method=Transducer.greedy_decode)
+    _, _, s1 = model.apply(params, feats, mask, 1, True, method=Transducer.beam_decode)
+    _, _, s4 = model.apply(params, feats, mask, 4, True, method=Transducer.beam_decode)
+    assert (np.asarray(s4) >= np.asarray(s1) - 1e-4).all()
+
+
+def test_transducer_beam_padded_vs_solo():
+    """Padding frames can't change a sample's beam search result (mask
+    freezes the beam): decoding a short utterance inside a padded batch
+    matches decoding it alone at the same padded length."""
+    rng = np.random.default_rng(4)
+    wav = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([8000, 4000])
+    feats, mask = transducer_frontend(wav, lengths, TINY_T)
+    model = Transducer(TINY_T)
+    params = model.init(jax.random.PRNGKey(0), feats, mask, method=Transducer.greedy_decode)
+    ids_b, n_b = model.apply(params, feats, mask, 3, method=Transducer.beam_decode)
+    f1, m1 = feats[1:2], mask[1:2]
+    ids_s, n_s = model.apply(params, f1, m1, 3, method=Transducer.beam_decode)
+    np.testing.assert_array_equal(np.asarray(ids_b[1]), np.asarray(ids_s[0]))
+    assert int(n_b[1]) == int(n_s[0])
+
+
+def test_engine_beam_decoding_method(tmp_path):
+    """decoding_method="modified_beam_search" routes the transducer stage to
+    beam_decode (reference: src/model.py:47-99 passes the flag to
+    sherpa-onnx); non-transducer families reject it loudly."""
+    from audio_classification_tpu.pipelines.offline_overlap3 import build_engine
+    from audio_classification_tpu.utils.config import Overlap3Config
+
+    cfg = Overlap3Config(preset="tiny", seed=0, encoder="builtin",
+                         decoding_method="modified_beam_search",
+                         num_active_paths=2)
+    engine = build_engine(cfg)
+    assert engine.pack.decoding_method == "modified_beam_search"
+    texts = engine.transcribe([np.zeros(4000, np.float32),
+                               np.ones(4000, np.float32) * 0.1])
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+
+    with pytest.raises(ValueError, match="transducer"):
+        build_engine(Overlap3Config(preset="tiny", seed=0,
+                                    decoding_method="modified_beam_search"))
+
+
 @pytest.mark.parametrize("family,flag", [("transducer", "encoder"), ("paraformer", "paraformer")])
 def test_engine_family_wiring(family, flag, tmp_path):
     import numpy as np

@@ -341,6 +341,62 @@ def test_transducer_triple_direct_through_engine(tmp_path):
     assert list(got_ids[: int(got_n)]) == ids
 
 
+def test_transducer_triple_beam_matches_numpy_beam(tmp_path):
+    """Direct-exec modified beam search (decode(..., beam=K)) against an
+    independent numpy beam search over the same graphs' math (reference:
+    src/model.py:47-99, sherpa's num_active_paths beam decoder)."""
+    rng = np.random.RandomState(12)
+    pack = ModelPack(tiny_preset(), seed=0, asr_family="transducer")
+    cfg = pack.transducer_cfg
+    paths, (we, emb, wd, bd, wj, bj) = _transducer_triple(
+        tmp_path, rng, mel=cfg.num_mel, V=cfg.vocab_size)
+    from audio_classification_tpu.models.convert.onnx_stage import OnnxTransducerStage
+
+    stage = OnnxTransducerStage(*paths)
+
+    import jax.numpy as jnp
+
+    from audio_classification_tpu.models.asr.transducer import transducer_frontend
+
+    wav = (0.4 * rng.randn(8000)).astype(np.float32)
+    feats, mask = transducer_frontend(jnp.asarray(wav)[None],
+                                      jnp.asarray([len(wav)]), cfg)
+    K = 3
+    got_ids, got_n = stage.decode(stage.params, feats, mask, beam=K)
+    got_ids, got_n = np.asarray(got_ids), np.asarray(got_n)
+
+    # independent numpy modified beam search (no merging, <=1 emit/frame)
+    n_valid = int(np.asarray(mask).sum())
+    enc = np.asarray(feats)[0] @ we  # [T, d]
+
+    def pred(ctx):
+        return emb[np.asarray(ctx)].reshape(-1) @ wd.T + bd
+
+    def logsoftmax(x):
+        x = x - x.max()
+        return x - np.log(np.exp(x).sum())
+
+    beams = [([0, 0], 0.0, [])]  # (ctx, score, emitted)
+    for t in range(n_valid):
+        cands = []
+        for ctx, score, out in beams:
+            logit = np.tanh(enc[t] + pred(ctx)) @ wj.T + bj
+            lp = logsoftmax(logit.astype(np.float64))
+            for v in range(len(lp)):
+                cands.append((score + lp[v], v, ctx, out))
+        cands.sort(key=lambda c: -c[0])
+        beams = []
+        for sc, v, ctx, out in cands[:K]:
+            if v == 0:
+                beams.append((ctx, sc, out))
+            else:
+                beams.append(([ctx[1], v], sc, out + [v]))
+    best = max(beams, key=lambda bm: bm[1])[2]
+
+    assert int(got_n[0]) == len(best)
+    assert list(got_ids[0][: len(best)]) == best
+
+
 def test_transducer_direct_rejects_single_graph(tmp_path):
     rng = np.random.RandomState(11)
     path, _, _ = _speaker_graph(tmp_path, rng)
