@@ -39,6 +39,7 @@ class ParaformerConfig:
     num_mel: int = 80
     max_tokens: int = 128       # CIF output capacity per utterance
     cif_threshold: float = 1.0
+    quant: str = "none"         # "int8": encoder projections on the s8 MXU
     fbank: FbankConfig = field(default_factory=FbankConfig)
 
 
@@ -113,6 +114,7 @@ class Paraformer(nn.Module):
             x, blk_mask, orig_t = sp_seq_shard(x, mask, mesh, sp_axis)
         for i in range(c.enc_layers):
             x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel,
+                                 quant=c.quant,
                                  name=f"enc_{i}")(x, blk_mask, mesh, sp_axis)
         if mesh is not None:
             x = sp_seq_unshard(x, mesh, orig_t)

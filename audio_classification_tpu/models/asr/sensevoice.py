@@ -40,6 +40,7 @@ class SenseVoiceConfig:
     lfr_n: int = 6
     num_mel: int = 80
     num_prompt: int = 4              # language, event, emotion, itn slots
+    quant: str = "none"              # "int8": encoder projections on the s8 MXU
     fbank: FbankConfig = field(default_factory=FbankConfig)
 
     def out_frames(self, n_samples: int) -> int:
@@ -108,6 +109,7 @@ class SenseVoiceEncoder(nn.Module):
             x, mask, orig_total = sp_seq_shard(x, mask, mesh, sp_axis)
         for i in range(c.layers):
             x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel,
+                                 quant=c.quant,
                                  name=f"block_{i}")(x, mask, mesh, sp_axis)
         if mesh is not None:
             x = sp_seq_unshard(x, mesh, orig_total)

@@ -40,6 +40,7 @@ class TransducerConfig:
     joiner_dim: int = 256
     num_mel: int = 80
     blank_id: int = 0
+    quant: str = "none"       # "int8": encoder projections on the s8 MXU
     fbank: FbankConfig = field(default_factory=FbankConfig)
 
 
@@ -53,8 +54,26 @@ class TransducerEncoder(nn.Module):
         ``sp_axis``, mask-aware) — same switch as the SenseVoice/Whisper
         encoders."""
         c = self.cfg
-        x = jax.nn.gelu(Conv1d(c.dim, 5, stride=2, name="sub1")(feats))
-        x = jax.nn.gelu(Conv1d(c.dim, 5, stride=2, name="sub2")(x))
+        if frame_mask is not None:
+            # padded fbank frames hold the log-mel floor (nonzero); zero
+            # them so sub1's boundary windows match a solo run's SAME pad
+            feats = feats * frame_mask[..., None].astype(feats.dtype)
+        # kernel-centered explicit padding (torch Conv1d pad=k//2, the
+        # convention real sherpa/torch ONNX exports carry) instead of XLA
+        # "SAME": SAME's pad split depends on input-length parity under
+        # stride 2, which would break cross-bucket padded-vs-solo exactness
+        x = jax.nn.gelu(Conv1d(c.dim, 5, stride=2, padding=((2, 2),),
+                               name="sub1")(feats))
+        if frame_mask is not None:
+            # boundary-frame leak guard (CLAUDE.md padded-vs-solo rule):
+            # gelu(bias) at padded sub1 positions is nonzero and sub2's
+            # stride-2 window at the last valid frame would read it; a
+            # solo run sees zero-padding there instead.
+            l1 = (jnp.sum(frame_mask.astype(jnp.int32), axis=-1) + 1) // 2
+            m1 = jnp.arange(x.shape[1])[None, :] < jnp.maximum(l1, 1)[:, None]
+            x = x * m1[..., None].astype(x.dtype)
+        x = jax.nn.gelu(Conv1d(c.dim, 5, stride=2, padding=((2, 2),),
+                               name="sub2")(x))
         t = x.shape[1]
         if frame_mask is not None:
             lengths = jnp.sum(frame_mask.astype(jnp.int32), axis=-1)
@@ -71,6 +90,7 @@ class TransducerEncoder(nn.Module):
             x, blk_mask, orig_t = sp_seq_shard(x, mask, mesh, sp_axis)
         for i in range(c.layers):
             x = TransformerBlock(c.dim, c.heads, c.ffn_mult, c.conv_kernel,
+                                 quant=c.quant,
                                  name=f"block_{i}")(x, blk_mask, mesh, sp_axis)
         if mesh is not None:
             x = sp_seq_unshard(x, mesh, orig_t)

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..common import Conv1d, MultiHeadSelfAttention, lengths_to_mask, sinusoidal_positions
+from ..common import (Conv1d, DenseQ, MultiHeadSelfAttention, lengths_to_mask,
+                      sinusoidal_positions)
 from ...ops.fbank import FbankConfig, log_mel_fbank
 
 
@@ -37,6 +38,8 @@ class WhisperStyleConfig:
     max_decode_len: int = 96
     bos_id: int = 1
     eos_id: int = 2
+    quant: str = "none"   # "int8": encoder projections on the s8 MXU
+                          # (decoder stays float: per-step AR matmuls)
     fbank: FbankConfig = field(default_factory=FbankConfig)
 
 
@@ -142,13 +145,20 @@ class _EncBlock(nn.Module):
     dim: int
     heads: int
     ffn_mult: int
+    quant: str = "none"  # "int8": attention + FFN projections on the s8 MXU
 
     @nn.compact
     def __call__(self, x, mask, mesh=None, sp_axis: str = "data"):
-        x = x + MultiHeadSelfAttention(self.dim, self.heads, name="attn")(
+        quant = self.quant if mesh is None else "none"
+        x = x + MultiHeadSelfAttention(self.dim, self.heads, quant=quant,
+                                       name="attn")(
             nn.LayerNorm()(x), mask, mesh, sp_axis)
         h = nn.LayerNorm()(x)
-        x = x + nn.Dense(self.dim)(jax.nn.gelu(nn.Dense(self.dim * self.ffn_mult)(h)))
+        # explicit names keep the flax-auto param paths ("Dense_0" = down
+        # proj, "Dense_1" = up proj — construction order) every checkpoint
+        # and ONNX mapping already uses
+        up = DenseQ(self.dim * self.ffn_mult, quant=quant, name="Dense_1")(h, mask)
+        x = x + DenseQ(self.dim, quant=quant, name="Dense_0")(jax.nn.gelu(up), mask)
         if mask is not None:
             x = x * mask[..., None]
         return x
@@ -160,9 +170,13 @@ class WhisperStyle(nn.Module):
     def setup(self):
         c = self.cfg
         self.sub1 = Conv1d(c.dim, 3, name="sub1")
-        self.sub2 = Conv1d(c.dim, 3, stride=2, name="sub2")
+        # kernel-centered explicit padding (torch pad=k//2): XLA "SAME"
+        # under stride 2 splits pads by input-length parity, which would
+        # break cross-bucket padded-vs-solo exactness
+        self.sub2 = Conv1d(c.dim, 3, stride=2, padding=((1, 1),), name="sub2")
         self.enc_blocks = [
-            _EncBlock(c.dim, c.heads, c.ffn_mult, name=f"enc_{i}") for i in range(c.enc_layers)
+            _EncBlock(c.dim, c.heads, c.ffn_mult, quant=c.quant,
+                      name=f"enc_{i}") for i in range(c.enc_layers)
         ]
         self.enc_ln = nn.LayerNorm(name="enc_ln")
         self.tok_embed = nn.Embed(c.vocab_size, c.dim, name="tok_embed")
@@ -177,7 +191,17 @@ class WhisperStyle(nn.Module):
         rotating the ring (same params as the dense path; the SenseVoice
         encoder has the identical switch)."""
         c = self.cfg
+        if frame_mask is not None:
+            # padded fbank frames hold the log-mel floor (nonzero); zero
+            # them so sub1's boundary windows match a solo run's SAME pad
+            feats = feats * frame_mask[..., None].astype(feats.dtype)
         x = jax.nn.gelu(self.sub1(feats))
+        if frame_mask is not None:
+            # boundary-frame leak guard (the repo-wide padded-vs-solo rule,
+            # CLAUDE.md): gelu(bias) at padded positions is nonzero and
+            # sub2's stride-2 window at the last valid frame would read it;
+            # a solo run sees SAME zero-padding there instead.
+            x = x * frame_mask[..., None].astype(x.dtype)
         x = jax.nn.gelu(self.sub2(x))
         t = x.shape[1]
         if frame_mask is not None:

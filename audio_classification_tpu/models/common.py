@@ -128,6 +128,37 @@ class Conv1d(nn.Module):
         return y
 
 
+class DenseQ(nn.Module):
+    """``nn.Dense``-compatible projection with an optional dynamic-int8 path.
+
+    Same param names ("kernel"/"bias"), same initializers and the same
+    dtype-promotion semantics as ``nn.Dense(dtype=None)``, so swapping it
+    in (under an explicit ``name=``) leaves every checkpoint, ONNX weight
+    mapping and seeded init bit-identical. ``quant="int8"`` routes the
+    matmul through ops/quant.int8_matmul (s8 MXU, 2x the bf16 rate on
+    v5e): dynamic per-sample activation scales bounded to ``mask`` (so
+    padded frames can't shift a sample's quantization grid), symmetric
+    per-column weight scales, f32 rescale fused into the program.
+    """
+
+    features: int
+    quant: str = "none"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.quant == "int8":
+            from ..ops.quant import int8_matmul
+
+            out_dtype = jnp.promote_types(x.dtype, kernel.dtype)
+            m = None if mask is None else mask[..., None]
+            return int8_matmul(x, kernel, mask=m, out_dtype=out_dtype) + bias
+        return x @ kernel + bias
+
+
 def sinusoidal_positions(n: int, d: int, offset: int = 0) -> np.ndarray:
     """Standard transformer sin/cos position table [n, d] (host constant)."""
     pos = np.arange(offset, offset + n, dtype=np.float64)[:, None]
@@ -148,12 +179,16 @@ class MultiHeadSelfAttention(nn.Module):
 
     dim: int
     heads: int
+    quant: str = "none"  # "int8": q/k/v/out projections on the s8 MXU
+                         # (dense path only; SP keeps float projections so
+                         # the scale reduction never crosses shards)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  mesh=None, sp_axis: str = "data") -> jnp.ndarray:
         d_head = self.dim // self.heads
-        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
+        quant = self.quant if mesh is None else "none"
+        qkv = DenseQ(3 * self.dim, quant=quant, name="qkv")(x, mask)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         b, t = x.shape[:2]
 
@@ -179,7 +214,7 @@ class MultiHeadSelfAttention(nn.Module):
             if pad:
                 out = out[:, :t]
             out = out.reshape(b, t, self.dim)
-            return nn.Dense(self.dim, name="out")(out)
+            return DenseQ(self.dim, quant="none", name="out")(out)
 
         def heads_split(z):
             return z.reshape(b, z.shape[1], self.heads, d_head).transpose(0, 2, 1, 3)
@@ -193,7 +228,7 @@ class MultiHeadSelfAttention(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], self.dim)
-        return nn.Dense(self.dim, name="out")(out)
+        return DenseQ(self.dim, quant=quant, name="out")(out, mask)
 
 
 class TransformerBlock(nn.Module):
@@ -205,12 +240,15 @@ class TransformerBlock(nn.Module):
     heads: int
     ffn_mult: int = 4
     conv_kernel: int = 0  # 0 disables the conv branch
+    quant: str = "none"   # "int8": attention + FFN projections on the s8
+                          # MXU (dense path only; see MultiHeadSelfAttention)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  mesh=None, sp_axis: str = "data") -> jnp.ndarray:
+        quant = self.quant if mesh is None else "none"
         h = nn.LayerNorm()(x)
-        x = x + MultiHeadSelfAttention(self.dim, self.heads)(h, mask, mesh, sp_axis)
+        x = x + MultiHeadSelfAttention(self.dim, self.heads, quant=quant)(h, mask, mesh, sp_axis)
         if self.conv_kernel > 0:
             h = nn.LayerNorm()(x)
             if mask is not None:
@@ -218,9 +256,11 @@ class TransformerBlock(nn.Module):
             c = Conv1d(self.dim, self.conv_kernel, groups=self.dim, name="dwconv")(h)
             x = x + jax.nn.silu(c)
         h = nn.LayerNorm()(x)
-        h = nn.Dense(self.dim * self.ffn_mult)(h)
+        # explicit names keep the flax-auto "Dense_0"/"Dense_1" param paths
+        # every checkpoint and ONNX mapper already uses
+        h = DenseQ(self.dim * self.ffn_mult, quant=quant, name="Dense_0")(h, mask)
         h = jax.nn.gelu(h)
-        x = x + nn.Dense(self.dim)(h)
+        x = x + DenseQ(self.dim, quant=quant, name="Dense_1")(h, mask)
         if mask is not None:
             x = x * mask[..., None]
         return x

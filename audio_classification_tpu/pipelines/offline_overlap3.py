@@ -73,11 +73,18 @@ def build_engine(cfg) -> StageEngine:
         import dataclasses as _dc
 
         # separators carry the pipeline's FLOPs (SURVEY §6); their pointwise
-        # convs + encoder/decoder switch to the s8 MXU path (ops/quant)
+        # convs + encoder/decoder switch to the s8 MXU path (ops/quant),
+        # and the ASR encoders' attention/FFN projections follow (the
+        # reference's own flagship SenseVoice is an int8 export —
+        # install.sh:52-61 pulls the sherpa int8 model)
         preset = _dc.replace(
             preset,
             sep3=_dc.replace(preset.sep3, quant="int8"),
-            sep2=_dc.replace(preset.sep2, quant="int8"))
+            sep2=_dc.replace(preset.sep2, quant="int8"),
+            asr=_dc.replace(preset.asr, quant="int8"),
+            transducer=_dc.replace(preset.transducer, quant="int8"),
+            paraformer=_dc.replace(preset.paraformer, quant="int8"),
+            whisper=_dc.replace(preset.whisper, quant="int8"))
     seed = getattr(cfg, "seed", -1)
     # family selection mirrors the reference's one-of contract
     # (reference: src/model.py:37-100)

@@ -39,7 +39,7 @@ Prints ONE JSON line:
   {"metric": "pipeline_rtf_total", "value": <rtf>, "unit": "rtf",
    "vs_baseline": <baseline_rtf / rtf>, ...self-qualifying stats}
 
-Env knobs: ACT_BENCH_PASSES (7), ACT_BENCH_MAX_PASSES (16),
+Env knobs: ACT_BENCH_PASSES (7), ACT_BENCH_MAX_PASSES (24),
 ACT_BENCH_TARGET_RTF (0.0045), ACT_BENCH_WAIT_BUDGET_S (900),
 ACT_BENCH_DTYPE (bfloat16), ACT_BENCH_MIXTURES (128), ACT_BENCH_DUR_SEC
 (10), ACT_BENCH_MAX_BATCH (64), ACT_BENCH_QUALITY (1), ACT_BENCH_QUALITY_STEPS
@@ -401,7 +401,7 @@ def main():
     n_mix = int(os.environ.get("ACT_BENCH_MIXTURES", "128"))
     dur = float(os.environ.get("ACT_BENCH_DUR_SEC", "10"))
     passes = max(int(os.environ.get("ACT_BENCH_PASSES", "7")), 1)
-    max_passes = max(int(os.environ.get("ACT_BENCH_MAX_PASSES", "16")), passes)
+    max_passes = max(int(os.environ.get("ACT_BENCH_MAX_PASSES", "24")), passes)
     target_rtf = float(os.environ.get("ACT_BENCH_TARGET_RTF", "0.0045"))
     dtype = os.environ.get("ACT_BENCH_DTYPE", "bfloat16")
     max_batch = int(os.environ.get("ACT_BENCH_MAX_BATCH", "64"))
@@ -477,6 +477,18 @@ def main():
                 log(f"bench: auto-extending (pass {i+1}): min rtf "
                     f"{min(rtfs):.4f} > target {target_rtf} — capture still "
                     f"degraded, budget {wait_budget[0]:.0f}s")
+                # Degradation mode (b) can look CLEAN to the probe while
+                # whole passes run 2-5x slow (r3 capture: probe p95 0.93s
+                # < 1s threshold, every pass >= 0.0159). Back-to-back
+                # auto-extended passes then burn max_passes in minutes and
+                # strand the wait budget — sleep between extended passes so
+                # the extension actually spans the degraded window.
+                step = min(45.0, wait_budget[0])
+                if step > 0:
+                    log(f"bench: pacing auto-extension — sleeping "
+                        f"{step:.0f}s before the next pass")
+                    time.sleep(step)
+                    wait_budget[0] -= step
             clean = wait_clean_window(wait_budget)
             if not clean and rtfs:
                 log("bench: budget exhausted on a degraded tunnel; keeping "

@@ -41,13 +41,23 @@ def _conv2d_same_onnx(x, w, b, stride):
     return out + b
 
 
-def _conv1d_same_onnx(x, w, b, dilation=1, groups=1, stride=1):
-    """x [B,T,C], w ONNX [O,I/g,k] -> [B,T',O] (jax SAME padding)."""
+def _conv1d_same_onnx(x, w, b, dilation=1, groups=1, stride=1, centered=False):
+    """x [B,T,C], w ONNX [O,I/g,k] -> [B,T',O].
+
+    ``centered=False``: jax SAME padding. ``centered=True``: torch-style
+    kernel-centered explicit pads (k//2 both sides for odd k) — what the
+    strided sub-sampling convs use so window alignment is independent of
+    input-length parity (cross-bucket padded-vs-solo exactness)."""
     o, ig, k = w.shape
     bsz, t, c = x.shape
-    ot = -(-t // stride)
-    span = max((ot - 1) * stride + (k - 1) * dilation + 1 - t, 0)
-    xp = np.pad(x, ((0, 0), (span // 2, span - span // 2), (0, 0)))
+    if centered:
+        span_half = ((k - 1) * dilation) // 2
+        xp = np.pad(x, ((0, 0), (span_half, span_half), (0, 0)))
+        ot = (t + 2 * span_half - ((k - 1) * dilation + 1)) // stride + 1
+    else:
+        ot = -(-t // stride)
+        span = max((ot - 1) * stride + (k - 1) * dilation + 1 - t, 0)
+        xp = np.pad(x, ((0, 0), (span // 2, span - span // 2), (0, 0)))
     out = np.zeros((bsz, ot, o), np.float64)
     cpg_in = c // groups
     opg = o // groups
@@ -445,7 +455,7 @@ def _whisper_oracle(spec, cfg, feats, tokens):
     from audio_classification_tpu.models.common import sinusoidal_positions
 
     x = _gelu_tanh(_conv1d_same_onnx(feats.astype(np.float64), *spec["sub1"]))
-    x = _gelu_tanh(_conv1d_same_onnx(x, *spec["sub2"], stride=2))
+    x = _gelu_tanh(_conv1d_same_onnx(x, *spec["sub2"], stride=2, centered=True))
     t = x.shape[1]
     x = x + sinusoidal_positions(t, cfg.dim)[None]
     for blk in spec["enc"]:
@@ -820,8 +830,9 @@ def test_transducer_onnx_import_matches_numpy_oracle(tmp_path):
     got_logits, _ = model.apply(variables, feats, None, tok)
 
     # numpy oracle: encoder -> predictor -> joiner joint logits
-    x = _gelu_tanh(_conv1d_same_onnx(feats.astype(np.float64), *spec["sub1"], stride=2))
-    x = _gelu_tanh(_conv1d_same_onnx(x, *spec["sub2"], stride=2))
+    x = _gelu_tanh(_conv1d_same_onnx(feats.astype(np.float64), *spec["sub1"],
+                                     stride=2, centered=True))
+    x = _gelu_tanh(_conv1d_same_onnx(x, *spec["sub2"], stride=2, centered=True))
     ones = np.ones(x.shape[:2], bool)
     x = x + sinusoidal_positions(x.shape[1], cfg.dim)[None]
     for blk in spec["blocks"]:

@@ -113,6 +113,125 @@ def test_convtasnet_int8_padded_equals_solo():
     assert np.abs(np.asarray(packed[0, :, 2000:])).max() == 0.0
 
 
+def test_denseq_none_matches_nn_dense_exactly():
+    """DenseQ under quant="none" is a drop-in for nn.Dense: identical param
+    tree (names, shapes, seeded values) and bit-identical output — the
+    contract that keeps every checkpoint and ONNX mapping loadable."""
+    from flax import linen as nn
+
+    from audio_classification_tpu.models.common import DenseQ
+
+    x = jnp.asarray(RNG.standard_normal((3, 7, 24)).astype(np.float32))
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(16, name="proj")(x)
+
+    class Got(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return DenseQ(16, quant="none", name="proj")(x)
+
+    p_ref = Ref().init(jax.random.PRNGKey(7), x)
+    p_got = Got().init(jax.random.PRNGKey(7), x)
+    assert jax.tree_util.tree_structure(p_ref) == jax.tree_util.tree_structure(p_got)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(Ref().apply(p_ref, x)),
+                                  np.asarray(Got().apply(p_got, x)))
+
+
+def test_sensevoice_int8_same_params_close_logits():
+    """The quantized encoder consumes the float param tree unchanged and
+    stays close to the float logits (dynamic 127-level grids through a
+    2-layer encoder)."""
+    from audio_classification_tpu.models.asr.sensevoice import (
+        SenseVoiceConfig, SenseVoiceEncoder)
+
+    cfg = SenseVoiceConfig(vocab_size=32, dim=64, heads=2, layers=2,
+                           conv_kernel=3)
+    cfg_q = dataclasses.replace(cfg, quant="int8")
+    feats = jnp.asarray(RNG.standard_normal((2, 12, cfg.lfr_m * cfg.num_mel))
+                        .astype(np.float32) * 0.3)
+    mask = jnp.ones((2, 12), bool)
+    params = SenseVoiceEncoder(cfg).init(jax.random.PRNGKey(0), feats, mask)
+    out_f = np.asarray(SenseVoiceEncoder(cfg).apply(params, feats, mask))
+    out_q = np.asarray(SenseVoiceEncoder(cfg_q).apply(params, feats, mask))
+    assert out_q.shape == out_f.shape
+    rel = np.linalg.norm(out_q - out_f) / np.linalg.norm(out_f)
+    assert rel < 0.05, rel
+
+
+def test_sensevoice_int8_padded_equals_solo():
+    """Masked per-sample scales keep padded-vs-solo exactness through the
+    quantized attention/FFN projections."""
+    from audio_classification_tpu.models.asr.sensevoice import (
+        SenseVoiceConfig, SenseVoiceEncoder)
+
+    cfg = SenseVoiceConfig(vocab_size=32, dim=64, heads=2, layers=2,
+                           conv_kernel=3, quant="int8")
+    d_in = cfg.lfr_m * cfg.num_mel
+    f_short = RNG.standard_normal((1, 8, d_in)).astype(np.float32) * 0.3
+    model = SenseVoiceEncoder(cfg)
+    m_short = jnp.ones((1, 8), bool)  # frame mask excludes the prompt slots
+    params = model.init(jax.random.PRNGKey(1), jnp.asarray(f_short), m_short)
+    solo = np.asarray(model.apply(params, jnp.asarray(f_short), m_short))
+
+    f_pad = np.zeros((1, 14, d_in), np.float32)
+    f_pad[:, :8] = f_short
+    m_pad = jnp.asarray(np.arange(14)[None] < 8)
+    padded = np.asarray(model.apply(params, jnp.asarray(f_pad), m_pad))
+    n_valid = 8 + cfg.num_prompt  # output rows: prompt slots + valid frames
+    np.testing.assert_array_equal(padded[:, :n_valid], solo[:, :n_valid])
+
+
+def test_whisper_encoder_int8_same_params_close_memory():
+    """The whisper-style encoder's int8 path consumes the float param tree
+    unchanged (DenseQ keeps the flax-auto Dense_0/Dense_1 paths) and stays
+    close to the float encoder memory."""
+    from audio_classification_tpu.models.asr.whisper_style import (
+        WhisperStyle, WhisperStyleConfig)
+
+    cfg = WhisperStyleConfig(vocab_size=32, dim=64, heads=2, enc_layers=2,
+                             dec_layers=1, max_decode_len=8)
+    cfg_q = dataclasses.replace(cfg, quant="int8")
+    feats = jnp.asarray(RNG.standard_normal((2, 16, cfg.num_mel))
+                        .astype(np.float32) * 0.3)
+    mask = jnp.ones((2, 16), bool)
+    params = WhisperStyle(cfg).init(jax.random.PRNGKey(0), feats, mask,
+                                    jnp.zeros((2, 4), jnp.int32))
+    mem_f, _ = WhisperStyle(cfg).apply(params, feats, mask, method="encode")
+    mem_q, _ = WhisperStyle(cfg_q).apply(params, feats, mask, method="encode")
+    rel = (np.linalg.norm(np.asarray(mem_q) - np.asarray(mem_f))
+           / np.linalg.norm(np.asarray(mem_f)))
+    assert rel < 0.05, rel
+
+
+def test_whisper_encoder_int8_padded_equals_solo():
+    """Masked per-sample scales keep padded-vs-solo exactness through the
+    quantized whisper encoder (frame mask covers the conv-subsampled axis)."""
+    from audio_classification_tpu.models.asr.whisper_style import (
+        WhisperStyle, WhisperStyleConfig)
+
+    cfg = WhisperStyleConfig(vocab_size=32, dim=64, heads=2, enc_layers=2,
+                             dec_layers=1, max_decode_len=8, quant="int8")
+    f_short = RNG.standard_normal((1, 12, cfg.num_mel)).astype(np.float32) * 0.3
+    model = WhisperStyle(cfg)
+    m_short = jnp.ones((1, 12), bool)
+    params = model.init(jax.random.PRNGKey(1), jnp.asarray(f_short), m_short,
+                        jnp.zeros((1, 4), jnp.int32))
+    solo, _ = model.apply(params, jnp.asarray(f_short), m_short, method="encode")
+    solo = np.asarray(solo)
+
+    f_pad = np.zeros((1, 20, cfg.num_mel), np.float32)
+    f_pad[:, :12] = f_short
+    m_pad = jnp.asarray(np.arange(20)[None] < 12)
+    padded, _ = model.apply(params, jnp.asarray(f_pad), m_pad, method="encode")
+    n_valid = solo.shape[1]  # conv-subsampled valid frames
+    np.testing.assert_array_equal(np.asarray(padded)[:, :n_valid], solo)
+
+
 def test_convtasnet_int8_batch_independence():
     """A 1000x louder batchmate must not change a sample's separation."""
     model = ConvTasNet(TINY_Q)
