@@ -92,12 +92,12 @@ def fbank_power_mel_pallas(
         out_shape=jax.ShapeDtypeStruct((total_pad, bp), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, n_fft), lambda i: (i, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((n_fft, fp), lambda i: (0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((n_fft, fp), lambda i: (0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((fp, bp), lambda i: (0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((tile, n_fft), lambda i: (i, 0), memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((n_fft, fp), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((n_fft, fp), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((fp, bp), lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, bp), lambda i: (i, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, bp), lambda i: (i, 0), memory_space=pl.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
     )(flat.astype(jnp.float32), jnp.asarray(cos_p), jnp.asarray(sin_p), jnp.asarray(mel_p))
 
