@@ -87,6 +87,12 @@ def main(argv=None):
     while any(s["pos"] < len(s["wav"]) for s in sessions):
         for s in sessions:
             if s["pos"] < len(s["wav"]):
+                # File replay must not trip the drop-oldest backpressure
+                # (that bound is for live capture): pace on pending depth so
+                # every window is processed — and the wait also yields the
+                # single host core to the tick thread.
+                while server.pending_depth(s["sid"]) >= server.MAX_PENDING - 1:
+                    time.sleep(0.05)
                 server.add_audio(s["sid"], s["wav"][s["pos"]: s["pos"] + window])
                 s["pos"] += window
         if args.realtime:
@@ -100,7 +106,8 @@ def main(argv=None):
                       f" sv={rec['sv_score']:.2f}: {rec['text']}")
     for s in sessions:
         server.flush(s["sid"])
-    server.drain()
+    if not server.drain(timeout=600.0):
+        print("WARNING: drain timed out — output records are incomplete")
     for s in sessions:
         s["records"].extend(server.get_results(s["sid"]))
     wall = time.time() - t0

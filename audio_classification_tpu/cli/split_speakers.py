@@ -38,12 +38,13 @@ class Split:
     test: List[str]
     speakers: List[str]
 
-    def speakers_in(self, lines: List[str]) -> set:
-        return {_spk(ln) for ln in lines}
-
 
 def _spk(line: str) -> str:
     return line.split(maxsplit=1)[0]
+
+
+def _speakers_in(lines: List[str]) -> set:
+    return {_spk(ln) for ln in lines}
 
 
 def _group(lines: List[str]) -> Dict[str, List[str]]:
@@ -58,16 +59,15 @@ def _split_by_speaker(lines: List[str], speakers: List[str],
     order = list(speakers)
     rng.shuffle(order)
     cut = int(len(order) * train_ratio)
+    # a degenerate ratio or tiny roster may empty one side: move the cut so
+    # both splits exist whenever two speakers do. Operating on the shuffled
+    # list (not set iteration order) keeps the donated speaker deterministic
+    # under --seed regardless of PYTHONHASHSEED.
+    if cut == 0 and len(order) > 1:
+        cut = 1
+    elif cut == len(order) and len(order) > 1:
+        cut = len(order) - 1
     train_ids, test_ids = set(order[:cut]), set(order[cut:])
-    # a degenerate ratio or tiny roster may empty one side: donate one
-    # speaker across so both splits exist whenever two speakers do
-    for src, dst in ((test_ids, train_ids), (train_ids, test_ids)):
-        if not dst and len(src) > 1:
-            dst.add(src.pop())
-        elif not dst and src:
-            moved = next(iter(src))
-            src.discard(moved)
-            dst.add(moved)
     return Split(
         train=[ln for ln in lines if _spk(ln) in train_ids],
         test=[ln for ln in lines if _spk(ln) in test_ids],
@@ -131,12 +131,11 @@ def main(argv=None) -> None:
     _write_list(args.train_out, train)
     _write_list(args.test_out, test)
 
-    split = Split(train, test, speakers)
     print(f"Mode: {args.mode}")
     label = "train/test" if args.mode == "speaker" else "in-train/in-test"
     print(f"Speakers: total={len(speakers)}, "
-          f"{label.split('/')[0]}={len(split.speakers_in(train))}, "
-          f"{label.split('/')[1]}={len(split.speakers_in(test))}")
+          f"{label.split('/')[0]}={len(_speakers_in(train))}, "
+          f"{label.split('/')[1]}={len(_speakers_in(test))}")
     print(f"Lines: train={len(train)}, test={len(test)}")
     print(f"Wrote: {args.train_out} and {args.test_out}")
 

@@ -173,13 +173,8 @@ class Transducer(nn.Module):
             (ctx0, jnp.zeros((b,), jnp.int32), 0),
             (enc.transpose(1, 0, 2), mask.T),
         )
-        syms = syms.T  # [B, T'] with blanks at non-emitting frames
-        # left-pack emitted symbols
-        emit = syms != c.blank_id
-        pos = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
-        scatter = jnp.where(emit, pos, t)
-        packed = jnp.full((b, t + 1), c.blank_id, jnp.int32)
-        packed = packed.at[jnp.arange(b)[:, None], scatter].set(syms)[:, :t]
+        from .beam import left_pack_symbols
+        packed, _ = left_pack_symbols(syms.T, c.blank_id)
         return packed, counts
 
 
@@ -191,92 +186,34 @@ class Transducer(nn.Module):
         The reference's recognizers accept ``decoding_method=
         "modified_beam_search"`` and route it to sherpa-onnx's beam decoder
         with ``num_active_paths`` hypotheses (reference: src/model.py:47-99
-        passes the flag through to OfflineRecognizer). This is that decoder
-        restated for the MXU: hypotheses live on a static beam axis next to
-        the batch axis, every frame scores all beam*vocab continuations with
-        one batched predictor/joiner call, and a top-k over the flattened
-        candidates (blank continuation included) re-forms the beam — one
-        lax.scan over frames, then a reverse scan over recorded
-        (parent, symbol) pairs backtracks the best hypothesis. No
-        hypothesis merging: sherpa sums probabilities of beams that reach
-        identical token prefixes; keeping slots distinct is cheaper on
-        device and can only under-report a hypothesis's true mass (scores
-        stay admissible lower bounds). ``beam=1`` reduces exactly to
-        ``greedy_decode``'s argmax recursion.
+        passes the flag through to OfflineRecognizer). The search itself —
+        static beam axis, one batched top-k over beam*vocab per frame,
+        reverse-scan backtrack — lives in models/asr/beam
+        .modified_beam_search, shared with the imported-graph decoder; this
+        method only supplies the flax predictor/joiner scoring callback.
+        ``beam=1`` reduces exactly to ``greedy_decode``'s argmax recursion.
 
         Returns ``(ids [B, T'], counts [B])`` like greedy_decode (ids
         left-packed, blank-padded); with ``return_score`` also the best
         hypothesis's accumulated log-probability [B].
         """
+        from .beam import modified_beam_search
+
         c = self.cfg
         enc, mask = self.encoder(feats, frame_mask)
-        b, t, _ = enc.shape
-        k = int(beam)
-        vocab = c.vocab_size
+        b = enc.shape[0]
 
         # materialize predictor/joiner params outside the scan (flax: param
         # creation inside lax.scan during init leaks tracers)
         ctx_warm = jnp.full((b, c.context), c.blank_id, jnp.int32)
         _ = self.joiner(enc[:, 0], self.predictor(ctx_warm))
 
-        neg_inf = jnp.float32(-1e30)
-        beam_iota = jnp.arange(k, dtype=jnp.int32)[None, :]  # [1, K]
+        def score(e_t, ctx):  # [B, D], [B, K, context] -> [B, K, V]
+            return self.joiner(e_t[:, None, :], self.predictor(ctx))
 
-        def step(carry, inputs):
-            ctx, scores = carry        # [B, K, context], [B, K]
-            e_t, m_t = inputs          # [B, D], [B]
-            pred = self.predictor(ctx)                       # [B, K, P]
-            logits = self.joiner(e_t[:, None, :], pred)      # [B, K, V]
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            cand = scores[:, :, None] + logp                 # [B, K, V]
-            top_scores, top_idx = jax.lax.top_k(
-                cand.reshape(b, k * vocab), k)               # [B, K]
-            parent = (top_idx // vocab).astype(jnp.int32)
-            sym = (top_idx % vocab).astype(jnp.int32)
-            emit = sym != c.blank_id
-            parent_ctx = jnp.take_along_axis(ctx, parent[:, :, None], axis=1)
-            new_ctx = jnp.where(
-                emit[:, :, None],
-                jnp.concatenate([parent_ctx[:, :, 1:], sym[:, :, None]], axis=2),
-                parent_ctx,
-            )
-            # padded frame: freeze the beam (identity parents, no emission)
-            live = m_t[:, None]                              # [B, 1]
-            new_ctx = jnp.where(live[:, :, None], new_ctx, ctx)
-            new_scores = jnp.where(live, top_scores, scores)
-            parent = jnp.where(live, parent, beam_iota)
-            out_sym = jnp.where(live & emit, sym, c.blank_id)
-            return (new_ctx, new_scores), (parent, out_sym)
-
-        ctx0 = jnp.full((b, k, c.context), c.blank_id, jnp.int32)
-        # only slot 0 starts alive, else top_k would fill the beam with k
-        # copies of the same empty hypothesis
-        scores0 = jnp.where(beam_iota == 0, 0.0, neg_inf) * jnp.ones((b, 1))
-        (_, final_scores), (parents, syms) = jax.lax.scan(
-            step, (ctx0, scores0.astype(jnp.float32)),
-            (enc.transpose(1, 0, 2), mask.T),
-        )  # parents/syms: [T, B, K]
-
-        best = jnp.argmax(final_scores, axis=-1).astype(jnp.int32)  # [B]
-
-        def back(cur, inputs):
-            par_t, sym_t = inputs  # [B, K]
-            s = jnp.take_along_axis(sym_t, cur[:, None], axis=1)[:, 0]
-            nxt = jnp.take_along_axis(par_t, cur[:, None], axis=1)[:, 0]
-            return nxt, s
-
-        _, best_syms = jax.lax.scan(back, best, (parents, syms), reverse=True)
-        syms_bt = best_syms.T  # [B, T'] emitted symbols, blank where none
-
-        emit = syms_bt != c.blank_id
-        counts = jnp.sum(emit.astype(jnp.int32), axis=1)
-        pos = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
-        scatter = jnp.where(emit, pos, t)
-        packed = jnp.full((b, t + 1), c.blank_id, jnp.int32)
-        packed = packed.at[jnp.arange(b)[:, None], scatter].set(syms_bt)[:, :t]
-        if return_score:
-            return packed, counts, jnp.max(final_scores, axis=-1)
-        return packed, counts
+        return modified_beam_search(
+            enc, mask, score, blank_id=c.blank_id, context=c.context,
+            beam=beam, return_score=return_score)
 
 
 def transducer_frontend(wav: jnp.ndarray, wav_lengths: jnp.ndarray, cfg: TransducerConfig):

@@ -850,19 +850,10 @@ def _qlinear_matmul(ctx, node, ins):
     a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp = ins[:8]
     acc = _int_matmul_core(ctx, a, b, a_zp, b_zp)
     xp = ctx.xp(ins)
-
-    def fv(x):  # scale operand -> float32 (const or traced)
-        return (_np(x) if _is_const(x) else x).astype(np.float32)
-
-    scale = fv(a_s) * fv(b_s) / fv(y_s)
+    scale = _fval(a_s) * _fval(b_s) / _fval(y_s)
     if getattr(scale, "ndim", 0) == 1 and scale.shape[0] > 1:
         scale = scale.reshape(-1)  # per-column b scale broadcasts over N
-    y_dt = _dtype_of(y_zp) if y_zp is not None else np.uint8
-    info = np.iinfo(y_dt)
-    q = xp.round(acc.astype(np.float32) * scale)
-    if y_zp is not None:
-        q = q + (_np(y_zp) if _is_const(y_zp) else y_zp).astype(np.float32)
-    return [xp.clip(q, info.min, info.max).astype(y_dt)]
+    return [_requant_scaled(xp, acc, scale, y_zp)]
 
 
 def _fval(x):
@@ -880,9 +871,16 @@ def _deq_f32(x, scale, zp):
 
 def _requant(xp, y_f32, y_scale, y_zp):
     """round/shift/saturate float32 back onto y's integer grid."""
+    return _requant_scaled(xp, y_f32, 1.0 / _fval(y_scale), y_zp)
+
+
+def _requant_scaled(xp, acc, scale, y_zp):
+    """saturate(round(acc * scale) + y_zp) — the single rescale step shared
+    by every QLinear output (matmul/conv pass sa*sb/sy pre-combined,
+    possibly per-channel-shaped; eltwise passes 1/sy)."""
     y_dt = _dtype_of(y_zp) if y_zp is not None else np.uint8
     info = np.iinfo(y_dt)
-    q = xp.round(y_f32 / _fval(y_scale))
+    q = xp.round(acc.astype(np.float32) * scale)
     if y_zp is not None:
         q = q + _fval(y_zp)
     return xp.clip(q, info.min, info.max).astype(y_dt)
@@ -1134,19 +1132,10 @@ def _qlinear_conv(ctx, node, ins):
     if bias is not None:
         b32 = (_np(bias) if _is_const(bias) else bias).astype(np.int32)
         acc = acc + jnp.reshape(b32, (1, -1) + (1,) * nsp)
-
-    def fv(t):
-        return (_np(t) if _is_const(t) else t).astype(np.float32)
-
-    scale = fv(x_s) * fv(w_s) / fv(y_s)
+    scale = _fval(x_s) * _fval(w_s) / _fval(y_s)
     if getattr(scale, "ndim", 0) == 1 and scale.shape[0] > 1:
         scale = scale.reshape((1, -1) + (1,) * nsp)  # per-channel w scale
-    y_dt = _dtype_of(y_zp) if y_zp is not None else np.uint8
-    info = np.iinfo(y_dt)
-    q = jnp.round(acc.astype(np.float32) * scale)
-    if y_zp is not None:
-        q = q + fv(y_zp)
-    return [jnp.clip(q, info.min, info.max).astype(y_dt)]
+    return [_requant_scaled(jnp, acc, scale, y_zp)]
 
 
 @_op("ConvTranspose")

@@ -285,75 +285,34 @@ class OnnxTransducerStage:
             step, (ctx0, jnp.zeros((b,), jnp.int32)),
             (enc.transpose(1, 0, 2), omask.T),
         )
-        syms = syms.T  # [B, T']
-        emit = syms != self.blank_id
-        pos = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
-        scatter = jnp.where(emit, pos, t)
-        packed = jnp.full((b, t + 1), self.blank_id, jnp.int32)
-        packed = packed.at[jnp.arange(b)[:, None], scatter].set(syms)[:, :t]
+        from ..asr.beam import left_pack_symbols
+        packed, _ = left_pack_symbols(syms.T, self.blank_id)
         return packed, counts
 
     def _beam_search(self, params, enc, omask, k: int):
-        """Modified beam search over the export graphs (see ``decode``)."""
-        import jax
+        """Modified beam search over the export graphs (see ``decode``):
+        the search core is models/asr/beam.modified_beam_search, shared with
+        the native flax transducer; this method supplies the scoring
+        callback that folds the beam axis into the graphs' batch dim
+        ([B*K] raw_fn calls)."""
         import jax.numpy as jnp
 
-        b, t, d = enc.shape
-        beam_iota = jnp.arange(k, dtype=jnp.int32)[None, :]
+        from ..asr.beam import modified_beam_search
 
-        def step(carry, inputs):
-            ctx, scores = carry        # [B, K, context], [B, K]
-            e_t, m_t = inputs          # [B, D], [B]
+        b, _, d = enc.shape
+
+        def score(e_t, ctx):  # [B, D], [B, K, context] -> [B, K, V]
             pred = self._predict(params, ctx.reshape(b * k, self.context))
             e_bk = jnp.broadcast_to(e_t[:, None, :], (b, k, d)).reshape(b * k, d)
             logits = self.join.raw_fn(
                 params["joiner"],
                 {self.join_enc: e_bk, self.join_dec: pred},
             )[self.join_out]                                  # [B*K, V]
-            vocab = logits.shape[-1]
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            cand = scores[:, :, None] + logp.reshape(b, k, vocab)
-            top_scores, top_idx = jax.lax.top_k(cand.reshape(b, k * vocab), k)
-            parent = (top_idx // vocab).astype(jnp.int32)
-            sym = (top_idx % vocab).astype(jnp.int32)
-            emit = sym != self.blank_id
-            parent_ctx = jnp.take_along_axis(ctx, parent[:, :, None], axis=1)
-            new_ctx = jnp.where(
-                emit[:, :, None],
-                jnp.concatenate([parent_ctx[:, :, 1:], sym[:, :, None]], axis=2),
-                parent_ctx,
-            )
-            live = m_t[:, None]
-            new_ctx = jnp.where(live[:, :, None], new_ctx, ctx)
-            new_scores = jnp.where(live, top_scores, scores)
-            parent = jnp.where(live, parent, beam_iota)
-            out_sym = jnp.where(live & emit, sym, self.blank_id)
-            return (new_ctx, new_scores), (parent, out_sym)
+            return logits.reshape(b, k, logits.shape[-1])
 
-        ctx0 = jnp.full((b, k, self.context), self.blank_id, jnp.int32)
-        scores0 = jnp.where(beam_iota == 0, 0.0, -1e30) * jnp.ones((b, 1))
-        (_, final_scores), (parents, syms) = jax.lax.scan(
-            step, (ctx0, scores0.astype(jnp.float32)),
-            (enc.transpose(1, 0, 2), omask.T),
-        )
-
-        best = jnp.argmax(final_scores, axis=-1).astype(jnp.int32)
-
-        def back(cur, inputs):
-            par_t, sym_t = inputs
-            s = jnp.take_along_axis(sym_t, cur[:, None], axis=1)[:, 0]
-            nxt = jnp.take_along_axis(par_t, cur[:, None], axis=1)[:, 0]
-            return nxt, s
-
-        _, best_syms = jax.lax.scan(back, best, (parents, syms), reverse=True)
-        syms_bt = best_syms.T
-        emit = syms_bt != self.blank_id
-        counts = jnp.sum(emit.astype(jnp.int32), axis=1)
-        pos = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
-        scatter = jnp.where(emit, pos, t)
-        packed = jnp.full((b, t + 1), self.blank_id, jnp.int32)
-        packed = packed.at[jnp.arange(b)[:, None], scatter].set(syms_bt)[:, :t]
-        return packed, counts
+        return modified_beam_search(
+            enc, omask, score, blank_id=self.blank_id, context=self.context,
+            beam=k)
 
     def describe(self) -> str:
         return (f"OnnxTransducerStage(context={self.context}, "

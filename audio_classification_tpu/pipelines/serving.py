@@ -67,9 +67,15 @@ class StreamingServer:
         self._ids = itertools.count()
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
+        # serializes StageEngine access between the tick thread and callers
+        # that hit the engine directly (open_session enrollment): concurrent
+        # dispatch would race the _AotProgram registry and duplicate 20-40 s
+        # compiles on a 1-core host
+        self._eng_lock = threading.Lock()
         self._stopped = False
         self.tick_latencies: List[float] = []
         self.tick_batch_sizes: List[int] = []
+        self.chunks_dropped = 0
         self._worker = None
         if autostart:
             self._worker = threading.Thread(target=self._tick_loop, daemon=True,
@@ -91,10 +97,12 @@ class StreamingServer:
                 raise ValueError("open_session needs target_wav or target_vec")
             wav, sr = read_wav(target_wav)
             wav = to_mono(wav)
-            t_np = eng.resample(wav, sr, G_SAMPLE_RATE)
-            target_vec = eng.embed([t_np])[0]
-            if transcribe_target:
-                text = eng.transcribe([t_np], getattr(self.args, "language", "auto"))[0]
+            with self._eng_lock:   # don't race the tick thread's dispatch
+                t_np = eng.resample(wav, sr, G_SAMPLE_RATE)
+                target_vec = eng.embed([t_np])[0]
+                if transcribe_target:
+                    text = eng.transcribe(
+                        [t_np], getattr(self.args, "language", "auto"))[0]
         with self._lock:
             sid = next(self._ids)
             self._sessions[sid] = _Session(sid, np.asarray(target_vec, np.float32), text)
@@ -146,8 +154,17 @@ class StreamingServer:
         item = dict(audio=audio, sr=sr, start=now - len(audio) / sr, end=now)
         if len(s.pending) >= self.MAX_PENDING:   # drop-oldest backpressure
             s.pending.pop(0)
+            self.chunks_dropped += 1
         s.pending.append(item)
         self._wake.notify()
+
+    def pending_depth(self, sid: int) -> int:
+        """Pending (unprocessed) windows for a session — file-replay feeders
+        pace on this instead of tripping drop-oldest backpressure (which is
+        meant for live capture that cannot wait)."""
+        with self._lock:
+            s = self._sessions.get(sid)
+            return len(s.pending) if s is not None and not s.closed else 0
 
     # ------------------------------------------------------------ output
     def get_results(self, sid: int) -> List[Dict[str, Any]]:
@@ -158,15 +175,20 @@ class StreamingServer:
             out, s.results = s.results, []
             return out
 
-    def drain(self, timeout: float = 60.0) -> None:
-        """Block until every pending chunk has been processed."""
+    def drain(self, timeout: float = 60.0) -> bool:
+        """Block until every pending chunk has been processed.
+
+        Returns True when the queue drained; False on timeout (work still
+        pending or a tick still running) so callers can tell a complete
+        result set from a truncated one."""
         t0 = time.time()
         while time.time() - t0 < timeout:
             with self._lock:
                 if not any(s.pending for s in self._sessions.values()):
                     if not self._busy:
-                        return
+                        return True
             time.sleep(0.02)
+        return False
 
     def close(self) -> None:
         with self._lock:
@@ -203,6 +225,7 @@ class StreamingServer:
             "tick_latency_p95_sec": round(float(np.percentile(lat, 95)), 4),
             "chunks_per_tick_mean": round(float(bs.mean()), 2),
             "chunks_per_tick_max": int(bs.max()),
+            "chunks_dropped": self.chunks_dropped,
         }
 
     # ------------------------------------------------------------- ticks
@@ -245,6 +268,10 @@ class StreamingServer:
 
     def _tick(self, work: List[tuple]) -> None:
         """Process one chunk from each active session as ONE batched pass."""
+        with self._eng_lock:
+            self._tick_compute(work)
+
+    def _tick_compute(self, work: List[tuple]) -> None:
         eng, args = self.engine, self.args
         lang = getattr(args, "language", "auto")
         thr = float(getattr(args, "sv_threshold", 0.6))

@@ -196,7 +196,14 @@ def wait_clean_window(budget: list, max_wait_s: float = 240.0) -> bool:
         waited += step
         if waited >= max_wait_s:
             break
-    return _probe_window() < 1.0
+    if budget[0] <= 0:
+        # never probe past the budget: a stalled probe hangs for minutes,
+        # and exhausted-budget callers are called in a loop
+        return False
+    t0 = time.perf_counter()
+    worst = _probe_window()
+    budget[0] -= time.perf_counter() - t0
+    return worst < 1.0
 
 
 def tunnel_health(label: str = ""):
