@@ -45,7 +45,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--osd-hop", type=float, default=0.1)
     # Separation
     p.add_argument("--sep-backend", default="convtasnet")
-    p.add_argument("--sep-checkpoint", default="", help="Optional Conv-TasNet torch checkpoint path")
+    p.add_argument("--sep-checkpoint", default="", help="Conv-TasNet torch checkpoint path, or an orbax dir from cli/train_separator --export")
     p.add_argument("--osd-checkpoint", default="", help="OSD weights: orbax dir (cli/distill_osd) or pyannote segmentation torch checkpoint (.bin/.ckpt/.pt)")
     p.add_argument("--osd-onset", type=float, default=-1.0,
                    help="PyanNet OSD: pyannote Binarize onset (enables hysteresis)")

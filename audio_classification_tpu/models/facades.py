@@ -161,9 +161,19 @@ class Separator:
         if self.engine is None:
             self.engine = default_engine()
         if self.checkpoint:
-            if not os.path.isfile(self.checkpoint):
+            if os.path.isdir(self.checkpoint):
+                # params-only orbax dir from cli/train_separator --export
+                from ..train.checkpoint import load_params
+
+                stage = "sep3" if self.n_src == 3 else "sep2"
+                if self.backend == "mossformer":
+                    stage = "mossformer"
+                self.engine.pack.load_params(
+                    stage,
+                    load_params(self.engine.pack.params[stage], self.checkpoint))
+            elif not os.path.isfile(self.checkpoint):
                 raise FileNotFoundError(f"Separator checkpoint not found: {self.checkpoint}")
-            if self.backend == "mossformer":
+            elif self.backend == "mossformer":
                 # ModelScope torch distribution (reference:
                 # src/mossformer/infer.py:13-23) — best-effort name-mapped
                 # import, loud MossFormerImportError on drift.

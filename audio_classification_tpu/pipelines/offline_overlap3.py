@@ -30,6 +30,7 @@ sequence regardless of wave size.
 """
 from __future__ import annotations
 
+import os
 import random
 import time
 from dataclasses import dataclass
@@ -226,7 +227,22 @@ def build_engine(cfg) -> StageEngine:
 
         load_model_pack(pack, ckpt)
     sep_ckpt = getattr(cfg, "sep_checkpoint", "")
-    if sep_ckpt:
+    if sep_ckpt and os.path.isdir(sep_ckpt):
+        # params-only orbax dir from cli/train_separator --export: load into
+        # whichever separator stage the tree's shapes match (sep3 first)
+        from ..train.checkpoint import load_params
+
+        for stage in ("sep3", "sep2"):
+            try:
+                pack.load_params(stage, load_params(pack.params[stage], sep_ckpt))
+                break
+            except Exception:
+                if stage == "sep2":
+                    raise ValueError(
+                        f"--sep-checkpoint {sep_ckpt}: orbax tree matches "
+                        "neither the sep3 nor the sep2 preset — was it "
+                        "trained with different --enc-dim/--hidden/... flags?")
+    elif sep_ckpt:
         from ..models.convert.torch_import import load_convtasnet_torch
 
         pack.load_params("sep3", load_convtasnet_torch(sep_ckpt, preset.sep3))

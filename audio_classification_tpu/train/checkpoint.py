@@ -40,3 +40,32 @@ def save_params(params: Any, path: str) -> None:
 def load_params(template: Any, path: str) -> Any:
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(Path(path).resolve(), template)
+
+
+def save_train_state(state, ckpt_dir: str) -> None:
+    """Persist a full mid-run trainer state (params + optimizer moments +
+    step) so a killed training run resumes exactly — capability the
+    reference has no counterpart for (it never trains; its only resume
+    story is npz embedding caches, reference: src/model.py:263-339)."""
+    import numpy as np
+
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "step": np.asarray(state.step, np.int64)}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(Path(ckpt_dir).resolve(), tree, force=True)
+
+
+def load_train_state(template_state, ckpt_dir: str):
+    """Restore what save_train_state wrote; ``template_state`` (a freshly
+    initialized TrainState) supplies the pytree structure/shardings."""
+    import numpy as np
+
+    from .trainer import TrainState
+
+    tree = {"params": template_state.params,
+            "opt_state": template_state.opt_state,
+            "step": np.asarray(template_state.step, np.int64)}
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(Path(ckpt_dir).resolve(), tree)
+    return TrainState(restored["params"], restored["opt_state"],
+                      int(restored["step"]))

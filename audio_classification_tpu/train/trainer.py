@@ -87,6 +87,37 @@ class SeparatorTrainer:
         self.state = TrainState(params, opt_state, self.state.step + 1)
         return float(loss)
 
+    def save(self, ckpt_dir: str) -> None:
+        """Write a resumable mid-run checkpoint (params + opt moments + step)."""
+        from .checkpoint import save_train_state
+
+        save_train_state(self.state, ckpt_dir)
+
+    def restore(self, ckpt_dir: str) -> int:
+        """Resume from save(); params AND optimizer moments go back onto
+        their mesh shardings (orbax restores onto one device otherwise,
+        which jit rejects as incompatible with the sharded params).
+        Returns the restored step."""
+        from .checkpoint import load_train_state
+
+        import numpy as np
+
+        st = load_train_state(self.state, ckpt_dir)
+        params = jax.device_put(st.params, self.param_shardings)
+
+        def replace(restored, live):
+            sh = getattr(live, "sharding", None)
+            if isinstance(sh, NamedSharding):   # adam moments mirror params
+                return jax.device_put(restored, sh)
+            # orbax commits scalars (adam count, ...) to one device, which
+            # jit rejects next to mesh-sharded params; hand it back as an
+            # uncommitted host array so jit places it
+            return np.asarray(restored)
+
+        opt_state = jax.tree.map(replace, st.opt_state, self.state.opt_state)
+        self.state = TrainState(params, opt_state, st.step)
+        return st.step
+
 
 class ModuleTrainer:
     """Generic DP-sharded trainer for any flax module + loss.
