@@ -157,11 +157,15 @@ def main(argv=None):
         sample = sampler.batch
         held = sampler.batch(16)
 
+    eval_model = ConvTasNet(cfg)
+    # one jitted program per eval batch shape — eager apply pays a tunnel
+    # round-trip per op (~90 ms each, CLAUDE.md)
+    eval_apply = jax.jit(eval_model.apply)
+
     def eval_sisdri(params, n=16):
         mix, refs = held
-        model = ConvTasNet(cfg)
-        est = np.asarray(model.apply(params, jnp.asarray(mix),
-                                     jnp.ones_like(jnp.asarray(mix))))
+        est = np.asarray(eval_apply(params, jnp.asarray(mix),
+                                    jnp.ones_like(jnp.asarray(mix))))
         vals = []
         for i in range(min(n, mix.shape[0])):
             # pairwise PIT metric over the first two sources covers both

@@ -148,7 +148,21 @@ def build_engine(cfg) -> StageEngine:
         pack.set_onnx_stage(stage, OnnxStage(first, **stage_kw))
 
     sv_path = getattr(cfg, "sense_voice", "")
-    if sv_path.endswith(".onnx") and family == "sensevoice":
+    if sv_path and os.path.isdir(sv_path) and family == "sensevoice":
+        # params-only orbax dir from cli/train_asr --export; dims must match
+        # the preset's asr config and --tokens must be the training vocab
+        from ..train.checkpoint import load_params
+
+        try:
+            pack.load_params("asr", load_params(pack.params["asr"], sv_path))
+        except Exception as e:
+            raise ValueError(
+                f"--sense-voice {sv_path}: orbax tree does not match the "
+                f"'{getattr(cfg, 'preset', 'full')}' preset asr config "
+                "(vocab from --tokens; dims from the preset) — was it "
+                "trained with different --dim/--heads/--layers or another "
+                "token table?") from e
+    elif sv_path.endswith(".onnx") and family == "sensevoice":
         # real SenseVoice exports emit their 4 prompt positions in the CTC
         # logits; drop them before decode unless overridden
         skip = int(getattr(cfg, "onnx_asr_skip_frames", -1))

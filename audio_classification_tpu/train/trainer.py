@@ -53,7 +53,10 @@ class SeparatorTrainer:
         self.model = ConvTasNet(cfg)
         self.tx = make_optimizer(lr)
 
-        params = self.model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 4000)), jnp.ones((1, 4000)))
+        # jitted init: eager dispatch through the device tunnel pays ~90 ms
+        # per op (CLAUDE.md); one compiled program per config instead
+        params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 4000)), jnp.ones((1, 4000)))
         self.param_shardings = apply_param_specs(self.mesh, params, param_rule)
         params = jax.device_put(params, self.param_shardings)
         opt_state = jax.device_put(self.tx.init(params), None)  # optimizer mirrors param placement via init
@@ -153,3 +156,22 @@ class ModuleTrainer:
         params, opt_state, loss = self._step(self.state.params, self.state.opt_state, batch)
         self.state = TrainState(params, opt_state, self.state.step + 1)
         return float(loss)
+
+    def save(self, ckpt_dir: str) -> None:
+        """Write a resumable mid-run checkpoint (params + opt moments + step)."""
+        from .checkpoint import save_train_state
+
+        save_train_state(self.state, ckpt_dir)
+
+    def restore(self, ckpt_dir: str) -> int:
+        """Resume from save(). Params here are replicated (in_shardings
+        None), so restored leaves come back as uncommitted host arrays and
+        jit places them. Returns the restored step."""
+        import numpy as np
+
+        from .checkpoint import load_train_state
+
+        st = load_train_state(self.state, ckpt_dir)
+        as_host = lambda tree: jax.tree.map(np.asarray, tree)
+        self.state = TrainState(as_host(st.params), as_host(st.opt_state), st.step)
+        return st.step
