@@ -1,0 +1,293 @@
+"""ONNX export for in-framework models (pure protobuf wire writing).
+
+The reference consumes its model zoo as ONNX files (SURVEY.md §2.2: sherpa
+exports, 3D-Speaker, asteroid re-exports); this module closes the loop in
+the OTHER direction: a separator trained here (cli/train_separator) can be
+exported to a standard ONNX file that onnxruntime — or this framework's own
+graph executor (onnx_exec, `--onnx-exec direct`) — runs bit-compatibly.
+No `onnx` package in the image, so ModelProto/GraphProto/NodeProto/
+TensorProto/AttributeProto are written directly in protobuf wire format
+(mirror of the reader in onnx_import.py; field numbers match the ONNX
+schema).
+
+Design choices:
+- opset 17 conventions: Pad/Slice/Unsqueeze carry pads/starts/axes as
+  int64 INPUT tensors, ReduceMean keeps `axes` as an attribute.
+- NCW layout throughout (ONNX Conv convention); flax kernels
+  [K, Cin/g, Cout] transpose to ONNX [Cout, Cin/g, K].
+- the time length is baked static (pick `seconds` at export; the batch dim
+  stays symbolic "batch") — matches how the reference's own exports pin
+  feature dims while leaving batch free.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+_NP_TO_ONNX = {
+    np.dtype(np.float32): 1,
+    np.dtype(np.uint8): 2,
+    np.dtype(np.int8): 3,
+    np.dtype(np.int32): 6,
+    np.dtype(np.int64): 7,
+    np.dtype(np.bool_): 9,
+    np.dtype(np.float64): 11,
+}
+
+# attribute type codes (AttributeProto.AttributeType)
+_AT_FLOAT, _AT_INT, _AT_STRING, _AT_TENSOR, _AT_INTS = 1, 2, 3, 4, 7
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _key(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _key(field, 2) + _varint(len(payload)) + payload
+
+
+def _vi(field: int, v: int) -> bytes:
+    return _key(field, 0) + _varint(v)
+
+
+def _tensor(name: str, arr: np.ndarray) -> bytes:
+    """TensorProto: dims=1, data_type=2, name=8, raw_data=9."""
+    arr = np.ascontiguousarray(arr)
+    code = _NP_TO_ONNX[arr.dtype]
+    out = b"".join(_vi(1, int(d)) for d in arr.shape)
+    out += _vi(2, code)
+    out += _ld(8, name.encode())
+    out += _ld(9, arr.astype(arr.dtype.newbyteorder("<")).tobytes())
+    return out
+
+
+def _attr(name: str, val) -> bytes:
+    """AttributeProto: name=1, f=2, i=3, s=4, t=5, ints=8, type=20."""
+    out = _ld(1, name.encode())
+    if isinstance(val, float):
+        out += _key(2, 5) + struct.pack("<f", val) + _vi(20, _AT_FLOAT)
+    elif isinstance(val, (bool, int, np.integer)):
+        out += _vi(3, int(val) & ((1 << 64) - 1)) + _vi(20, _AT_INT)
+    elif isinstance(val, (str, bytes)):
+        b = val.encode() if isinstance(val, str) else val
+        out += _ld(4, b) + _vi(20, _AT_STRING)
+    elif isinstance(val, np.ndarray):
+        out += _ld(5, _tensor("", val)) + _vi(20, _AT_TENSOR)
+    elif isinstance(val, (list, tuple)):
+        packed = b"".join(_varint(int(x) & ((1 << 64) - 1)) for x in val)
+        out += _ld(8, packed) + _vi(20, _AT_INTS)
+    else:
+        raise TypeError(f"unsupported attribute {name}: {type(val)}")
+    return out
+
+
+def _node(op: str, inputs: Sequence[str], outputs: Sequence[str],
+          name: str = "", **attrs) -> bytes:
+    out = b"".join(_ld(1, i.encode()) for i in inputs)
+    out += b"".join(_ld(2, o.encode()) for o in outputs)
+    if name:
+        out += _ld(3, name.encode())
+    out += _ld(4, op.encode())
+    out += b"".join(_ld(5, _attr(k, v)) for k, v in attrs.items())
+    return out
+
+
+def _value_info(name: str, dtype, shape: Sequence) -> bytes:
+    """ValueInfoProto; str entries in `shape` become symbolic dim_param."""
+    code = _NP_TO_ONNX[np.dtype(dtype)]
+    dims = b"".join(
+        _ld(1, _ld(2, d.encode()) if isinstance(d, str) else _vi(1, int(d)))
+        for d in shape)
+    tensor_type = _vi(1, code) + _ld(2, dims)
+    return _ld(1, name.encode()) + _ld(2, _ld(1, tensor_type))
+
+
+class OnnxGraphWriter:
+    """Accumulates nodes/initializers and serializes one ModelProto."""
+
+    def __init__(self, name: str = "audio_classification_tpu"):
+        self.name = name
+        self.nodes: List[bytes] = []
+        self.inits: Dict[str, np.ndarray] = {}
+        self._n = 0
+
+    def fresh(self, stem: str) -> str:
+        self._n += 1
+        return f"{stem}_{self._n}"
+
+    def init(self, stem: str, arr: np.ndarray) -> str:
+        name = self.fresh(stem)
+        self.inits[name] = np.ascontiguousarray(arr)
+        return name
+
+    def add(self, op: str, inputs: Sequence[str], out: Optional[str] = None,
+            n_out: int = 1, **attrs):
+        outs = [out or self.fresh(op.lower())] if n_out == 1 else [
+            self.fresh(op.lower()) for _ in range(n_out)]
+        self.nodes.append(_node(op, inputs, outs, name=self.fresh(op), **attrs))
+        return outs[0] if n_out == 1 else outs
+
+    def serialize(self, inputs: Sequence[tuple], outputs: Sequence[tuple],
+                  opset: int = 17, ir_version: int = 8,
+                  metadata: Optional[Dict[str, str]] = None,
+                  producer: str = "audio_classification_tpu") -> bytes:
+        """inputs/outputs: [(name, np dtype, shape)] triples."""
+        graph = b"".join(_ld(1, n) for n in self.nodes)
+        graph += b"".join(_ld(5, _tensor(k, v)) for k, v in self.inits.items())
+        graph += _ld(2, self.name.encode())
+        graph += b"".join(_ld(11, _value_info(*t)) for t in inputs)
+        graph += b"".join(_ld(12, _value_info(*t)) for t in outputs)
+        opset_b = _ld(1, b"") + _vi(2, opset)
+        out = _vi(1, ir_version) + _ld(2, producer.encode())
+        out += _ld(7, graph) + _ld(8, opset_b)
+        for k, v in (metadata or {}).items():
+            out += _ld(14, _ld(1, k.encode()) + _ld(2, str(v).encode()))
+        return out
+
+
+# ---------------------------------------------------------------- helpers
+
+def _conv_w(kernel: np.ndarray) -> np.ndarray:
+    """flax [K, Cin/g, Cout] -> ONNX Conv weight [Cout, Cin/g, K]."""
+    return np.ascontiguousarray(np.transpose(np.asarray(kernel, np.float32),
+                                             (2, 1, 0)))
+
+
+def _gln(g: OnnxGraphWriter, x: str, scope: dict, eps: float) -> str:
+    """GlobalLayerNorm over (C, T) of an NCW tensor (models/common.py:20-44:
+    statistics over time AND channels jointly — Conv-TasNet's gLN)."""
+    gamma = np.asarray(scope["gamma"], np.float32).reshape(1, -1, 1)
+    beta = np.asarray(scope["beta"], np.float32).reshape(1, -1, 1)
+    mean = g.add("ReduceMean", [x], axes=[1, 2], keepdims=1)
+    d = g.add("Sub", [x, mean])
+    sq = g.add("Mul", [d, d])
+    var = g.add("ReduceMean", [sq], axes=[1, 2], keepdims=1)
+    ve = g.add("Add", [var, g.init("eps", np.float32(eps).reshape(()))])
+    y = g.add("Div", [d, g.add("Sqrt", [ve])])
+    y = g.add("Mul", [y, g.init("gamma", gamma)])
+    return g.add("Add", [y, g.init("beta", beta)])
+
+
+def _prelu(g: OnnxGraphWriter, x: str, scope: dict) -> str:
+    slope = np.asarray(scope["alpha"], np.float32).reshape(1)
+    return g.add("PRelu", [x, g.init("slope", slope)])
+
+
+def _conv(g: OnnxGraphWriter, x: str, scope: dict, *, stride: int = 1,
+          dilation: int = 1, groups: int = 1, pads=(0, 0)) -> str:
+    ins = [x, g.init("w", _conv_w(scope["kernel"]))]
+    if "bias" in scope:
+        ins.append(g.init("b", np.asarray(scope["bias"], np.float32)))
+    return g.add("Conv", ins, strides=[stride], dilations=[dilation],
+                 group=groups, pads=list(pads))
+
+
+# ------------------------------------------------------------- ConvTasNet
+
+def export_convtasnet(params, cfg, path: str, seconds: float = 4.0) -> str:
+    """Serialize ConvTasNet (models/convtasnet.py) to an ONNX file.
+
+    Input  `mix` [batch, T] float32 (T = seconds * cfg.sample_rate, static;
+    batch symbolic), output `est` [batch, n_src, T] — the same contract as
+    ConvTasNet.__call__ without a sample mask (callers feed one bucketed
+    segment per row, the reference's per-segment convention:
+    src/osd/separation.py:88-103).
+    """
+    p = params["params"] if "params" in params else params
+    c = cfg
+    t = int(round(seconds * c.sample_rate))
+    stride = c.stride
+    pad = (-(t - c.enc_kernel)) % stride if t >= c.enc_kernel else c.enc_kernel - t
+    n_frames = (t + pad - c.enc_kernel) // stride + 1
+    t_dec = (n_frames - 1) * stride + c.enc_kernel
+
+    g = OnnxGraphWriter("convtasnet")
+    x = "mix"
+    if pad:
+        pads = g.init("pads", np.asarray([0, 0, 0, pad], np.int64))
+        x = g.add("Pad", [x, pads], mode="constant")
+    x = g.add("Unsqueeze", [x, g.init("axes", np.asarray([1], np.int64))])
+
+    # encoder [B, 1, T'] -> [B, N, F], relu (convtasnet.py:93-95)
+    w = _conv(g, x, p["encoder"], stride=stride)
+    w = g.add("Relu", [w])
+
+    # masker TCN (convtasnet.py:104-121)
+    h = _gln(g, w, p["ln_in"], 1e-8)
+    h = _conv(g, h, p["bottleneck"])
+    skips = None
+    for r in range(c.n_repeats):
+        for xb in range(c.n_blocks):
+            blk = p[f"tcn_{r}_{xb}"]
+            d = 2 ** xb
+            y = _conv(g, h, blk["in_conv"])
+            y = _prelu(g, y, blk["prelu1"])
+            y = _gln(g, y, blk["norm1"], 1e-8)
+            half = d * (c.conv_kernel - 1) // 2
+            y = _conv(g, y, blk["dw_conv"], dilation=d, groups=c.hidden,
+                      pads=(half, d * (c.conv_kernel - 1) - half))
+            y = _prelu(g, y, blk["prelu2"])
+            y = _gln(g, y, blk["norm2"], 1e-8)
+            res = _conv(g, y, blk["res_conv"])
+            skip = _conv(g, y, blk["skip_conv"])
+            h = g.add("Add", [h, res])
+            skips = skip if skips is None else g.add("Add", [skips, skip])
+
+    m = _prelu(g, skips, p["mask_prelu"])
+    m = _conv(g, m, p["mask_conv"])                      # [B, S*N, F]
+    m = g.add("Reshape", [m, g.init(
+        "shape", np.asarray([-1, c.n_src, c.enc_dim, n_frames], np.int64))])
+    act = {"relu": "Relu", "sigmoid": "Sigmoid", "softmax": "Softmax"}[c.mask_act]
+    m = (g.add("Softmax", [m], axis=1) if c.mask_act == "softmax"
+         else g.add(act, [m]))                           # [B, S, N, F]
+
+    wu = g.add("Unsqueeze", [w, g.init("axes", np.asarray([1], np.int64))])
+    masked = g.add("Mul", [wu, m])                       # [B, S, N, F]
+    masked = g.add("Reshape", [masked, g.init(
+        "shape", np.asarray([-1, c.enc_dim, n_frames], np.int64))])
+
+    # decoder == transposed conv / overlap-add (convtasnet.py:130-139);
+    # flax decoder param [K, N] -> ConvTranspose weight [Cin=N, Cout=1, K]
+    dec = np.asarray(p["decoder"], np.float32).T.reshape(c.enc_dim, 1,
+                                                         c.enc_kernel)
+    sig = g.add("ConvTranspose", [masked, g.init("dec", dec)],
+                strides=[stride])                        # [B*S, 1, T'']
+    sq = g.add("Squeeze", [sig, g.init("axes", np.asarray([1], np.int64))])
+    if t_dec > t:
+        sq = g.add("Slice", [
+            sq,
+            g.init("starts", np.asarray([0], np.int64)),
+            g.init("ends", np.asarray([t], np.int64)),
+            g.init("axes", np.asarray([1], np.int64)),
+        ])
+    est = g.add("Reshape", [sq, g.init(
+        "shape", np.asarray([-1, c.n_src, t], np.int64))], out="est")
+
+    blob = g.serialize(
+        inputs=[("mix", np.float32, ["batch", t])],
+        outputs=[("est", np.float32, ["batch", c.n_src, t])],
+        metadata={
+            "model_type": "convtasnet",
+            "n_src": c.n_src, "enc_dim": c.enc_dim,
+            "enc_kernel": c.enc_kernel, "bottleneck": c.bottleneck,
+            "hidden": c.hidden, "n_blocks": c.n_blocks,
+            "n_repeats": c.n_repeats, "sample_rate": c.sample_rate,
+            "mask_act": c.mask_act,
+        })
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path

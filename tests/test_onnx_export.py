@@ -1,0 +1,84 @@
+"""ONNX exporter round-trip: flax forward == exported graph executed by the
+framework's OWN parser + graph executor (and therefore by onnxruntime,
+which implements the same opset semantics).
+
+The oracle chain is deliberately self-contained: onnx_export writes the
+protobuf, onnx_import re-reads it, onnx_exec runs it — three independent
+code paths that must agree with the flax module bit-for-bit up to f32
+accumulation order.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audio_classification_tpu.models.convtasnet import ConvTasNet, ConvTasNetConfig
+from audio_classification_tpu.models.convert.onnx_exec import OnnxModel
+from audio_classification_tpu.models.convert.onnx_export import export_convtasnet
+from audio_classification_tpu.models.convert.onnx_import import (
+    load_onnx_graph, load_onnx_metadata)
+
+
+def _make(cfg, seed=0):
+    import jax
+
+    model = ConvTasNet(cfg)
+    t = 4000
+    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, t)),
+                        jnp.ones((1, t)))
+    return model, params
+
+
+@pytest.mark.parametrize("n_src,mask_act", [(2, "relu"), (3, "sigmoid")])
+def test_convtasnet_roundtrip(tmp_path, n_src, mask_act):
+    cfg = ConvTasNetConfig(n_src=n_src, enc_dim=32, enc_kernel=16,
+                           bottleneck=16, hidden=24, conv_kernel=3,
+                           n_blocks=3, n_repeats=2, mask_act=mask_act,
+                           sample_rate=8000)
+    model, params = _make(cfg)
+    path = str(tmp_path / "sep.onnx")
+    export_convtasnet(params, cfg, path, seconds=0.5)
+
+    t = int(0.5 * cfg.sample_rate)
+    rng = np.random.default_rng(0)
+    mix = rng.standard_normal((3, t)).astype(np.float32) * 0.3
+
+    ref = np.asarray(model.apply(params, jnp.asarray(mix)))
+    m = OnnxModel(path)
+    got = np.asarray(m(mix=jnp.asarray(mix))["est"])
+    assert got.shape == ref.shape == (3, n_src, t)
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert err < 2e-3, f"relative err {err}"
+
+
+def test_export_pads_odd_length(tmp_path):
+    """seconds that do NOT tile the encoder stride exercise the Pad node."""
+    cfg = ConvTasNetConfig(n_src=2, enc_dim=16, enc_kernel=16, bottleneck=8,
+                           hidden=16, conv_kernel=3, n_blocks=2, n_repeats=1,
+                           sample_rate=8000)
+    model, params = _make(cfg)
+    path = str(tmp_path / "sep.onnx")
+    export_convtasnet(params, cfg, path, seconds=0.3013)  # 2410 samples
+    t = int(round(0.3013 * 8000))
+    mix = np.random.default_rng(1).standard_normal((2, t)).astype(np.float32)
+    ref = np.asarray(model.apply(params, jnp.asarray(mix)))
+    got = np.asarray(OnnxModel(path)(mix=jnp.asarray(mix))["est"])
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert err < 2e-3
+
+
+def test_export_metadata_and_signature(tmp_path):
+    cfg = ConvTasNetConfig(n_src=3, enc_dim=16, enc_kernel=16, bottleneck=8,
+                           hidden=16, conv_kernel=3, n_blocks=2, n_repeats=1,
+                           sample_rate=8000)
+    _, params = _make(cfg)
+    path = str(tmp_path / "sep.onnx")
+    export_convtasnet(params, cfg, path, seconds=0.5)
+    meta = load_onnx_metadata(path)
+    assert meta["model_type"] == "convtasnet"
+    assert int(meta["n_src"]) == 3 and int(meta["sample_rate"]) == 8000
+    g = load_onnx_graph(path)
+    assert g.input_names == ["mix"]
+    assert g.output_names == ["est"]
+    (vi,) = [v for v in g.inputs if v.name == "mix"]
+    assert vi.shape == ["batch", 4000]
