@@ -83,6 +83,11 @@ def parse_args(argv=None):
     c.add_argument("--export", default="",
                    help="Write final params-only orbax dir (serves via "
                         "--sense-voice <dir>)")
+    c.add_argument("--export-onnx", default="",
+                   help="Also write a standard ONNX export of the trained "
+                        "encoder (feats+language -> logits, like the "
+                        "reference's sherpa exports; runs on onnxruntime or "
+                        "--onnx-exec direct)")
     return p.parse_args(argv)
 
 
@@ -307,6 +312,15 @@ def main(argv=None):
         save_params(trainer.state.params, args.export)
         print(f"[train_asr] exported serving params -> {args.export} "
               f"(use --sense-voice {args.export}; vocab must match --tokens)")
+    if args.export_onnx:
+        from ..models.convert.onnx_export import export_sensevoice
+
+        host_params = jax.tree.map(np.asarray, trainer.state.params)
+        frames = feats0.shape[1]  # the training bucket's static length
+        export_sensevoice(host_params, cfg, args.export_onnx, frames=frames)
+        print(f"[train_asr] exported ONNX -> {args.export_onnx} "
+              f"(feats [batch,{frames},{cfg.lfr_m * cfg.num_mel}] + "
+              f"language [1] -> logits)")
     return c0, c1
 
 

@@ -196,6 +196,37 @@ def _conv(g: OnnxGraphWriter, x: str, scope: dict, *, stride: int = 1,
                  group=groups, pads=list(pads))
 
 
+def _dense(g: OnnxGraphWriter, x: str, scope: dict) -> str:
+    """nn.Dense / DenseQ on a rank-3 tensor: MatMul [.., Din]x[Din, F] + bias."""
+    y = g.add("MatMul", [x, g.init("w", np.asarray(scope["kernel"], np.float32))])
+    return g.add("Add", [y, g.init("b", np.asarray(scope["bias"], np.float32))])
+
+
+def _layernorm(g: OnnxGraphWriter, x: str, scope: dict, eps: float = 1e-6) -> str:
+    """flax nn.LayerNorm (eps 1e-6) -> opset-17 LayerNormalization."""
+    return g.add("LayerNormalization", [
+        x,
+        g.init("ln_scale", np.asarray(scope["scale"], np.float32)),
+        g.init("ln_bias", np.asarray(scope["bias"], np.float32)),
+    ], axis=-1, epsilon=eps)
+
+
+def _gelu_tanh(g: OnnxGraphWriter, x: str) -> str:
+    """jax.nn.gelu(approximate=True): 0.5*x*(1+tanh(√(2/π)*(x+0.044715x³)))."""
+    c3 = g.init("c3", np.float32(0.044715).reshape(()))
+    cs = g.init("cs", np.float32(np.sqrt(2.0 / np.pi)).reshape(()))
+    half = g.init("half", np.float32(0.5).reshape(()))
+    one = g.init("one", np.float32(1.0).reshape(()))
+    x3 = g.add("Mul", [g.add("Mul", [x, x]), x])
+    inner = g.add("Mul", [g.add("Add", [x, g.add("Mul", [x3, c3])]), cs])
+    t = g.add("Tanh", [inner])
+    return g.add("Mul", [g.add("Mul", [half, x]), g.add("Add", [one, t])])
+
+
+def _silu(g: OnnxGraphWriter, x: str) -> str:
+    return g.add("Mul", [x, g.add("Sigmoid", [x])])
+
+
 # ------------------------------------------------------------- ConvTasNet
 
 def export_convtasnet(params, cfg, path: str, seconds: float = 4.0) -> str:
@@ -287,6 +318,130 @@ def export_convtasnet(params, cfg, path: str, seconds: float = 4.0) -> str:
             "hidden": c.hidden, "n_blocks": c.n_blocks,
             "n_repeats": c.n_repeats, "sample_rate": c.sample_rate,
             "mask_act": c.mask_act,
+        })
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+# ----------------------------------------------------- SenseVoice encoder
+
+def export_sensevoice(params, cfg, path: str, frames: int,
+                      use_itn: bool = True) -> str:
+    """Serialize the SenseVoice-style CTC encoder (models/asr/sensevoice.py)
+    to ONNX — a trained/fine-tuned recognizer (cli/train_asr) becomes a
+    standard export deployable on onnxruntime or this framework's own graph
+    executor.
+
+    The contract mirrors how the reference's real SenseVoice export is
+    shaped (reference: src/model.py:79-87 consumes feats-level sherpa
+    exports whose frontend — fbank+LFR+CMVN — runs host-side): inputs are
+    `feats` [batch, frames, lfr_m*num_mel] float32 (frames static, batch
+    symbolic) and `language` [1] int64 (index into LANGUAGES; the sherpa
+    convention of language as a runtime input), output `logits`
+    [batch, num_prompt+frames, vocab] — consumers skip the first
+    `num_prompt` rows before CTC decode, exactly like the serving engine
+    (engine/runtime.py drops prompt frames before greedy decode).
+
+    `use_itn` is baked at export time (one row of the itn embedding becomes
+    a constant), matching how the trained model is deployed for one text
+    norm mode.
+    """
+    from ..asr.sensevoice import LANGUAGES
+    from ..common import sinusoidal_positions
+
+    p = params["params"] if "params" in params else params
+    c = cfg
+    t, pr = int(frames), int(c.num_prompt)
+
+    g = OnnxGraphWriter("sensevoice")
+    x = _dense(g, "feats", p["in_proj"])                     # [B, T, D]
+
+    # prompt rows: language row gathered at runtime, itn row baked,
+    # padding rows constant (sensevoice.py:75-93)
+    lang_row = g.add("Gather", [
+        g.init("lang_embed", np.asarray(p["lang_embed"], np.float32)),
+        "language"], axis=0)                                 # [1, D]
+    itn_row = g.init("itn_row", np.asarray(
+        p["itn_embed"][1 if use_itn else 0], np.float32)[None])
+    pad_rows = g.init("prompt_pad", np.asarray(p["prompt_pad"], np.float32))
+    prompt = g.add("Concat", [lang_row, itn_row, pad_rows], axis=0)
+    prompt = g.add("Unsqueeze", [prompt, g.init(
+        "axes", np.asarray([0], np.int64))])                 # [1, P, D]
+
+    # tile over the symbolic batch: Expand to [Shape(feats)[0], P, D]
+    shp = g.add("Shape", ["feats"])
+    batch = g.add("Slice", [shp,
+                            g.init("starts", np.asarray([0], np.int64)),
+                            g.init("ends", np.asarray([1], np.int64))])
+    target = g.add("Concat", [batch,
+                              g.init("pd", np.asarray([pr, c.dim], np.int64))],
+                   axis=0)
+    prompt = g.add("Expand", [prompt, target])               # [B, P, D]
+    x = g.add("Concat", [prompt, x], axis=1)                 # [B, P+T, D]
+
+    pos = sinusoidal_positions(t + pr, c.dim)
+    x = g.add("Add", [x, g.init("pos", pos)])
+
+    heads, dh = c.heads, c.dim // c.heads
+    for i in range(c.layers):
+        blk = p[f"block_{i}"]
+        ln = 0
+
+        # --- self-attention (common.py:186-231, dense path, no mask)
+        h = _layernorm(g, x, blk[f"LayerNorm_{ln}"]); ln += 1
+        qkv = _dense(g, h, blk["MultiHeadSelfAttention_0"]["qkv"])
+        q, k, v = g.add("Split", [qkv], n_out=3, axis=-1)
+        def _heads(z):
+            z = g.add("Reshape", [z, g.init(
+                "shape", np.asarray([0, 0, heads, dh], np.int64))])
+            return g.add("Transpose", [z], perm=[0, 2, 1, 3])  # [B, H, T, dh]
+        q, k, v = _heads(q), _heads(k), _heads(v)
+        kt = g.add("Transpose", [k], perm=[0, 1, 3, 2])
+        scores = g.add("Mul", [g.add("MatMul", [q, kt]),
+                               g.init("scale",
+                                      np.float32(1.0 / np.sqrt(dh)).reshape(()))])
+        attn = g.add("Softmax", [scores], axis=-1)
+        o = g.add("MatMul", [attn, v])                       # [B, H, T, dh]
+        o = g.add("Transpose", [o], perm=[0, 2, 1, 3])
+        o = g.add("Reshape", [o, g.init(
+            "shape", np.asarray([0, 0, c.dim], np.int64))])
+        o = _dense(g, o, blk["MultiHeadSelfAttention_0"]["out"])
+        x = g.add("Add", [x, o])
+
+        # --- FSMN-equivalent depthwise-conv branch (common.py:252-257)
+        if c.conv_kernel > 0:
+            h = _layernorm(g, x, blk[f"LayerNorm_{ln}"]); ln += 1
+            hc = g.add("Transpose", [h], perm=[0, 2, 1])     # NCW
+            lo = (c.conv_kernel - 1) // 2                    # XLA SAME pads
+            hc = _conv(g, hc, blk["dwconv"], groups=c.dim,
+                       pads=(lo, c.conv_kernel - 1 - lo))
+            hc = g.add("Transpose", [hc], perm=[0, 2, 1])
+            x = g.add("Add", [x, _silu(g, hc)])
+
+        # --- FFN (common.py:258-263)
+        h = _layernorm(g, x, blk[f"LayerNorm_{ln}"])
+        h = _dense(g, h, blk["Dense_0"])
+        h = _gelu_tanh(g, h)
+        x = g.add("Add", [x, _dense(g, h, blk["Dense_1"])])
+
+    x = _layernorm(g, x, p["final_ln"])
+    g.add("MatMul", [x, g.init("w", np.asarray(p["ctc_head"]["kernel"],
+                                               np.float32))], out="mm_head")
+    g.add("Add", ["mm_head", g.init("b", np.asarray(p["ctc_head"]["bias"],
+                                                    np.float32))], out="logits")
+
+    blob = g.serialize(
+        inputs=[("feats", np.float32, ["batch", t, c.lfr_m * c.num_mel]),
+                ("language", np.int64, [1])],
+        outputs=[("logits", np.float32, ["batch", pr + t, c.vocab_size])],
+        metadata={
+            "model_type": "sensevoice",
+            "vocab_size": c.vocab_size, "dim": c.dim, "heads": c.heads,
+            "layers": c.layers, "ffn_mult": c.ffn_mult,
+            "conv_kernel": c.conv_kernel, "lfr_m": c.lfr_m, "lfr_n": c.lfr_n,
+            "num_mel": c.num_mel, "num_prompt": pr, "use_itn": int(use_itn),
+            "languages": ",".join(LANGUAGES),
         })
     with open(path, "wb") as f:
         f.write(blob)

@@ -67,6 +67,42 @@ def test_export_pads_odd_length(tmp_path):
     assert err < 2e-3
 
 
+@pytest.mark.parametrize("lang,use_itn,conv_kernel", [(0, True, 3), (2, False, 0)])
+def test_sensevoice_roundtrip(tmp_path, lang, use_itn, conv_kernel):
+    """Trained CTC encoder -> ONNX: flax forward == exported graph (incl.
+    the runtime `language` input, baked itn row, and symbolic batch)."""
+    import jax
+
+    from audio_classification_tpu.models.asr.sensevoice import (
+        SenseVoiceConfig, SenseVoiceEncoder)
+    from audio_classification_tpu.models.convert.onnx_export import (
+        export_sensevoice)
+
+    cfg = SenseVoiceConfig(vocab_size=16, dim=32, heads=2, layers=2,
+                           ffn_mult=2, conv_kernel=conv_kernel)
+    model = SenseVoiceEncoder(cfg)
+    t, din = 9, cfg.lfr_m * cfg.num_mel
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((3, t, din)).astype(np.float32) * 0.4
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, t, din)))
+
+    ref = np.asarray(model.apply(params, jnp.asarray(feats),
+                                 language_id=lang, use_itn=use_itn))
+    path = str(tmp_path / "sv.onnx")
+    export_sensevoice(params, cfg, path, frames=t, use_itn=use_itn)
+    got = np.asarray(OnnxModel(path)(
+        feats=jnp.asarray(feats),
+        language=np.asarray([lang], np.int64))["logits"])
+    assert got.shape == ref.shape == (3, cfg.num_prompt + t, 16)
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert err < 2e-3, f"relative err {err}"
+
+    meta = load_onnx_metadata(path)
+    assert meta["model_type"] == "sensevoice"
+    assert int(meta["num_prompt"]) == cfg.num_prompt
+    assert int(meta["use_itn"]) == int(use_itn)
+
+
 def test_export_metadata_and_signature(tmp_path):
     cfg = ConvTasNetConfig(n_src=3, enc_dim=16, enc_kernel=16, bottleneck=8,
                            hidden=16, conv_kernel=3, n_blocks=2, n_repeats=1,

@@ -45,12 +45,31 @@ def corpus(tmp_path_factory):
 def test_manifest_train_ckpt_resume_export(corpus, capsys, tmp_path):
     root, man, tokens = corpus
     ck, export = str(tmp_path / "ck"), str(tmp_path / "export")
+    onnx_path = str(tmp_path / "sv.onnx")
     c0, c1 = ta.main(["--manifest", man, "--tokens", tokens, "--steps", "3",
                       "--max-seconds", "1.5", "--ckpt-dir", ck,
-                      "--save-every", "2", "--export", export] + TINY)
+                      "--save-every", "2", "--export", export,
+                      "--export-onnx", onnx_path] + TINY)
     assert np.isfinite(c0) and np.isfinite(c1)
     out = capsys.readouterr().out
     assert "checkpoint @ step 2" in out
+
+    # the ONNX export runs on the framework's own graph executor and emits
+    # [batch, prompt+frames, vocab] logits
+    from audio_classification_tpu.models.convert.onnx_exec import OnnxModel
+    from audio_classification_tpu.models.convert.onnx_import import (
+        load_onnx_metadata)
+
+    meta = load_onnx_metadata(onnx_path)
+    assert meta["model_type"] == "sensevoice"
+    m = OnnxModel(onnx_path)
+    (vi,) = [v for v in m.graph.inputs if v.name == "feats"]
+    t_in, d_in = int(vi.shape[1]), int(vi.shape[2])
+    logits = np.asarray(m(
+        feats=np.random.default_rng(0).standard_normal(
+            (1, t_in, d_in)).astype(np.float32),
+        language=np.asarray([0], np.int64))["logits"])
+    assert logits.shape == (1, int(meta["num_prompt"]) + t_in, 64)
 
     # resume picks up at step 3, not 0
     ta.main(["--manifest", man, "--tokens", tokens, "--steps", "4",
