@@ -51,11 +51,22 @@ def parse_args(argv=None):
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--log-every", type=int, default=50)
     m = p.add_argument_group("model (tiny by default; raise for quality)")
+    m.add_argument("--arch", default="convtasnet",
+                   choices=["convtasnet", "mossformer"],
+                   help="Separator architecture (both serve via "
+                        "--sep-checkpoint / Separator(backend=..., "
+                        "checkpoint=...); dims must match the serving "
+                        "preset's config to load there)")
     m.add_argument("--enc-dim", type=int, default=128)
     m.add_argument("--bottleneck", type=int, default=64)
     m.add_argument("--hidden", type=int, default=128)
     m.add_argument("--n-blocks", type=int, default=4)
     m.add_argument("--n-repeats", type=int, default=2)
+    mf = p.add_argument_group("mossformer model (--arch mossformer)")
+    mf.add_argument("--mf-dim", type=int, default=96)
+    mf.add_argument("--mf-qk-dim", type=int, default=64)
+    mf.add_argument("--mf-layers", type=int, default=4)
+    mf.add_argument("--mf-expansion", type=int, default=2)
     par = p.add_argument_group("parallelism")
     par.add_argument("--data-parallel", type=int, default=0)
     par.add_argument("--model-parallel", type=int, default=0)
@@ -128,15 +139,22 @@ def main(argv=None):
 
     from ..metrics import sdr_improvement_pit_2
     from ..models.convtasnet import ConvTasNet, ConvTasNetConfig
+    from ..models.mossformer import MossFormer, MossFormerConfig
     from ..parallel.mesh import make_mesh
     from ..train.trainer import SeparatorTrainer
 
     sr = args.sample_rate
     t = int(args.seconds * sr)
-    cfg = ConvTasNetConfig(n_src=args.n_src, enc_dim=args.enc_dim,
-                           enc_kernel=16, bottleneck=args.bottleneck,
-                           hidden=args.hidden, n_blocks=args.n_blocks,
-                           n_repeats=args.n_repeats, sample_rate=sr)
+    if args.arch == "mossformer":
+        cfg = MossFormerConfig(n_src=args.n_src, enc_dim=args.enc_dim,
+                               enc_kernel=16, dim=args.mf_dim,
+                               qk_dim=args.mf_qk_dim, layers=args.mf_layers,
+                               expansion=args.mf_expansion, sample_rate=sr)
+    else:
+        cfg = ConvTasNetConfig(n_src=args.n_src, enc_dim=args.enc_dim,
+                               enc_kernel=16, bottleneck=args.bottleneck,
+                               hidden=args.hidden, n_blocks=args.n_blocks,
+                               n_repeats=args.n_repeats, sample_rate=sr)
     dp, mp = max(args.data_parallel, 1), max(args.model_parallel, 1)
     n_dev = dp * mp if (args.data_parallel or args.model_parallel) else len(jax.devices())
     mesh = make_mesh(n_dev, model_axis=mp if mp > 1 else 1)
@@ -157,7 +175,7 @@ def main(argv=None):
         sample = sampler.batch
         held = sampler.batch(16)
 
-    eval_model = ConvTasNet(cfg)
+    eval_model = trainer.model  # same arch/params layout as the train step
     # one jitted program per eval batch shape — eager apply pays a tunnel
     # round-trip per op (~90 ms each, CLAUDE.md)
     eval_apply = jax.jit(eval_model.apply)

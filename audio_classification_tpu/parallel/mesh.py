@@ -77,6 +77,31 @@ def convtasnet_param_spec(path: tuple, leaf) -> P:
     return P()
 
 
+def mossformer_param_spec(path: tuple, leaf) -> P:
+    """TP rules for MossFormer (models/mossformer.py): megatron-style pair
+    around the GAU's expanded gate dim d_e = dim*expansion.
+
+    - to_u/to_v kernels [dim, d_e] -> P(None, "model") (column parallel);
+      their biases [d_e] -> P("model")
+    - to_out kernel [d_e, dim] -> P("model", None) (row parallel; XLA
+      inserts the psum over the contracted shards)
+    The attention path (to_qk, gamma/beta) and the elementwise gate
+    u ⊙ (attn v) see consistently e-sharded tensors, so no resharding
+    happens inside a block. Everything else replicated.
+    """
+    names = [str(p) for p in path]
+    joined = "/".join(names)
+    shape = getattr(leaf, "shape", ())
+    if "to_u" in joined or "to_v" in joined:
+        if names[-1] == "kernel" and len(shape) == 2:
+            return P(None, "model")
+        if names[-1] == "bias":
+            return P("model")
+    if "to_out" in joined and names[-1] == "kernel" and len(shape) == 2:
+        return P("model", None)
+    return P()
+
+
 def apply_param_specs(mesh: Mesh, params, rule) -> object:
     """Map a rule(path, leaf)->PartitionSpec over a pytree -> shardings tree."""
     flat = jax.tree_util.tree_flatten_with_path(params)

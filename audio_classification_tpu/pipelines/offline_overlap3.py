@@ -243,19 +243,23 @@ def build_engine(cfg) -> StageEngine:
     sep_ckpt = getattr(cfg, "sep_checkpoint", "")
     if sep_ckpt and os.path.isdir(sep_ckpt):
         # params-only orbax dir from cli/train_separator --export: load into
-        # whichever separator stage the tree's shapes match (sep3 first)
+        # whichever separator stage the tree's shapes match (sep3 first;
+        # --arch mossformer exports land on the mossformer stage)
         from ..train.checkpoint import load_params
 
-        for stage in ("sep3", "sep2"):
+        candidates = [s for s in ("sep3", "sep2", "mossformer")
+                      if s in pack.params]
+        for stage in candidates:
             try:
                 pack.load_params(stage, load_params(pack.params[stage], sep_ckpt))
                 break
             except Exception:
-                if stage == "sep2":
+                if stage == candidates[-1]:
                     raise ValueError(
                         f"--sep-checkpoint {sep_ckpt}: orbax tree matches "
-                        "neither the sep3 nor the sep2 preset — was it "
-                        "trained with different --enc-dim/--hidden/... flags?")
+                        f"none of the separator presets ({candidates}) — "
+                        "was it trained with different --enc-dim/--hidden/"
+                        "--mf-dim/... flags?")
     elif sep_ckpt:
         from ..models.convert.torch_import import load_convtasnet_torch
 

@@ -17,7 +17,9 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.convtasnet import ConvTasNet, ConvTasNetConfig
-from ..parallel.mesh import apply_param_specs, convtasnet_param_spec, data_sharding, make_mesh
+from ..models.mossformer import MossFormer, MossFormerConfig
+from ..parallel.mesh import (apply_param_specs, convtasnet_param_spec,
+                             data_sharding, make_mesh, mossformer_param_spec)
 from .losses import pit_si_sdr_loss
 
 
@@ -42,15 +44,25 @@ class SeparatorTrainer:
 
     def __init__(
         self,
-        cfg: ConvTasNetConfig,
+        cfg,
         mesh: Optional[Mesh] = None,
         lr: float = 1e-3,
         seed: int = 0,
-        param_rule: Callable = convtasnet_param_spec,
+        param_rule: Optional[Callable] = None,
     ):
+        """cfg picks the architecture: ConvTasNetConfig or MossFormerConfig
+        (both models share the [B,T] mix + mask -> [B,n_src,T] contract and
+        the PIT SI-SDR objective; each gets its own TP partitioning rule)."""
         self.cfg = cfg
         self.mesh = mesh or make_mesh(model_axis=1)
-        self.model = ConvTasNet(cfg)
+        if isinstance(cfg, MossFormerConfig):
+            self.model = MossFormer(cfg)
+            param_rule = param_rule or mossformer_param_spec
+        elif isinstance(cfg, ConvTasNetConfig):
+            self.model = ConvTasNet(cfg)
+            param_rule = param_rule or convtasnet_param_spec
+        else:
+            raise TypeError(f"unsupported separator config: {type(cfg)}")
         self.tx = make_optimizer(lr)
 
         # jitted init: eager dispatch through the device tunnel pays ~90 ms

@@ -103,5 +103,32 @@ def test_build_engine_rejects_shape_mismatched_orbax_dir(trained, tmp_path):
     _, export, _, _ = trained
     cfg = argparse.Namespace(preset="tiny", seed=0, sep_checkpoint=export,
                              max_batch=2, max_segment_sec=2.0)
-    with pytest.raises(ValueError, match="matches neither"):
+    with pytest.raises(ValueError, match="matches none"):
         build_engine(cfg)
+
+
+def test_mossformer_train_export_serve(tmp_path, capsys):
+    """--arch mossformer: the second separation backend trains with the same
+    PIT loop (GAU gate dims TP-sharded) and its export loads into the
+    engine's mossformer stage through the same --sep-checkpoint door."""
+    export = str(tmp_path / "mf_export")
+    # dims = the tiny preset's mossformer config (engine/runtime.py:71) so
+    # the export is servable below
+    before, after = _run([
+        "--synthetic", "--steps", "4", "--batch", "2", "--seconds", "0.25",
+        "--arch", "mossformer", "--enc-dim", "64", "--mf-dim", "48",
+        "--mf-qk-dim", "32", "--mf-layers", "2", "--log-every", "2",
+        "--data-parallel", "4", "--model-parallel", "2", "--export", export,
+    ])
+    assert np.isfinite(before) and np.isfinite(after)
+
+    import argparse
+
+    from audio_classification_tpu.pipelines.offline_overlap3 import build_engine
+
+    cfg = argparse.Namespace(preset="tiny", seed=0, sep_checkpoint=export,
+                             max_batch=2, max_segment_sec=2.0)
+    eng = build_engine(cfg)  # lands on the mossformer stage (sep dims differ)
+    mix = ts.synthetic_batch(np.random.default_rng(3), 1, 2, 2000, 8000)[0][0]
+    est = eng.separate([mix], n_src=2, backend="mossformer")
+    assert np.asarray(est[0]).shape == (2, 2000)
