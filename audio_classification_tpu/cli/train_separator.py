@@ -78,6 +78,10 @@ def parse_args(argv=None):
     c.add_argument("--export", default="",
                    help="Write final params-only orbax dir (loads via "
                         "--sep-checkpoint / Separator(checkpoint=...))")
+    c.add_argument("--export-onnx", default="",
+                   help="Also write a standard ONNX export of the trained "
+                        "separator (mix -> est, static --seconds length; "
+                        "runs on onnxruntime or --onnx-exec direct)")
     return p.parse_args(argv)
 
 
@@ -219,6 +223,16 @@ def main(argv=None):
         save_params(trainer.state.params, args.export)
         print(f"[train_separator] exported serving params -> {args.export} "
               f"(use --sep-checkpoint {args.export})")
+    if args.export_onnx:
+        from ..models.convert.onnx_export import (export_convtasnet,
+                                                  export_mossformer)
+
+        host_params = jax.tree.map(np.asarray, trainer.state.params)
+        exporter = (export_mossformer if args.arch == "mossformer"
+                    else export_convtasnet)
+        exporter(host_params, cfg, args.export_onnx, seconds=args.seconds)
+        print(f"[train_separator] exported ONNX -> {args.export_onnx} "
+              f"(mix [batch,{t}] -> est [batch,{args.n_src},{t}])")
     return before, after
 
 

@@ -203,11 +203,15 @@ def _dense(g: OnnxGraphWriter, x: str, scope: dict) -> str:
 
 
 def _layernorm(g: OnnxGraphWriter, x: str, scope: dict, eps: float = 1e-6) -> str:
-    """flax nn.LayerNorm (eps 1e-6) -> opset-17 LayerNormalization."""
+    """Per-frame channel LN -> opset-17 LayerNormalization. Accepts both
+    flax nn.LayerNorm params (scale/bias, eps 1e-6) and the in-house
+    ChannelLayerNorm's (gamma/beta, eps 1e-8 — models/common.py:47-61)."""
+    scale = scope["scale"] if "scale" in scope else scope["gamma"]
+    bias = scope["bias"] if "bias" in scope else scope["beta"]
     return g.add("LayerNormalization", [
         x,
-        g.init("ln_scale", np.asarray(scope["scale"], np.float32)),
-        g.init("ln_bias", np.asarray(scope["bias"], np.float32)),
+        g.init("ln_scale", np.asarray(scale, np.float32)),
+        g.init("ln_bias", np.asarray(bias, np.float32)),
     ], axis=-1, epsilon=eps)
 
 
@@ -225,6 +229,59 @@ def _gelu_tanh(g: OnnxGraphWriter, x: str) -> str:
 
 def _silu(g: OnnxGraphWriter, x: str) -> str:
     return g.add("Mul", [x, g.add("Sigmoid", [x])])
+
+
+def _same_pads(t: int, k: int, stride: int = 1) -> tuple:
+    """XLA SAME padding (lo, hi) for a static length t."""
+    out = -(-t // stride)
+    total = max((out - 1) * stride + k - t, 0)
+    return total // 2, total - total // 2
+
+
+def _transformer_block(g: OnnxGraphWriter, x: str, blk: dict, dim: int,
+                       heads: int, conv_kernel: int) -> str:
+    """models/common.TransformerBlock (dense path, no mask): pre-LN MHSA ->
+    optional depthwise-conv branch -> gelu FFN, residuals throughout."""
+    dh = dim // heads
+    ln = 0
+
+    # --- self-attention (common.py:186-231)
+    h = _layernorm(g, x, blk[f"LayerNorm_{ln}"]); ln += 1
+    qkv = _dense(g, h, blk["MultiHeadSelfAttention_0"]["qkv"])
+    q, k, v = g.add("Split", [qkv], n_out=3, axis=-1)
+
+    def _heads(z):
+        z = g.add("Reshape", [z, g.init(
+            "shape", np.asarray([0, 0, heads, dh], np.int64))])
+        return g.add("Transpose", [z], perm=[0, 2, 1, 3])    # [B, H, T, dh]
+
+    q, k, v = _heads(q), _heads(k), _heads(v)
+    kt = g.add("Transpose", [k], perm=[0, 1, 3, 2])
+    scores = g.add("Mul", [g.add("MatMul", [q, kt]),
+                           g.init("scale",
+                                  np.float32(1.0 / np.sqrt(dh)).reshape(()))])
+    attn = g.add("Softmax", [scores], axis=-1)
+    o = g.add("MatMul", [attn, v])                           # [B, H, T, dh]
+    o = g.add("Transpose", [o], perm=[0, 2, 1, 3])
+    o = g.add("Reshape", [o, g.init(
+        "shape", np.asarray([0, 0, dim], np.int64))])
+    o = _dense(g, o, blk["MultiHeadSelfAttention_0"]["out"])
+    x = g.add("Add", [x, o])
+
+    # --- FSMN-equivalent depthwise-conv branch (common.py:252-257)
+    if conv_kernel > 0:
+        h = _layernorm(g, x, blk[f"LayerNorm_{ln}"]); ln += 1
+        hc = g.add("Transpose", [h], perm=[0, 2, 1])         # NCW
+        hc = _conv(g, hc, blk["dwconv"], groups=dim,
+                   pads=_same_pads(1, conv_kernel))  # stride-1 SAME: (⌊(k-1)/2⌋, ⌈(k-1)/2⌉)
+        hc = g.add("Transpose", [hc], perm=[0, 2, 1])
+        x = g.add("Add", [x, _silu(g, hc)])
+
+    # --- FFN (common.py:258-263)
+    h = _layernorm(g, x, blk[f"LayerNorm_{ln}"])
+    h = _dense(g, h, blk["Dense_0"])
+    h = _gelu_tanh(g, h)
+    return g.add("Add", [x, _dense(g, h, blk["Dense_1"])])
 
 
 # ------------------------------------------------------------- ConvTasNet
@@ -383,47 +440,9 @@ def export_sensevoice(params, cfg, path: str, frames: int,
     pos = sinusoidal_positions(t + pr, c.dim)
     x = g.add("Add", [x, g.init("pos", pos)])
 
-    heads, dh = c.heads, c.dim // c.heads
     for i in range(c.layers):
-        blk = p[f"block_{i}"]
-        ln = 0
-
-        # --- self-attention (common.py:186-231, dense path, no mask)
-        h = _layernorm(g, x, blk[f"LayerNorm_{ln}"]); ln += 1
-        qkv = _dense(g, h, blk["MultiHeadSelfAttention_0"]["qkv"])
-        q, k, v = g.add("Split", [qkv], n_out=3, axis=-1)
-        def _heads(z):
-            z = g.add("Reshape", [z, g.init(
-                "shape", np.asarray([0, 0, heads, dh], np.int64))])
-            return g.add("Transpose", [z], perm=[0, 2, 1, 3])  # [B, H, T, dh]
-        q, k, v = _heads(q), _heads(k), _heads(v)
-        kt = g.add("Transpose", [k], perm=[0, 1, 3, 2])
-        scores = g.add("Mul", [g.add("MatMul", [q, kt]),
-                               g.init("scale",
-                                      np.float32(1.0 / np.sqrt(dh)).reshape(()))])
-        attn = g.add("Softmax", [scores], axis=-1)
-        o = g.add("MatMul", [attn, v])                       # [B, H, T, dh]
-        o = g.add("Transpose", [o], perm=[0, 2, 1, 3])
-        o = g.add("Reshape", [o, g.init(
-            "shape", np.asarray([0, 0, c.dim], np.int64))])
-        o = _dense(g, o, blk["MultiHeadSelfAttention_0"]["out"])
-        x = g.add("Add", [x, o])
-
-        # --- FSMN-equivalent depthwise-conv branch (common.py:252-257)
-        if c.conv_kernel > 0:
-            h = _layernorm(g, x, blk[f"LayerNorm_{ln}"]); ln += 1
-            hc = g.add("Transpose", [h], perm=[0, 2, 1])     # NCW
-            lo = (c.conv_kernel - 1) // 2                    # XLA SAME pads
-            hc = _conv(g, hc, blk["dwconv"], groups=c.dim,
-                       pads=(lo, c.conv_kernel - 1 - lo))
-            hc = g.add("Transpose", [hc], perm=[0, 2, 1])
-            x = g.add("Add", [x, _silu(g, hc)])
-
-        # --- FFN (common.py:258-263)
-        h = _layernorm(g, x, blk[f"LayerNorm_{ln}"])
-        h = _dense(g, h, blk["Dense_0"])
-        h = _gelu_tanh(g, h)
-        x = g.add("Add", [x, _dense(g, h, blk["Dense_1"])])
+        x = _transformer_block(g, x, p[f"block_{i}"], c.dim, c.heads,
+                               c.conv_kernel)
 
     x = _layernorm(g, x, p["final_ln"])
     g.add("MatMul", [x, g.init("w", np.asarray(p["ctc_head"]["kernel"],
@@ -442,6 +461,161 @@ def export_sensevoice(params, cfg, path: str, frames: int,
             "conv_kernel": c.conv_kernel, "lfr_m": c.lfr_m, "lfr_n": c.lfr_n,
             "num_mel": c.num_mel, "num_prompt": pr, "use_itn": int(use_itn),
             "languages": ",".join(LANGUAGES),
+        })
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+# ----------------------------------------------------------------- OSDNet
+
+def export_osdnet(params, cfg, path: str, frames: int) -> str:
+    """Serialize OSDNet (models/osd.py) to ONNX: fbank feats
+    [batch, frames, num_mel] -> [batch, frames//subsample, 2] probs
+    (p(speech), p(overlap)) — the fast OSD head, e.g. one distilled from a
+    pyannote teacher (cli/distill_osd), deployable outside the framework.
+    Frame semantics match OverlapAnalyzer's rasterization (reference:
+    src/osd/osd.py:73-147 consumes the same per-frame probabilities).
+    """
+    from ..common import sinusoidal_positions
+
+    p = params["params"] if "params" in params else params
+    c = cfg
+
+    g = OnnxGraphWriter("osdnet")
+    x = g.add("Transpose", ["feats"], perm=[0, 2, 1])        # NCW
+    x = _conv(g, x, p["sub1"], stride=2, pads=_same_pads(frames, 5, 2))
+    t1 = -(-frames // 2)
+    x = g.add("Transpose", [x], perm=[0, 2, 1])
+    x = _gelu_tanh(g, x)
+    x = g.add("Transpose", [x], perm=[0, 2, 1])
+    x = _conv(g, x, p["sub2"], stride=2, pads=_same_pads(t1, 5, 2))
+    t2 = -(-t1 // 2)
+    x = g.add("Transpose", [x], perm=[0, 2, 1])
+    x = _gelu_tanh(g, x)
+
+    x = g.add("Add", [x, g.init("pos", sinusoidal_positions(t2, c.dim))])
+    for i in range(c.layers):
+        x = _transformer_block(g, x, p[f"block_{i}"], c.dim, c.heads,
+                               c.conv_kernel)
+    logits = _dense(g, x, p["head"])
+    g.add("Sigmoid", [logits], out="probs")
+
+    blob = g.serialize(
+        inputs=[("feats", np.float32, ["batch", frames, c.num_mel])],
+        outputs=[("probs", np.float32, ["batch", t2, 2])],
+        metadata={
+            "model_type": "osdnet",
+            "num_mel": c.num_mel, "dim": c.dim, "heads": c.heads,
+            "layers": c.layers, "conv_kernel": c.conv_kernel,
+            "subsample": c.subsample, "sample_rate": c.sample_rate,
+            "frame_shift_ms": c.frame_shift_ms,
+        })
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+# -------------------------------------------------------------- MossFormer
+
+def export_mossformer(params, cfg, path: str, seconds: float = 4.0) -> str:
+    """Serialize MossFormer (models/mossformer.py) to ONNX.
+
+    Same contract as export_convtasnet: `mix` [batch, T] (T static, batch
+    symbolic) -> `est` [batch, n_src, T]. The GAU blocks decompose to
+    MatMul/Relu/Mul primitives; the 1/T attention scale and the conv
+    padding are baked for the exported length. Second separation backend
+    (reference: src/mossformer/infer.py:13-23) gets the same train->export
+    deployment loop as ConvTasNet.
+    """
+    p = params["params"] if "params" in params else params
+    c = cfg
+    t = int(round(seconds * c.sample_rate))
+    stride = c.stride
+    pad = (-(t - c.enc_kernel)) % stride if t >= c.enc_kernel else c.enc_kernel - t
+    n_frames = (t + pad - c.enc_kernel) // stride + 1
+    t_dec = (n_frames - 1) * stride + c.enc_kernel
+
+    g = OnnxGraphWriter("mossformer")
+    x = "mix"
+    if pad:
+        x = g.add("Pad", [x, g.init("pads", np.asarray([0, 0, 0, pad], np.int64))],
+                  mode="constant")
+    x = g.add("Unsqueeze", [x, g.init("axes", np.asarray([1], np.int64))])
+
+    # encoder [B, 1, T'] -> [B, N, F], relu (mossformer.py:89-91)
+    w = _conv(g, x, p["encoder"], stride=stride)
+    w = g.add("Relu", [w])
+    wt = g.add("Transpose", [w], perm=[0, 2, 1])             # [B, F, N]
+
+    h = _dense(g, wt, p["in_proj"])                          # [B, F, dim]
+    inv_t = np.float32(1.0 / n_frames).reshape(())
+    for i in range(c.layers):
+        blk = p[f"gau_{i}"]
+        # GAU (mossformer.py:49-71): cLN -> conv mix -> gated attention
+        hn = _layernorm(g, h, blk["ln"], eps=1e-8)
+        hc = g.add("Transpose", [hn], perm=[0, 2, 1])
+        hc = _conv(g, hc, blk["dwconv"], groups=c.dim,
+                   pads=_same_pads(1, c.conv_kernel))
+        hc = g.add("Transpose", [hc], perm=[0, 2, 1])
+        hn = g.add("Add", [hn, _silu(g, hc)])
+        u = _silu(g, _dense(g, hn, blk["to_u"]))
+        v = _silu(g, _dense(g, hn, blk["to_v"]))
+        z = _dense(g, hn, blk["to_qk"])
+        gamma = np.asarray(blk["gamma"], np.float32)
+        beta = np.asarray(blk["beta"], np.float32)
+        q = g.add("Add", [g.add("Mul", [z, g.init("gma", gamma[0])]),
+                          g.init("bta", beta[0])])
+        k = g.add("Add", [g.add("Mul", [z, g.init("gma", gamma[1])]),
+                          g.init("bta", beta[1])])
+        logits = g.add("Mul", [
+            g.add("MatMul", [q, g.add("Transpose", [k], perm=[0, 2, 1])]),
+            g.init("inv_t", inv_t)])
+        attn = g.add("Relu", [logits])
+        attn = g.add("Mul", [attn, attn])                    # relu(.)²
+        out = g.add("Mul", [u, g.add("MatMul", [attn, v])])
+        out = _dense(g, out, blk["to_out"])
+        h = g.add("Add", [h, out])
+
+    h = _layernorm(g, h, p["ln_out"], eps=1e-8)
+    m = _dense(g, h, p["mask_head"])                         # [B, F, S*N]
+    m = g.add("Relu", [m])
+    m = g.add("Reshape", [m, g.init(
+        "shape", np.asarray([-1, n_frames, c.n_src, c.enc_dim], np.int64))])
+
+    # masked = w[:, :, None, :] * m with w as [B, F, N] (mossformer.py:106)
+    wu = g.add("Unsqueeze", [wt, g.init("axes", np.asarray([2], np.int64))])
+    masked = g.add("Mul", [wu, m])                           # [B, F, S, N]
+    masked = g.add("Transpose", [masked], perm=[0, 2, 3, 1]) # [B, S, N, F]
+    masked = g.add("Reshape", [masked, g.init(
+        "shape", np.asarray([-1, c.enc_dim, n_frames], np.int64))])
+
+    # decoder == overlap-add == ConvTranspose (mossformer.py:107-109);
+    # flax decoder [K, N] -> ConvTranspose weight [Cin=N, Cout=1, K]
+    dec = np.asarray(p["decoder"], np.float32).T.reshape(c.enc_dim, 1,
+                                                         c.enc_kernel)
+    sig = g.add("ConvTranspose", [masked, g.init("dec", dec)],
+                strides=[stride])
+    sq = g.add("Squeeze", [sig, g.init("axes", np.asarray([1], np.int64))])
+    if t_dec > t:
+        sq = g.add("Slice", [
+            sq,
+            g.init("starts", np.asarray([0], np.int64)),
+            g.init("ends", np.asarray([t], np.int64)),
+            g.init("axes", np.asarray([1], np.int64)),
+        ])
+    g.add("Reshape", [sq, g.init(
+        "shape", np.asarray([-1, c.n_src, t], np.int64))], out="est")
+
+    blob = g.serialize(
+        inputs=[("mix", np.float32, ["batch", t])],
+        outputs=[("est", np.float32, ["batch", c.n_src, t])],
+        metadata={
+            "model_type": "mossformer",
+            "n_src": c.n_src, "enc_dim": c.enc_dim,
+            "enc_kernel": c.enc_kernel, "dim": c.dim, "qk_dim": c.qk_dim,
+            "expansion": c.expansion, "layers": c.layers,
+            "conv_kernel": c.conv_kernel, "sample_rate": c.sample_rate,
         })
     with open(path, "wb") as f:
         f.write(blob)

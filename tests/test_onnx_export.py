@@ -103,6 +103,60 @@ def test_sensevoice_roundtrip(tmp_path, lang, use_itn, conv_kernel):
     assert int(meta["use_itn"]) == int(use_itn)
 
 
+def test_mossformer_roundtrip(tmp_path):
+    """Second separation backend: flax forward == exported GAU graph."""
+    import jax
+
+    from audio_classification_tpu.models.mossformer import (
+        MossFormer, MossFormerConfig)
+    from audio_classification_tpu.models.convert.onnx_export import (
+        export_mossformer)
+
+    cfg = MossFormerConfig(n_src=2, enc_dim=24, enc_kernel=16, dim=20,
+                           qk_dim=12, layers=2, conv_kernel=5,
+                           sample_rate=8000)
+    model = MossFormer(cfg)
+    t = int(0.3 * cfg.sample_rate)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, t)),
+                        jnp.ones((1, t)))
+    mix = np.random.default_rng(0).standard_normal((2, t)).astype(np.float32) * 0.3
+
+    ref = np.asarray(model.apply(params, jnp.asarray(mix)))
+    path = str(tmp_path / "mf.onnx")
+    export_mossformer(params, cfg, path, seconds=0.3)
+    got = np.asarray(OnnxModel(path)(mix=jnp.asarray(mix))["est"])
+    assert got.shape == ref.shape == (2, 2, t)
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert err < 2e-3, f"relative err {err}"
+    assert load_onnx_metadata(path)["model_type"] == "mossformer"
+
+
+def test_osdnet_roundtrip(tmp_path):
+    """Fast OSD head (e.g. distilled): flax forward == exported graph,
+    including the stride-2 SAME subsampling convs on an odd frame count."""
+    import jax
+
+    from audio_classification_tpu.models.osd import OSDConfig, OSDNet
+    from audio_classification_tpu.models.convert.onnx_export import (
+        export_osdnet)
+
+    cfg = OSDConfig(num_mel=20, dim=24, heads=2, layers=2, conv_kernel=5)
+    model = OSDNet(cfg)
+    frames = 37  # odd: exercises asymmetric SAME pads in both convs
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, frames, cfg.num_mel)))
+    feats = np.random.default_rng(1).standard_normal(
+        (3, frames, cfg.num_mel)).astype(np.float32)
+
+    ref = np.asarray(model.apply(params, jnp.asarray(feats)))
+    path = str(tmp_path / "osd.onnx")
+    export_osdnet(params, cfg, path, frames=frames)
+    got = np.asarray(OnnxModel(path)(feats=jnp.asarray(feats))["probs"])
+    assert got.shape == ref.shape
+    err = np.max(np.abs(got - ref))
+    assert err < 2e-4, f"abs err {err}"  # probs are already in [0, 1]
+
+
 def test_export_metadata_and_signature(tmp_path):
     cfg = ConvTasNetConfig(n_src=3, enc_dim=16, enc_kernel=16, bottleneck=8,
                            hidden=16, conv_kernel=3, n_blocks=2, n_repeats=1,

@@ -114,13 +114,23 @@ def test_mossformer_train_export_serve(tmp_path, capsys):
     export = str(tmp_path / "mf_export")
     # dims = the tiny preset's mossformer config (engine/runtime.py:71) so
     # the export is servable below
+    onnx_path = str(tmp_path / "mf.onnx")
     before, after = _run([
         "--synthetic", "--steps", "4", "--batch", "2", "--seconds", "0.25",
         "--arch", "mossformer", "--enc-dim", "64", "--mf-dim", "48",
         "--mf-qk-dim", "32", "--mf-layers", "2", "--log-every", "2",
         "--data-parallel", "4", "--model-parallel", "2", "--export", export,
+        "--export-onnx", onnx_path,
     ])
     assert np.isfinite(before) and np.isfinite(after)
+
+    # the ONNX export of the TP-trained params runs standalone
+    from audio_classification_tpu.models.convert.onnx_exec import OnnxModel
+
+    t = int(0.25 * 8000)
+    est = np.asarray(OnnxModel(onnx_path)(
+        mix=np.zeros((1, t), np.float32))["est"])
+    assert est.shape == (1, 2, t)
 
     import argparse
 
