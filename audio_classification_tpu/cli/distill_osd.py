@@ -69,6 +69,10 @@ def parse_args(argv=None):
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", required=True, help="Output orbax dir (--osd-checkpoint input)")
+    p.add_argument("--export-onnx", default="",
+                   help="Also write a standard ONNX export of the distilled "
+                        "OSD head (fbank feats -> per-frame probs; runs on "
+                        "onnxruntime or --onnx-exec direct)")
     return p.parse_args(argv)
 
 
@@ -292,6 +296,14 @@ def main(argv=None) -> dict:
 
     save_params(trainer.state.params, args.out)
     print(f"saved OSD params: {args.out} (use --osd-checkpoint {args.out})")
+    if args.export_onnx:
+        from ..models.convert.onnx_export import export_osdnet
+
+        frames = fb.frames_for(int(dur * SR))
+        export_osdnet(jax.tree.map(np.asarray, trainer.state.params), cfg,
+                      args.export_onnx, frames=frames)
+        print(f"exported ONNX: {args.export_onnx} "
+              f"(feats [batch,{frames},{cfg.num_mel}] -> probs)")
     if m["f1"] is not None and m["f1"] < args.f1_target:
         print(f"QUALITY BAR FAILED: f1 {m['f1']} < target {args.f1_target}")
         sys.exit(1)

@@ -235,6 +235,18 @@ def build_engine(cfg) -> StageEngine:
     spk_path = getattr(cfg, "spk_embed_model", "") or getattr(cfg, "model", "")
     if spk_path.endswith(".onnx"):
         _load_onnx("spk", spk_path, "speaker", preset.spk)
+    elif spk_path and os.path.isdir(spk_path):
+        # embedder-only orbax dir from cli/train_speaker --export; dims must
+        # match the preset's spk config (--channels/--embed-dim at training)
+        from ..train.checkpoint import load_params
+
+        try:
+            pack.load_params("spk", load_params(pack.params["spk"], spk_path))
+        except Exception as e:
+            raise ValueError(
+                f"--spk-embed-model {spk_path}: orbax tree does not match "
+                f"the '{getattr(cfg, 'preset', 'full')}' preset spk config "
+                "— was it trained with different --channels/--embed-dim?") from e
     ckpt = getattr(cfg, "checkpoint_dir", "")
     if ckpt:
         from ..train.checkpoint import load_model_pack

@@ -38,13 +38,26 @@ def test_teacher_labels_resample():
 
 def test_distill_osd_synthetic_end_to_end(tmp_path):
     out = tmp_path / "osd_params"
+    onnx_path = tmp_path / "osd.onnx"
     m = main([
         "--synthetic", "--preset", "tiny", "--steps", "40", "--batch", "4",
         "--dur", "2.0", "--eval-files", "4", "--f1-target", "0.0",
-        "--out", str(out), "--seed", "0",
+        "--out", str(out), "--seed", "0", "--export-onnx", str(onnx_path),
     ])
     assert out.is_dir()
     assert m["f1"] is not None
+
+    # the distilled head also ships as a standalone ONNX export
+    from audio_classification_tpu.models.convert.onnx_exec import OnnxModel
+    from audio_classification_tpu.models.convert.onnx_import import (
+        load_onnx_metadata)
+
+    assert load_onnx_metadata(str(onnx_path))["model_type"] == "osdnet"
+    om = OnnxModel(str(onnx_path))
+    (vi,) = [v for v in om.graph.inputs if v.name == "feats"]
+    probs = np.asarray(om(feats=np.zeros((1, int(vi.shape[1]),
+                                          int(vi.shape[2])), np.float32))["probs"])
+    assert probs.shape[0] == 1 and probs.shape[2] == 2
 
     # the saved params load into an engine via --osd-checkpoint and differ
     # from seed init
