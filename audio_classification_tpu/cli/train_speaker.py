@@ -81,6 +81,11 @@ def parse_args(argv=None):
     c.add_argument("--export", default="",
                    help="Write embedder-only orbax dir (serves via "
                         "--spk-embed-model <dir>)")
+    c.add_argument("--export-onnx", default="",
+                   help="Also write a standard ONNX export of the trained "
+                        "embedder (fbank feats -> embedding, like the "
+                        "reference's 3D-Speaker export; runs on onnxruntime "
+                        "or --onnx-exec direct)")
     return p.parse_args(argv)
 
 
@@ -300,20 +305,28 @@ def main(argv=None):
     print(f"[train_speaker] held-out id accuracy after: {a1:.3f} "
           f"(same-cos {s1:.3f} / diff-cos {d1:.3f})")
 
+    # embedder-only tree, shaped exactly like the engine's spk stage params
+    # (SpeakerEmbedder.init): drop the AAM centers, unwrap the "embedder"
+    # scope
+    vars_ = trainer.state.params
+    export_tree = {
+        coll: dict(vars_[coll])["embedder"]
+        for coll in vars_ if "embedder" in vars_[coll]
+    }
     if args.export:
         from ..train.checkpoint import save_params
 
-        # embedder-only tree, shaped exactly like the engine's spk stage
-        # params (SpeakerEmbedder.init): drop the AAM centers, unwrap the
-        # "embedder" scope
-        vars_ = trainer.state.params
-        export_tree = {
-            coll: dict(vars_[coll])["embedder"]
-            for coll in vars_ if "embedder" in vars_[coll]
-        }
         save_params(export_tree, args.export)
         print(f"[train_speaker] exported serving params -> {args.export} "
               f"(use --spk-embed-model {args.export})")
+    if args.export_onnx:
+        from ..models.convert.onnx_export import export_speaker
+
+        frames = int(feats0.shape[1])
+        export_speaker(jax.tree.map(np.asarray, export_tree), cfg,
+                       args.export_onnx, frames=frames)
+        print(f"[train_speaker] exported ONNX -> {args.export_onnx} "
+              f"(feats [batch,{frames},{fb.num_bins}] -> emb)")
     return a0, a1
 
 

@@ -620,3 +620,120 @@ def export_mossformer(params, cfg, path: str, seconds: float = 4.0) -> str:
     with open(path, "wb") as f:
         f.write(blob)
     return path
+
+
+# -------------------------------------------------------- SpeakerEmbedder
+
+def _conv2d(g: OnnxGraphWriter, x: str, scope: dict, *, strides=(1, 1),
+            pads=(0, 0, 0, 0)) -> str:
+    """flax nn.Conv kernel [kh, kw, Cin/g, Cout] -> ONNX NCHW Conv."""
+    w = np.transpose(np.asarray(scope["kernel"], np.float32), (3, 2, 0, 1))
+    ins = [x, g.init("w", np.ascontiguousarray(w))]
+    if "bias" in scope:
+        ins.append(g.init("b", np.asarray(scope["bias"], np.float32)))
+    return g.add("Conv", ins, strides=list(strides), pads=list(pads))
+
+
+def _bn2d(g: OnnxGraphWriter, x: str, pscope: dict, sscope: dict,
+          eps: float = 1e-5) -> str:
+    """flax nn.BatchNorm (inference mode) on an NCHW tensor."""
+    return g.add("BatchNormalization", [
+        x,
+        g.init("bn_s", np.asarray(pscope["scale"], np.float32)),
+        g.init("bn_b", np.asarray(pscope["bias"], np.float32)),
+        g.init("bn_m", np.asarray(sscope["mean"], np.float32)),
+        g.init("bn_v", np.asarray(sscope["var"], np.float32)),
+    ], epsilon=eps)
+
+
+def export_speaker(variables, cfg, path: str, frames: int) -> str:
+    """Serialize SpeakerEmbedder (models/speaker.py) to ONNX — the same role
+    as the reference's 3D-Speaker ERes2Net export (reference:
+    src/model.py:103-124 consumes it via sherpa's
+    SpeakerEmbeddingExtractor): fbank `feats` [batch, frames, num_mel] ->
+    `emb` [batch, embed_dim] (unnormalized, like the flax module; callers
+    l2-normalize before cosine search).
+
+    `variables` is the embedder's full variable dict ({"params", 
+    "batch_stats"}) — e.g. the tree cli/train_speaker exports. BatchNorms
+    are emitted in inference mode from the stored statistics.
+    """
+    p = variables["params"]
+    s = variables.get("batch_stats", {})
+    c = cfg
+
+    g = OnnxGraphWriter("speaker_embedder")
+    # [B, T, F] -> NCHW [B, 1, T, F]
+    x = g.add("Unsqueeze", ["feats", g.init("axes", np.asarray([1], np.int64))])
+
+    def same2d(t, f, k, stride):
+        lo_t, hi_t = _same_pads(t, k, stride)
+        lo_f, hi_f = _same_pads(f, k, stride)
+        return (lo_t, lo_f, hi_t, hi_f)  # ONNX pads: [t_lo, f_lo, t_hi, f_hi]
+
+    t_cur, f_cur = frames, c.num_mel
+    x = _conv2d(g, x, p["stem"], pads=same2d(t_cur, f_cur, 3, 1))
+    x = g.add("Relu", [_bn2d(g, x, p["bn0"], s["bn0"])])
+
+    for i, ch in enumerate(c.channels):
+        stride = 1 if i == 0 else 2
+        bp, bs = p[f"block_{i}"], s[f"block_{i}"]
+        # Res2Block (speaker.py:36-67), NCHW
+        y = _conv2d(g, x, bp["in_conv"], strides=(stride, stride))
+        y = g.add("Relu", [_bn2d(g, y, bp["bn_in"], bs["bn_in"])])
+        t_cur, f_cur = -(-t_cur // stride), -(-f_cur // stride)
+        parts = g.add("Split", [y], n_out=c.scale, axis=1)
+        outs, prev = [parts[0]], None
+        for j in range(1, c.scale):
+            inp = parts[j] if prev is None else g.add("Add", [parts[j], prev])
+            z = _conv2d(g, inp, bp[f"conv_{j}"], pads=same2d(t_cur, f_cur, 3, 1))
+            prev = g.add("Relu", [_bn2d(g, z, bp[f"bn_{j}"], bs[f"bn_{j}"])])
+            outs.append(prev)
+        y = g.add("Concat", outs, axis=1)
+        y = _conv2d(g, y, bp["out_conv"])
+        y = _bn2d(g, y, bp["bn_out"], bs["bn_out"])
+        if "short" in bp:
+            x = _conv2d(g, x, bp["short"], strides=(stride, stride))
+        x = g.add("Relu", [g.add("Add", [x, y])])
+
+    # fold freq into channels, matching NHWC reshape (speaker.py:106-107):
+    # NCHW [B, C, T, F] -> NHWC [B, T, F, C] -> [B, T, F*C]
+    ch_last = c.channels[-1]
+    x = g.add("Transpose", [x], perm=[0, 2, 3, 1])
+    x = g.add("Reshape", [x, g.init(
+        "shape", np.asarray([0, 0, f_cur * ch_last], np.int64))])
+
+    # attentive stats pooling (speaker.py:70-85), no mask
+    asp = p["asp"]
+    a = _dense(g, x, asp["Dense_0"])
+    a = g.add("Tanh", [a])
+    a = _dense(g, a, asp["Dense_1"])
+    w = g.add("Softmax", [a], axis=1)
+    wx = g.add("Mul", [w, x])
+    mean_k = g.add("ReduceSum", [wx], axes=[1], keepdims=1)   # [B, 1, D]
+    d = g.add("Sub", [x, mean_k])
+    var = g.add("ReduceSum", [g.add("Mul", [w, g.add("Mul", [d, d])])],
+                axes=[1], keepdims=0)                         # [B, D]
+    std = g.add("Sqrt", [g.add("Add", [
+        var, g.init("eps", np.float32(1e-7).reshape(()))])])
+    mean = g.add("Squeeze", [mean_k, g.init("axes", np.asarray([1], np.int64))])
+    pooled = g.add("Concat", [mean, std], axis=-1)            # [B, 2D]
+
+    g.add("MatMul", [pooled, g.init("w", np.asarray(p["proj"]["kernel"],
+                                                    np.float32))], out="mm_proj")
+    g.add("Add", ["mm_proj", g.init("b", np.asarray(p["proj"]["bias"],
+                                                    np.float32))], out="emb")
+
+    blob = g.serialize(
+        inputs=[("feats", np.float32, ["batch", frames, c.num_mel])],
+        outputs=[("emb", np.float32, ["batch", c.embed_dim])],
+        metadata={
+            "model_type": "speaker_embedder",
+            "num_mel": c.num_mel,
+            "channels": ",".join(str(v) for v in c.channels),
+            "scale": c.scale, "embed_dim": c.embed_dim,
+            "asp_hidden": c.asp_hidden, "sample_rate": c.sample_rate,
+        })
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path

@@ -43,7 +43,9 @@ Env knobs: ACT_BENCH_PASSES (7), ACT_BENCH_MAX_PASSES (24),
 ACT_BENCH_TARGET_RTF (0.0045), ACT_BENCH_WAIT_BUDGET_S (900),
 ACT_BENCH_DTYPE (bfloat16), ACT_BENCH_MIXTURES (128), ACT_BENCH_DUR_SEC
 (10), ACT_BENCH_MAX_BATCH (64), ACT_BENCH_QUALITY (1), ACT_BENCH_QUALITY_STEPS
-(150), ACT_BENCH_ROOFLINE (0), ACT_BENCH_FAMILIES (0).
+(150), ACT_BENCH_ROOFLINE (0), ACT_BENCH_FAMILIES (0),
+ACT_BENCH_BACKEND_WAIT_S (600; bounded retry when the tunnel backend
+fails to initialize at all).
 """
 from __future__ import annotations
 
@@ -222,10 +224,18 @@ def tunnel_health(label: str = ""):
     d = jax.device_put(np.ones(25_000, np.float32))  # 100 KB
     d.block_until_ready()
     f = jax.jit(lambda x: x + 1.0)
+    t_start = time.perf_counter()
     for _ in range(15):
         t0 = time.perf_counter()
         np.asarray(f(d))  # fresh result each time: no host-side caching
         lat.append(time.perf_counter() - t0)
+        # early exit once degradation is certain: in a deep stall each pull
+        # takes tens of seconds to minutes, and 15 of them can burn half an
+        # hour of capture budget for a verdict 3 pulls already settled
+        if len(lat) >= 3 and time.perf_counter() - t_start > 60.0:
+            log(f"bench: tunnel probe cut short after {len(lat)} pulls "
+                f"({time.perf_counter() - t_start:.0f}s) — clearly degraded")
+            break
     lat_ms = sorted(x * 1e3 for x in lat)
     p50 = lat_ms[len(lat_ms) // 2]
     p95 = lat_ms[int(len(lat_ms) * 0.95)]
@@ -568,5 +578,45 @@ def main():
     }))
 
 
+def _wait_for_backend(budget_s: float = 600.0) -> None:
+    """Bounded retry for transient tunnel outages (experiment control).
+
+    The axon backend intermittently fails to initialize at all
+    ("UNAVAILABLE: TPU backend setup/compile error") — observed taking the
+    whole process down after a ~30 min hang. Backend init is process-wide
+    and one-shot in jax, so each retry probes in a SUBPROCESS; the parent
+    only initializes once a probe succeeds.
+    """
+    import subprocess
+
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True,
+                timeout=max(budget_s / 2, 120))
+        except subprocess.TimeoutExpired:
+            r = subprocess.CompletedProcess([], 1, "", "probe hang (timeout)")
+        if r.returncode == 0 and "ok" in r.stdout:
+            if attempt > 1:
+                log(f"bench: backend came back after {attempt} probes "
+                    f"({time.perf_counter() - t0:.0f}s)")
+            return
+        waited = time.perf_counter() - t0
+        if waited >= budget_s:
+            log(f"bench: backend unavailable after {attempt} probes / "
+                f"{waited:.0f}s — giving up (last stderr tail: "
+                f"{r.stderr.strip()[-200:]})")
+            return  # let main() fail with the real error
+        log(f"bench: backend probe {attempt} failed — retrying "
+            f"({budget_s - waited:.0f}s budget left)")
+        time.sleep(30.0)
+
+
 if __name__ == "__main__":
+    _wait_for_backend(float(os.environ.get("ACT_BENCH_BACKEND_WAIT_S", "600")))
     main()

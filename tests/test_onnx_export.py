@@ -157,6 +157,40 @@ def test_osdnet_roundtrip(tmp_path):
     assert err < 2e-4, f"abs err {err}"  # probs are already in [0, 1]
 
 
+def test_speaker_roundtrip(tmp_path):
+    """ERes2Net-style embedder: flax forward == exported graph (2-D SAME
+    convs with strides, inference-mode BatchNorm, Res2 channel split,
+    attentive stats pooling)."""
+    import jax
+
+    from audio_classification_tpu.models.speaker import (
+        SpeakerEmbedder, SpeakerEmbedderConfig)
+    from audio_classification_tpu.models.convert.onnx_export import (
+        export_speaker)
+
+    cfg = SpeakerEmbedderConfig(num_mel=20, channels=(8, 16), scale=4,
+                                embed_dim=24, asp_hidden=16)
+    model = SpeakerEmbedder(cfg)
+    frames = 31  # odd: asymmetric SAME pads + ceil-div stride-2 shapes
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, frames, cfg.num_mel)))
+    # nudge BN stats off init so the BatchNormalization emission is tested
+    # against non-trivial statistics
+    variables = jax.tree.map(
+        lambda a: a + 0.05 if a.ndim == 1 else a, variables)
+    feats = np.random.default_rng(2).standard_normal(
+        (3, frames, cfg.num_mel)).astype(np.float32)
+
+    ref = np.asarray(model.apply(variables, jnp.asarray(feats)))
+    path = str(tmp_path / "spk.onnx")
+    export_speaker(variables, cfg, path, frames=frames)
+    got = np.asarray(OnnxModel(path)(feats=jnp.asarray(feats))["emb"])
+    assert got.shape == ref.shape == (3, 24)
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert err < 2e-3, f"relative err {err}"
+    assert load_onnx_metadata(path)["model_type"] == "speaker_embedder"
+
+
 def test_export_metadata_and_signature(tmp_path):
     cfg = ConvTasNetConfig(n_src=3, enc_dim=16, enc_kernel=16, bottleneck=8,
                            hidden=16, conv_kernel=3, n_blocks=2, n_repeats=1,

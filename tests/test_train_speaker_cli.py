@@ -18,12 +18,22 @@ TINY = ["--channels", "8,16", "--embed-dim", "32", "--batch", "4",
 
 def test_synthetic_train_ckpt_resume_export_serve(tmp_path, capsys):
     ck, export = str(tmp_path / "ck"), str(tmp_path / "export")
+    onnx_path = str(tmp_path / "spk.onnx")
     a0, a1 = tsp.main(["--synthetic", "--num-speakers", "4", "--steps", "3",
                        "--ckpt-dir", ck, "--save-every", "2",
-                       "--export", export] + TINY)
+                       "--export", export, "--export-onnx", onnx_path] + TINY)
     assert np.isfinite(a0) and np.isfinite(a1)
     out = capsys.readouterr().out
     assert "checkpoint @ step 2" in out
+
+    # the ONNX export runs standalone and emits [batch, embed_dim]
+    from audio_classification_tpu.models.convert.onnx_exec import OnnxModel
+
+    om = OnnxModel(onnx_path)
+    (vi,) = [v for v in om.graph.inputs if v.name == "feats"]
+    emb = np.asarray(om(feats=np.zeros((1, int(vi.shape[1]),
+                                        int(vi.shape[2])), np.float32))["emb"])
+    assert emb.shape == (1, 32)
 
     # resume picks up at step 3, not 0
     tsp.main(["--synthetic", "--num-speakers", "4", "--steps", "4",
