@@ -45,6 +45,15 @@ def parse_args(argv=None):
                    help="Report path for --verify (default verify.json)")
     p.add_argument("--preset", default="full", choices=["full", "tiny"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pyannet-to-onnx", default="", metavar="TORCH_CKPT",
+                   help="Convert a pyannote segmentation torch checkpoint "
+                        "to a standard ONNX file (--onnx-out; pyannote has "
+                        "no official ONNX export — this produces one)")
+    p.add_argument("--onnx-out", default="pyannet.onnx",
+                   help="Output path for --pyannet-to-onnx")
+    p.add_argument("--seconds", type=float, default=10.0,
+                   help="Static input length baked into --pyannet-to-onnx "
+                        "(pyannote's chunked-inference window)")
     p.add_argument("--sep-checkpoint-3", default="", help="asteroid ConvTasNet 3-src torch checkpoint")
     p.add_argument("--sep-checkpoint-2", default="", help="asteroid ConvTasNet 2-src torch checkpoint")
     p.add_argument("--onnx", nargs="*", default=[],
@@ -76,6 +85,17 @@ def main(argv=None):
               f"{len(result['checks'])} checks -> {args.verify_out}")
         if not result["ok"]:
             raise SystemExit(1)
+        return
+    if args.pyannet_to_onnx:
+        from ..models.convert.onnx_export import export_pyannet
+        from ..models.convert.torch_import import load_pyannet_torch
+
+        pn_cfg, pn_params = load_pyannet_torch(args.pyannet_to_onnx)
+        samples = int(args.seconds * pn_cfg.sample_rate)
+        export_pyannet(pn_params, pn_cfg, args.onnx_out, samples=samples)
+        print(f"exported PyanNet ONNX: {args.onnx_out} "
+              f"(wav [batch,{samples}] -> probs; classes="
+              f"{pn_cfg.num_classes})")
         return
     if args.probe:
         if not args.onnx:

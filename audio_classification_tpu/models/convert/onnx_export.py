@@ -737,3 +737,109 @@ def export_speaker(variables, cfg, path: str, frames: int) -> str:
     with open(path, "wb") as f:
         f.write(blob)
     return path
+
+
+# ----------------------------------------------------------------- PyanNet
+
+def export_pyannet(params, cfg, path: str, samples: int) -> str:
+    """Serialize the exact-parity PyanNet OSD (models/pyannet.py) to ONNX.
+
+    Input `wav` [batch, samples] float32 (samples static, batch symbolic;
+    every row full-length — pyannote's own chunked-inference convention),
+    output `probs` [batch, frames, num_classes] per-frame sigmoid
+    activations (reference: src/osd/osd.py:20-71 runs this model through
+    the pyannote pipeline). The learnable SincNet band parameters are
+    materialized into a static conv kernel at export; the BiLSTM stack maps
+    onto ONNX LSTM nodes (torch gate order i,f,g,o -> ONNX i,o,f,c).
+    """
+    import jax.numpy as jnp
+
+    from ..pyannet import _sinc_filters
+
+    c = cfg
+    p = params
+
+    def _reorder_gates(m: np.ndarray, h: int) -> np.ndarray:
+        """torch rows (i,f,g,o) -> ONNX rows (i,o,f,c)."""
+        m = np.asarray(m, np.float32)
+        return np.concatenate([m[0 * h:1 * h], m[3 * h:4 * h],
+                               m[1 * h:2 * h], m[2 * h:3 * h]], axis=0)
+
+    g = OnnxGraphWriter("pyannet")
+    x = g.add("Unsqueeze", ["wav", g.init("axes", np.asarray([1], np.int64))])
+    x = g.add("InstanceNormalization", [
+        x,
+        g.init("in_s", np.asarray(p["wav_norm"]["weight"], np.float32)),
+        g.init("in_b", np.asarray(p["wav_norm"]["bias"], np.float32)),
+    ], epsilon=1e-5)
+
+    # SincNet front end (pyannet.py:152-184): bands -> static VALID conv
+    filt = np.asarray(jnp.asarray(_sinc_filters(
+        c, p["sinc"]["low_hz"], p["sinc"]["band_hz"])), np.float32)
+    x = g.add("Conv", [x, g.init("sinc", _conv_w(filt))], strides=[c.stride])
+    x = g.add("Abs", [x])
+    t = (samples - c.kernel_size) // c.stride + 1
+
+    def block_tail(x, t, norm):
+        x = g.add("MaxPool", [x], kernel_shape=[c.pool], strides=[c.pool])
+        t //= c.pool
+        x = g.add("InstanceNormalization", [
+            x,
+            g.init("in_s", np.asarray(norm["weight"], np.float32)),
+            g.init("in_b", np.asarray(norm["bias"], np.float32)),
+        ], epsilon=1e-5)
+        return g.add("LeakyRelu", [x], alpha=0.01), t
+
+    x, t = block_tail(x, t, p["norm0"])
+    for i in range(1, 1 + len(c.conv_channels)):
+        w = np.asarray(p[f"conv{i}"]["weight"], np.float32)    # [O, I, K] torch
+        x = g.add("Conv", [x, g.init("w", w),
+                           g.init("b", np.asarray(p[f"conv{i}"]["bias"],
+                                                  np.float32))])
+        t -= c.conv_kernel - 1
+        x, t = block_tail(x, t, p[f"norm{i}"])
+
+    # BiLSTM stack (pyannet.py:221-234,288-296): [B, C, T] -> [T, B, C]
+    x = g.add("Transpose", [x], perm=[2, 0, 1])
+    h = c.lstm_hidden
+    ndir = 2 if c.bidirectional else 1
+    for lp in p["lstm"]:
+        dirs = ["fw", "bw"] if c.bidirectional else ["fw"]
+        W = np.stack([_reorder_gates(lp[d]["w_ih"], h) for d in dirs])
+        R = np.stack([_reorder_gates(lp[d]["w_hh"], h) for d in dirs])
+        B = np.stack([np.concatenate([_reorder_gates(lp[d]["b_ih"], h),
+                                      _reorder_gates(lp[d]["b_hh"], h)])
+                      for d in dirs])
+        y = g.add("LSTM", [x, g.init("W", W), g.init("R", R), g.init("B", B)],
+                  n_out=2, hidden_size=h,
+                  direction="bidirectional" if c.bidirectional else "forward")[0]
+        # Y [T, ndir, B, H] -> [T, B, ndir*H]
+        y = g.add("Transpose", [y], perm=[0, 2, 1, 3])
+        x = g.add("Reshape", [y, g.init(
+            "shape", np.asarray([0, 0, ndir * h], np.int64))])
+    x = g.add("Transpose", [x], perm=[1, 0, 2])                # [B, T, ndir*H]
+
+    for lp in p["linear"]:
+        w = np.asarray(lp["weight"], np.float32).T
+        x = g.add("Add", [g.add("MatMul", [x, g.init("w", w)]),
+                          g.init("b", np.asarray(lp["bias"], np.float32))])
+        x = g.add("LeakyRelu", [x], alpha=0.01)
+    w = np.asarray(p["classifier"]["weight"], np.float32).T
+    logits = g.add("Add", [g.add("MatMul", [x, g.init("w", w)]),
+                           g.init("b", np.asarray(p["classifier"]["bias"],
+                                                  np.float32))])
+    g.add("Sigmoid", [logits], out="probs")
+
+    blob = g.serialize(
+        inputs=[("wav", np.float32, ["batch", samples])],
+        outputs=[("probs", np.float32, ["batch", t, c.num_classes])],
+        metadata={
+            "model_type": "pyannet",
+            "sample_rate": c.sample_rate, "num_classes": c.num_classes,
+            "lstm_hidden": c.lstm_hidden, "lstm_layers": c.lstm_layers,
+            "bidirectional": int(c.bidirectional),
+            "frames": t,
+        })
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path

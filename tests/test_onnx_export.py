@@ -191,6 +191,35 @@ def test_speaker_roundtrip(tmp_path):
     assert load_onnx_metadata(path)["model_type"] == "speaker_embedder"
 
 
+def test_pyannet_roundtrip(tmp_path):
+    """Exact-parity OSD: flax forward (full-length rows) == exported graph
+    (baked SincNet kernel, BiLSTM gate reorder, InstanceNorm, MaxPool)."""
+    from audio_classification_tpu.models.pyannet import PyanNet, PyanNetConfig
+    from audio_classification_tpu.models.convert.onnx_export import (
+        export_pyannet)
+
+    cfg = PyanNetConfig(n_filters=8, kernel_size=51, stride=10,
+                        conv_channels=(8,), conv_kernel=5, pool=3,
+                        lstm_hidden=8, lstm_layers=2, linear_dims=(8,),
+                        num_classes=3)
+    model = PyanNet(cfg)
+    params = model.init(seed=0)
+    samples = 2000
+    wav = np.random.default_rng(3).standard_normal(
+        (2, samples)).astype(np.float32) * 0.3
+    lengths = np.full(2, samples, np.int32)
+
+    ref = np.asarray(model.apply(params, jnp.asarray(wav),
+                                 jnp.asarray(lengths)))
+    path = str(tmp_path / "pn.onnx")
+    export_pyannet(params, cfg, path, samples=samples)
+    got = np.asarray(OnnxModel(path)(wav=jnp.asarray(wav))["probs"])
+    assert got.shape == ref.shape
+    err = np.max(np.abs(got - ref))
+    assert err < 2e-4, f"abs err {err}"  # sigmoid probs in [0, 1]
+    assert load_onnx_metadata(path)["model_type"] == "pyannet"
+
+
 def test_export_metadata_and_signature(tmp_path):
     cfg = ConvTasNetConfig(n_src=3, enc_dim=16, enc_kernel=16, bottleneck=8,
                            hidden=16, conv_kernel=3, n_blocks=2, n_repeats=1,

@@ -278,3 +278,50 @@ def test_engine_osd_pyannet_segments():
         assert abs(s[-1][1] - len(wav) / 16000) < 1e-6
         for a, b, is_ov in s:
             assert b > a and isinstance(is_ov, (bool, np.bool_))
+
+
+def test_pyannet_to_onnx_cli(tmp_path):
+    """convert_models --pyannet-to-onnx: a pyannote torch checkpoint becomes
+    a standard ONNX file whose forward matches the in-framework PyanNet."""
+    from audio_classification_tpu.cli.convert_models import main as cm_main
+    from audio_classification_tpu.models.convert.onnx_exec import OnnxModel
+    from audio_classification_tpu.models.convert.torch_import import (
+        load_pyannet_torch)
+
+    rng = np.random.RandomState(5)
+    sd = _random_state_dict(TINY, rng)
+    ckpt = _save_ckpt(tmp_path, sd, nested=True)
+    onnx_path = str(tmp_path / "pn.onnx")
+    # TINY is 8 kHz/31-tap; loader infers arch from shapes given sr/kernel/
+    # stride hints — the CLI uses defaults, so load explicitly and export
+    # via the same path the CLI wraps, then exercise the CLI on defaults
+    cfg, params = load_pyannet_torch(ckpt, sample_rate=TINY.sample_rate,
+                                     kernel_size=TINY.kernel_size,
+                                     stride=TINY.stride)
+    from audio_classification_tpu.models.convert.onnx_export import (
+        export_pyannet)
+
+    samples = 4000
+    export_pyannet(params, cfg, onnx_path, samples=samples)
+
+    import jax.numpy as jnp
+
+    wav = (0.3 * rng.randn(2, samples)).astype(np.float32)
+    ref = np.asarray(PyanNet(cfg).apply(params, jnp.asarray(wav),
+                                        jnp.asarray([samples, samples])))
+    got = np.asarray(OnnxModel(onnx_path)(wav=jnp.asarray(wav))["probs"])
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 2e-4
+
+    # the CLI wrapper end-to-end (16 kHz defaults match pyannote ckpts)
+    sd16 = _random_state_dict(PyanNetConfig(), np.random.RandomState(6))
+    ckpt16 = tmp_path / "pl16.ckpt"
+    import torch
+
+    torch.save({"state_dict": {k: torch.from_numpy(v)
+                               for k, v in sd16.items()}}, str(ckpt16))
+    out16 = str(tmp_path / "pn16.onnx")
+    cm_main(["--pyannet-to-onnx", str(ckpt16), "--onnx-out", out16,
+             "--seconds", "0.5"])
+    om = OnnxModel(out16)
+    assert om.graph.input_names == ["wav"]
