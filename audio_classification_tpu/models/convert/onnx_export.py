@@ -843,3 +843,45 @@ def export_pyannet(params, cfg, path: str, samples: int) -> str:
     with open(path, "wb") as f:
         f.write(blob)
     return path
+
+
+# ------------------------------------------------------------------ VADNet
+
+def export_vadnet(params, cfg, path: str, frames: int) -> str:
+    """Serialize VADNet (models/vad.py) to ONNX: fbank feats
+    [batch, frames, num_mel] -> [batch, frames] speech probabilities — the
+    same role as the reference's silero VAD export (reference:
+    speaker-identification-with-vad-non-streaming-asr.py:497-516); the
+    hysteresis segmenter downstream is host logic in both designs.
+    """
+    p = params["params"] if "params" in params else params
+    c = cfg
+
+    g = OnnxGraphWriter("vadnet")
+    x = g.add("Transpose", ["feats"], perm=[0, 2, 1])        # NCW
+    for i in range(c.layers):
+        d = 2 ** i
+        total = (c.kernel - 1) * d                            # stride-1 SAME
+        x = _conv(g, x, p[f"conv_{i}"], dilation=d,
+                  pads=(total // 2, total - total // 2))
+        x = g.add("Transpose", [x], perm=[0, 2, 1])
+        x = _gelu_tanh(g, x)
+        if i < c.layers - 1:
+            x = g.add("Transpose", [x], perm=[0, 2, 1])
+    logits = _dense(g, x, p["head"])                         # [B, T, 1]
+    probs3 = g.add("Sigmoid", [logits])
+    g.add("Squeeze", [probs3, g.init("axes", np.asarray([2], np.int64))],
+          out="probs")
+
+    blob = g.serialize(
+        inputs=[("feats", np.float32, ["batch", frames, c.num_mel])],
+        outputs=[("probs", np.float32, ["batch", frames])],
+        metadata={
+            "model_type": "vadnet",
+            "num_mel": c.num_mel, "dim": c.dim, "layers": c.layers,
+            "kernel": c.kernel, "sample_rate": c.sample_rate,
+            "frame_shift_ms": c.frame_shift_ms,
+        })
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path

@@ -220,6 +220,31 @@ def test_pyannet_roundtrip(tmp_path):
     assert load_onnx_metadata(path)["model_type"] == "pyannet"
 
 
+def test_vadnet_roundtrip(tmp_path):
+    """VAD head: flax forward == exported graph (dilated SAME convs)."""
+    import jax
+
+    from audio_classification_tpu.models.vad import VADConfig, VADNet
+    from audio_classification_tpu.models.convert.onnx_export import (
+        export_vadnet)
+
+    cfg = VADConfig(num_mel=20, dim=16, layers=3, kernel=5)
+    model = VADNet(cfg)
+    frames = 40
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, frames, cfg.num_mel)))
+    feats = np.random.default_rng(4).standard_normal(
+        (2, frames, cfg.num_mel)).astype(np.float32)
+
+    ref = np.asarray(model.apply(params, jnp.asarray(feats)))
+    path = str(tmp_path / "vad.onnx")
+    export_vadnet(params, cfg, path, frames=frames)
+    got = np.asarray(OnnxModel(path)(feats=jnp.asarray(feats))["probs"])
+    assert got.shape == ref.shape == (2, frames)
+    assert np.max(np.abs(got - ref)) < 2e-4
+    assert load_onnx_metadata(path)["model_type"] == "vadnet"
+
+
 def test_export_metadata_and_signature(tmp_path):
     cfg = ConvTasNetConfig(n_src=3, enc_dim=16, enc_kernel=16, bottleneck=8,
                            hidden=16, conv_kernel=3, n_blocks=2, n_repeats=1,
