@@ -593,10 +593,18 @@ def _wait_for_backend(budget_s: float = 600.0) -> None:
     attempt = 0
     while True:
         attempt += 1
+        # the child honors JAX_PLATFORMS explicitly: sitecustomize
+        # pre-imports jax, which freezes the platform config before an env
+        # override can land (CLAUDE.md) — config.update is the documented
+        # second half of the dance
+        probe_src = (
+            "import os, jax\n"
+            "p = os.environ.get('JAX_PLATFORMS', '')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "jax.devices(); print('ok')\n")
         try:
             r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; jax.devices(); print('ok')"],
+                [sys.executable, "-c", probe_src],
                 capture_output=True, text=True,
                 timeout=max(budget_s / 2, 120))
         except subprocess.TimeoutExpired:
@@ -611,7 +619,9 @@ def _wait_for_backend(budget_s: float = 600.0) -> None:
             log(f"bench: backend unavailable after {attempt} probes / "
                 f"{waited:.0f}s — giving up (last stderr tail: "
                 f"{r.stderr.strip()[-200:]})")
-            return  # let main() fail with the real error
+            # fail FAST: letting main() attempt init repeats the observed
+            # ~30 min hang before the same UNAVAILABLE error
+            raise SystemExit(2)
         log(f"bench: backend probe {attempt} failed — retrying "
             f"({budget_s - waited:.0f}s budget left)")
         time.sleep(30.0)

@@ -49,3 +49,30 @@ def test_graft_dryrun_subprocess():
     out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip ok" in out.stdout
+
+
+def test_bench_backend_retry_gives_up_in_budget(monkeypatch, capsys):
+    """_wait_for_backend: probes in subprocesses, retries on failure, and
+    returns (rather than hanging or raising) once the budget is spent —
+    the observed failure mode is the axon backend erroring UNAVAILABLE."""
+    import time as _time
+
+    import pytest
+
+    bench = _load("bench.py", "bench_mod_retry")
+    monkeypatch.setenv("JAX_PLATFORMS", "definitely_not_a_backend")
+    t0 = _time.perf_counter()
+    with pytest.raises(SystemExit):  # fail fast, not a 30-min init hang
+        bench._wait_for_backend(budget_s=4.0)
+    took = _time.perf_counter() - t0
+    err = capsys.readouterr().err
+    assert "probe" in err and "giving up" in err
+    assert took < 120
+
+
+def test_bench_backend_retry_succeeds_on_healthy_backend(monkeypatch, capsys):
+    bench = _load("bench.py", "bench_mod_retry_ok")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    bench._wait_for_backend(budget_s=60.0)
+    # a healthy first probe is silent
+    assert "giving up" not in capsys.readouterr().err
