@@ -72,7 +72,10 @@ def parse_args(argv=None):
                         "asr config when exporting: full=7, tiny=3)")
     m.add_argument("--init-onnx", default="",
                    help="SenseVoice .onnx export to map and fine-tune "
-                        "(full-preset dims; needs --cmvn for serving parity)")
+                        "(--preset dims; needs --cmvn for serving parity)")
+    m.add_argument("--preset", default="full", choices=["full", "tiny"],
+                   help="Which preset's asr dims --init-onnx maps onto "
+                        "(real sherpa exports are full-preset shaped)")
     par = p.add_argument_group("parallelism")
     par.add_argument("--data-parallel", type=int, default=0)
     par.add_argument("--model-parallel", type=int, default=0)
@@ -231,9 +234,10 @@ def main(argv=None):
     if args.init_onnx:
         import dataclasses
 
-        from ..engine.runtime import EnginePreset
+        from ..engine.runtime import EnginePreset, tiny_preset
 
-        cfg = dataclasses.replace(EnginePreset().asr, vocab_size=tokens.vocab_size)
+        base = tiny_preset() if args.preset == "tiny" else EnginePreset()
+        cfg = dataclasses.replace(base.asr, vocab_size=tokens.vocab_size)
     else:
         cfg = SenseVoiceConfig(vocab_size=tokens.vocab_size, dim=args.dim,
                                heads=args.heads, layers=args.layers,
@@ -243,14 +247,15 @@ def main(argv=None):
     b0, _ = sampler.batch(2)
     feats0, mask0 = sensevoice_frontend(jnp.asarray(b0["wav"]),
                                         jnp.asarray(b0["lens"]), cfg)
-    # jit the init: eagerly it dispatches one tunnel round-trip per op
-    # (~90 ms each — CLAUDE.md; ModelPack jits inits for the same reason)
-    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), feats0, mask0)
     if args.init_onnx:
         from ..models.convert.onnx_graph_map import import_onnx
 
         params = import_onnx(args.init_onnx, "sensevoice", cfg)
         print(f"[train_asr] fine-tuning mapped weights from {args.init_onnx}")
+    else:
+        # jit the init: eagerly it dispatches one tunnel round-trip per op
+        # (~90 ms each — CLAUDE.md; ModelPack jits inits for the same reason)
+        params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), feats0, mask0)
 
     def loss_fn(apply_fn, p_, b_):
         feats, mask = sensevoice_frontend(b_["wav"], b_["lens"], cfg)

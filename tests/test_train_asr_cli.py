@@ -100,6 +100,35 @@ def test_tsv_manifest_and_char_vocab(corpus, tmp_path):
     assert np.isfinite(c0) and np.isfinite(c1)
 
 
+def test_init_onnx_finetunes_mapped_export(corpus, tmp_path, capsys):
+    """--init-onnx: a (synthetic) SenseVoice export's weights map onto the
+    trainable encoder and training continues from them — the fine-tune-the-
+    reference's-own-model-on-TPU route."""
+    import numpy as np
+    from helpers_onnx import GraphBuilder
+    from test_onnx_graph_map import _build_sensevoice_fixture
+
+    from audio_classification_tpu.models.asr.sensevoice import SenseVoiceConfig
+
+    _, man, tokens = corpus
+    # tiny-preset asr dims (engine/runtime.py:73), vocab = the padded table
+    cfg = SenseVoiceConfig(vocab_size=64, dim=64, heads=2, layers=2,
+                           conv_kernel=3)
+    gb = GraphBuilder()
+    _build_sensevoice_fixture(cfg, cfg.lfr_m * cfg.num_mel,
+                              np.random.default_rng(9), gb)
+    onnx_path = str(tmp_path / "sv_ref.onnx")
+    gb.write(onnx_path)
+
+    c0, c1 = ta.main(["--manifest", man, "--tokens", tokens, "--steps", "2",
+                      "--max-seconds", "1.0", "--batch", "2",
+                      "--log-every", "100", "--init-onnx", onnx_path,
+                      "--preset", "tiny"])
+    assert np.isfinite(c0) and np.isfinite(c1)
+    out = capsys.readouterr().out
+    assert "fine-tuning mapped weights" in out
+
+
 def test_export_dim_mismatch_fails_loud(corpus, tmp_path):
     _, man, tokens = corpus
     export = str(tmp_path / "export32")
