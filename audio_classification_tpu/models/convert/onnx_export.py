@@ -710,10 +710,13 @@ def export_speaker(variables, cfg, path: str, frames: int) -> str:
     a = _dense(g, a, asp["Dense_1"])
     w = g.add("Softmax", [a], axis=1)
     wx = g.add("Mul", [w, x])
-    mean_k = g.add("ReduceSum", [wx], axes=[1], keepdims=1)   # [B, 1, D]
+    # opset-13+ ReduceSum carries axes as an INPUT (unlike ReduceMean,
+    # which keeps the attribute form until opset 18)
+    ax1 = g.init("axes", np.asarray([1], np.int64))
+    mean_k = g.add("ReduceSum", [wx, ax1], keepdims=1)        # [B, 1, D]
     d = g.add("Sub", [x, mean_k])
-    var = g.add("ReduceSum", [g.add("Mul", [w, g.add("Mul", [d, d])])],
-                axes=[1], keepdims=0)                         # [B, D]
+    var = g.add("ReduceSum", [g.add("Mul", [w, g.add("Mul", [d, d])]), ax1],
+                keepdims=0)                                   # [B, D]
     std = g.add("Sqrt", [g.add("Add", [
         var, g.init("eps", np.float32(1e-7).reshape(()))])])
     mean = g.add("Squeeze", [mean_k, g.init("axes", np.asarray([1], np.int64))])
