@@ -207,6 +207,30 @@ class Separator:
         outs = self.engine.separate(wavs, n_src=self.n_src, backend=self.backend)
         return [[o[i] for i in range(self.n_src)] for o in outs]
 
+    def separate_long(self, samples: np.ndarray, sr: int, mesh,
+                      axis: str = "data") -> List[np.ndarray]:
+        """One arbitrarily long mixture with its TIME axis sharded over the
+        mesh (parallel/sp_convtasnet: halo-exchanged convs + psum gLN) —
+        the separation counterpart of `transcribe_long`'s ring attention.
+        Numerically identical to `separate` (the dense masked forward);
+        convtasnet backend only."""
+        if self.backend == "mossformer":
+            raise ValueError("separate_long shards the ConvTasNet frame "
+                             "axis; the mossformer backend's global "
+                             "attention uses transcribe-style segmentation")
+        import jax.numpy as jnp
+
+        from ..parallel.sp_convtasnet import sp_separate
+
+        wav = self._ensure_sr(np.asarray(samples, np.float32), sr)
+        pack = self.engine.pack
+        stage = "sep3" if self.n_src == 3 else "sep2"
+        cfg = pack.preset.sep3 if self.n_src == 3 else pack.preset.sep2
+        out = np.asarray(sp_separate(pack.params[stage], cfg,
+                                     jnp.asarray(wav)[None], None, mesh,
+                                     axis=axis))[0]
+        return [out[i] for i in range(self.n_src)]
+
     def _ensure_sr(self, samples: np.ndarray, sr: int) -> np.ndarray:
         if sr == self.sample_rate or len(samples) <= 1:
             return samples

@@ -1,0 +1,105 @@
+"""Time-sharded Conv-TasNet (parallel/sp_convtasnet) vs the dense oracle.
+
+The dense masked forward (models/convtasnet.py) is the numeric oracle:
+sharding the frame axis over the 8-device CPU mesh with halo exchanges
+must reproduce it exactly (encoder halos, per-dilation dw-conv halos,
+psum gLN statistics, overlap-add tail exchange).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_classification_tpu.models.convtasnet import ConvTasNet, ConvTasNetConfig
+from audio_classification_tpu.parallel.mesh import make_mesh
+from audio_classification_tpu.parallel.sp_convtasnet import sp_separate
+
+CFG = ConvTasNetConfig(n_src=2, enc_dim=16, enc_kernel=16, bottleneck=8,
+                       hidden=16, conv_kernel=3, n_blocks=3, n_repeats=2,
+                       sample_rate=8000)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ConvTasNet(CFG)
+    t = 1000
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, t)),
+                        jnp.ones((1, t)))
+    mesh = make_mesh(8, model_axis=1)
+    return model, params, mesh
+
+
+def test_sp_matches_dense_with_padded_rows(setup):
+    model, params, mesh = setup
+    t = 1000
+    rng = np.random.default_rng(0)
+    mix = (rng.standard_normal((2, t)) * 0.3).astype(np.float32)
+    lengths = np.asarray([t, 700], np.int32)
+    mix[1, 700:] = 0.0
+
+    mask = (np.arange(t)[None, :] < lengths[:, None]).astype(np.float32)
+    ref = np.asarray(model.apply(params, jnp.asarray(mix), jnp.asarray(mask)))
+    got = np.asarray(sp_separate(params, CFG, jnp.asarray(mix),
+                                 jnp.asarray(lengths), mesh))
+    assert got.shape == ref.shape == (2, 2, t)
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert err < 1e-4, f"relative err {err}"
+    # padded tail stays silent
+    assert np.all(got[1, :, 700:] == 0.0)
+
+
+def test_sp_default_lengths_full(setup):
+    model, params, mesh = setup
+    t = 777  # does not tile the stride: exercises host padding
+    mix = (np.random.default_rng(1).standard_normal((1, t)) * 0.3).astype(np.float32)
+    mask = np.ones((1, t), np.float32)
+    ref = np.asarray(model.apply(params, jnp.asarray(mix), jnp.asarray(mask)))
+    got = np.asarray(sp_separate(params, CFG, jnp.asarray(mix), None, mesh))
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert err < 1e-4, f"relative err {err}"
+
+
+def test_sp_rejects_too_short_audio(setup):
+    _, params, mesh = setup
+    with pytest.raises(ValueError, match="frames/shard"):
+        sp_separate(params, CFG, jnp.zeros((1, 100)), None, mesh)
+
+
+def test_separator_facade_separate_long(setup):
+    """Separator.separate_long == Separator.separate on the same engine."""
+    _, _, mesh = setup
+    from audio_classification_tpu.engine import (BucketSpec, ModelPack,
+                                                 StageEngine, tiny_preset)
+    from audio_classification_tpu.models.facades import Separator
+
+    pack = ModelPack(tiny_preset(), seed=0)
+    eng = StageEngine(pack, BucketSpec(lengths=(16000,), max_batch=2))
+    sep = Separator(n_src=2, engine=eng)
+    wav = (np.random.default_rng(2).standard_normal(9000) * 0.3).astype(np.float32)
+    sharded = sep.separate_long(wav, 16000, mesh)
+    assert len(sharded) == 2 and sharded[0].shape == (9000,)
+    # oracle = the dense masked forward on the SAME pack params (the engine's
+    # own `separate` uploads audio as int16 by design — CLAUDE.md — so it is
+    # not bit-comparable; sp_separate matches the float dense math exactly)
+    from audio_classification_tpu.models.convtasnet import ConvTasNet
+
+    dense = np.asarray(ConvTasNet(pack.preset.sep2).apply(
+        pack.params["sep2"], jnp.asarray(wav)[None],
+        jnp.ones((1, 9000), np.float32)))[0]
+    for a, b_ in zip(dense, sharded):
+        err = np.max(np.abs(a - b_)) / (np.max(np.abs(a)) + 1e-9)
+        assert err < 1e-4, f"facade long-path mismatch {err}"
+
+    with pytest.raises(ValueError, match="mossformer"):
+        Separator(n_src=2, engine=eng,
+                  backend="mossformer").separate_long(wav, 8000, mesh)
+
+
+def test_sp_rejects_int8(setup):
+    import dataclasses
+
+    _, params, mesh = setup
+    q = dataclasses.replace(CFG, quant="int8")
+    with pytest.raises(ValueError, match="int8"):
+        sp_separate(params, q, jnp.zeros((1, 4000)), None, mesh)
