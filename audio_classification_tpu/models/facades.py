@@ -210,25 +210,27 @@ class Separator:
     def separate_long(self, samples: np.ndarray, sr: int, mesh,
                       axis: str = "data") -> List[np.ndarray]:
         """One arbitrarily long mixture with its TIME axis sharded over the
-        mesh (parallel/sp_convtasnet: halo-exchanged convs + psum gLN) —
-        the separation counterpart of `transcribe_long`'s ring attention.
-        Numerically identical to `separate` (the dense masked forward);
-        convtasnet backend only."""
-        if self.backend == "mossformer":
-            raise ValueError("separate_long shards the ConvTasNet frame "
-                             "axis; the mossformer backend's global "
-                             "attention uses transcribe-style segmentation")
+        mesh (parallel/sp_convtasnet: halo-exchanged convs; psum gLN for
+        ConvTasNet, plain-sum ring passes for MossFormer's relu² GAU
+        attention) — the separation counterpart of `transcribe_long`'s
+        ring attention. Numerically identical to the dense masked forward
+        of the selected backend."""
         import jax.numpy as jnp
 
-        from ..parallel.sp_convtasnet import sp_separate
+        from ..parallel.sp_convtasnet import sp_separate, sp_separate_mossformer
 
         wav = self._ensure_sr(np.asarray(samples, np.float32), sr)
         pack = self.engine.pack
-        stage = "sep3" if self.n_src == 3 else "sep2"
-        cfg = pack.preset.sep3 if self.n_src == 3 else pack.preset.sep2
-        out = np.asarray(sp_separate(pack.params[stage], cfg,
-                                     jnp.asarray(wav)[None], None, mesh,
-                                     axis=axis))[0]
+        if self.backend == "mossformer":
+            out = sp_separate_mossformer(
+                pack.params["mossformer"], pack.preset.mossformer,
+                jnp.asarray(wav)[None], None, mesh, axis=axis)
+        else:
+            stage = "sep3" if self.n_src == 3 else "sep2"
+            cfg = pack.preset.sep3 if self.n_src == 3 else pack.preset.sep2
+            out = sp_separate(pack.params[stage], cfg,
+                              jnp.asarray(wav)[None], None, mesh, axis=axis)
+        out = np.asarray(out)[0]
         return [out[i] for i in range(self.n_src)]
 
     def _ensure_sr(self, samples: np.ndarray, sr: int) -> np.ndarray:

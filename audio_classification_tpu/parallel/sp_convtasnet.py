@@ -36,9 +36,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _pointwise(x, scope):
-    """1x1 conv == matmul; kernel [1, Cin, Cout]."""
+    """Per-frame projection: Conv1d 1x1 kernel [1, Cin, Cout] or nn.Dense
+    kernel [Cin, Cout] — both are the same local matmul."""
     k = jnp.asarray(scope["kernel"])
-    y = x @ k[0]
+    y = x @ (k[0] if k.ndim == 3 else k)
     if "bias" in scope:
         y = y + jnp.asarray(scope["bias"])
     return y
@@ -202,6 +203,9 @@ def sp_separate(params, cfg, mix: jnp.ndarray, lengths, mesh: Mesh,
     lengths = jnp.asarray(lengths, jnp.int32)
 
     f = max(int(-(-(t - L) // stride)) + 1, 1) if t >= L else 1
+    # every real sample must land in some shard's main chunk (the trailing
+    # L-stride overhang comes from halos/zeros): f*stride >= t
+    f = max(f, int(-(-t // stride)))
     f = n * int(-(-f // n))                    # frames tile the mesh axis
     fs = f // n
     max_halo = (c.conv_kernel - 1) // 2 * 2 ** (c.n_blocks - 1)
@@ -221,3 +225,154 @@ def sp_separate(params, cfg, mix: jnp.ndarray, lengths, mesh: Mesh,
     )
     out = fn(mix_p, lengths, params)
     return out[..., :t]
+
+
+# ----------------------------------------------------- MossFormer variant
+
+def _gau_ring_attn(q, k, v, fmask, inv_t: float, axis_name: str):
+    """GAU attention with the key axis sharded: out_t = Σ_s relu(q_t·k_s *
+    inv_t * m_s)² v_s. No softmax → ring accumulation is a plain partial
+    sum; K/V/mask blocks rotate while each shard accumulates its queries'
+    sum (models/mossformer.py:62-67 semantics, mask applied pre-relu)."""
+    n = jax.lax.psum(1, axis_name)
+
+    def block(k_b, v_b, m_b):
+        logits = jnp.einsum("btd,bsd->bts", q, k_b,
+                            preferred_element_type=jnp.float32) * inv_t
+        logits = logits * m_b[:, None, :].astype(logits.dtype)
+        return jnp.einsum("bts,bse->bte", jax.nn.relu(logits) ** 2, v_b,
+                          preferred_element_type=jnp.float32)
+
+    acc0 = block(k, v, fmask)
+
+    def step(_, carry):
+        acc, k_c, v_c, m_c = carry
+        perm = [(j, (j + 1) % n) for j in range(n)]
+        k_n = jax.lax.ppermute(k_c, axis_name, perm)
+        v_n = jax.lax.ppermute(v_c, axis_name, perm)
+        m_n = jax.lax.ppermute(m_c, axis_name, perm)
+        return acc + block(k_n, v_n, m_n), k_n, v_n, m_n
+
+    acc, _, _, _ = jax.lax.fori_loop(1, n, step, (acc0, k, v, fmask))
+    return acc
+
+
+def _cln(x, scope, eps: float = 1e-8):
+    """models/common.ChannelLayerNorm — per-frame, fully local."""
+    gamma = jnp.asarray(scope["gamma"]).astype(jnp.float32)
+    beta = jnp.asarray(scope["beta"]).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps) * gamma + beta).astype(x.dtype)
+
+
+def _moss_body(mix_local, lengths, params, cfg, fs: int, f_dense: int,
+               axis_name: str):
+    """One shard of the MossFormer forward (models/mossformer.py:80-114)."""
+    p = params["params"] if "params" in params else params
+    c = cfg
+    stride, L = c.stride, c.enc_kernel
+    b = mix_local.shape[0]
+    i = jax.lax.axis_index(axis_name)
+
+    s_idx = i * fs * stride + jnp.arange(fs * stride)
+    smask = (s_idx[None, :] < lengths[:, None]).astype(mix_local.dtype)
+    x = mix_local * smask
+    halo = _halo_from_right(x, L - stride, axis_name)
+    x = jnp.concatenate([x, halo], axis=1)[..., None]
+
+    enc_k = jnp.asarray(p["encoder"]["kernel"]).astype(x.dtype)
+    w = jax.nn.relu(jax.lax.conv_general_dilated(
+        x, enc_k, window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC")))        # [B, fs, N]
+    f_len = jnp.maximum((lengths - L) // stride + 1, 1)
+    f_idx = i * fs + jnp.arange(fs)
+    fmask = f_idx[None, :] < f_len[:, None]
+    # frames past the dense tiling (mesh round-up) impersonate the dense
+    # forward's SAME zero padding for the conv halos
+    tile = (f_idx < f_dense)[None, :]
+
+    h = _pointwise(w, p["in_proj"])                      # [B, fs, dim]
+    inv_t = 1.0 / float(f_dense)                         # dense: /x.shape[1]
+    for li in range(c.layers):
+        blk = p[f"gau_{li}"]
+        hn = _cln(h, blk["ln"])
+        hc = _dw_conv_sp(hn * tile[..., None].astype(hn.dtype),
+                         blk["dwconv"], 1, axis_name)
+        hn = hn + jax.nn.silu(hc)
+        u = jax.nn.silu(_pointwise(hn, blk["to_u"]))
+        v = jax.nn.silu(_pointwise(hn, blk["to_v"]))
+        z = _pointwise(hn, blk["to_qk"])
+        gamma = jnp.asarray(blk["gamma"])
+        beta = jnp.asarray(blk["beta"])
+        q = z * gamma[0] + beta[0]
+        k = z * gamma[1] + beta[1]
+        attn_v = _gau_ring_attn(q, k, v, fmask, inv_t, axis_name)
+        out = _pointwise(u * attn_v, blk["to_out"])
+        out = out * fmask[..., None]
+        h = h + out
+    h = _cln(h, p["ln_out"])
+    m = _pointwise(h, p["mask_head"]).reshape(b, fs, c.n_src, c.enc_dim)
+    m = jax.nn.relu(m)
+
+    # frames past the dense tiling don't exist in the dense forward (which
+    # never zeroes its own invalid-but-existing frames — mossformer.py:106);
+    # only the mesh round-up frames must vanish
+    masked = w[:, :, None, :] * m * tile[..., None, None].astype(w.dtype)
+    dec = jnp.asarray(p["decoder"])
+    frames = jnp.einsum("bfsn,kn->bsfk", masked, dec,
+                        preferred_element_type=jnp.float32)
+    from ..models.convtasnet import _overlap_add_frames
+
+    sig = _overlap_add_frames(frames, stride)
+    main, tail = sig[..., : fs * stride], sig[..., fs * stride:]
+    n = jax.lax.psum(1, axis_name)
+    recv = jax.lax.ppermute(tail, axis_name,
+                            [(j, j + 1) for j in range(n - 1)])
+    main = main.at[..., : L - stride].add(recv)
+    return main * smask[:, None, :].astype(main.dtype)
+
+
+def sp_separate_mossformer(params, cfg, mix: jnp.ndarray, lengths,
+                           mesh: Mesh, axis: str = "data") -> jnp.ndarray:
+    """MossFormer separation with the frame axis sharded over ``axis``.
+
+    Same contract and exactness guarantee as ``sp_separate``: equals the
+    dense masked forward (models/mossformer.py) sliced to T. The GAU's
+    relu² attention has no softmax, so the ring pass is a plain partial
+    sum over rotating K/V blocks.
+    """
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    c = cfg
+    n = mesh.shape[axis]
+    stride, L = c.stride, c.enc_kernel
+    b, t = mix.shape
+    if lengths is None:
+        lengths = jnp.full((b,), t, jnp.int32)
+    lengths = jnp.asarray(lengths, jnp.int32)
+
+    f_dense = max(int(-(-(t - L) // stride)) + 1, 1) if t >= L else 1
+    f = max(f_dense, int(-(-t // stride)))     # cover every real sample
+    f = n * int(-(-f // n))
+    fs = f // n
+    max_halo = (c.conv_kernel - 1) - (c.conv_kernel - 1) // 2
+    if fs < max(max_halo, 1):
+        raise ValueError(
+            f"sp_separate_mossformer: {fs} frames/shard < the conv halo "
+            f"({max_halo}); use longer audio or fewer shards")
+    t_pad = f * stride
+    mix_p = jnp.pad(jnp.asarray(mix, jnp.float32), ((0, 0), (0, t_pad - t)))
+
+    fn = shard_map(
+        lambda mx, ln, pr: _moss_body(mx, ln, pr, cfg=c, fs=fs,
+                                      f_dense=f_dense, axis_name=axis),
+        mesh=mesh,
+        in_specs=(P(None, axis), P(), P()),
+        out_specs=P(None, None, axis),
+    )
+    return fn(mix_p, lengths, params)[..., :t]

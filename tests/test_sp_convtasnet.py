@@ -91,9 +91,51 @@ def test_separator_facade_separate_long(setup):
         err = np.max(np.abs(a - b_)) / (np.max(np.abs(a)) + 1e-9)
         assert err < 1e-4, f"facade long-path mismatch {err}"
 
-    with pytest.raises(ValueError, match="mossformer"):
-        Separator(n_src=2, engine=eng,
-                  backend="mossformer").separate_long(wav, 8000, mesh)
+    # mossformer backend routes through the ring-GAU variant
+    moss = Separator(n_src=2, engine=eng, backend="mossformer")
+    wav8 = (np.random.default_rng(5).standard_normal(8000) * 0.3).astype(np.float32)
+    outs = moss.separate_long(wav8, 8000, mesh)
+    assert len(outs) == 2 and outs[0].shape == (8000,)
+    from audio_classification_tpu.models.mossformer import MossFormer
+
+    dense_m = np.asarray(MossFormer(pack.preset.mossformer).apply(
+        pack.params["mossformer"], jnp.asarray(wav8)[None],
+        jnp.ones((1, 8000), np.float32)))[0]
+    for a, b_ in zip(dense_m, outs):
+        err = np.max(np.abs(a - b_)) / (np.max(np.abs(a)) + 1e-9)
+        assert err < 1e-4, f"mossformer long-path mismatch {err}"
+
+
+def test_sp_mossformer_matches_dense(setup):
+    """GAU relu² attention has no softmax -> the ring pass is a plain
+    partial sum; parity vs the dense masked MossFormer forward, incl. a
+    padded row and a non-tiling length."""
+    from audio_classification_tpu.models.mossformer import (
+        MossFormer, MossFormerConfig)
+    from audio_classification_tpu.parallel.sp_convtasnet import (
+        sp_separate_mossformer)
+
+    _, _, mesh = setup
+    cfg = MossFormerConfig(n_src=2, enc_dim=16, enc_kernel=16, dim=16,
+                           qk_dim=8, layers=2, conv_kernel=5,
+                           sample_rate=8000)
+    model = MossFormer(cfg)
+    t = 1003
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, t)),
+                        jnp.ones((1, t)))
+    rng = np.random.default_rng(3)
+    mix = (rng.standard_normal((2, t)) * 0.3).astype(np.float32)
+    lengths = np.asarray([t, 700], np.int32)
+    mix[1, 700:] = 0.0
+    mask = (np.arange(t)[None, :] < lengths[:, None]).astype(np.float32)
+
+    ref = np.asarray(model.apply(params, jnp.asarray(mix), jnp.asarray(mask)))
+    got = np.asarray(sp_separate_mossformer(params, cfg, jnp.asarray(mix),
+                                            jnp.asarray(lengths), mesh))
+    assert got.shape == ref.shape == (2, 2, t)
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert err < 1e-4, f"relative err {err}"
+    assert np.all(got[1, :, 700:] == 0.0)
 
 
 def test_sp_rejects_int8(setup):
