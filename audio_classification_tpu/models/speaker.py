@@ -120,8 +120,14 @@ class SpeakerBank:
     "unknown").
     """
 
-    def __init__(self, dim: int):
+    def __init__(self, dim: int, mesh=None, shard_axis: str = "data"):
+        """``mesh`` shards the enrolled [S, D] bank's row axis over
+        ``shard_axis`` (NamedSharding; XLA partitions the search matmul) —
+        banks beyond one chip's HBM scale across the mesh while `scores`/
+        `search*` keep their exact semantics."""
         self.dim = dim
+        self.mesh = mesh
+        self.shard_axis = shard_axis
         self.names: List[str] = []
         self._vecs: List[np.ndarray] = []
         self._mat: Optional[jnp.ndarray] = None
@@ -137,9 +143,18 @@ class SpeakerBank:
 
     @property
     def matrix(self) -> jnp.ndarray:
-        """[S, D] l2-normalized bank, cached on device."""
+        """[S, D] l2-normalized bank, cached on device (row-sharded over
+        the mesh when one was given and S tiles the axis)."""
         if self._mat is None:
-            self._mat = jnp.asarray(np.stack(self._vecs)) if self._vecs else jnp.zeros((0, self.dim))
+            mat = jnp.asarray(np.stack(self._vecs)) if self._vecs else jnp.zeros((0, self.dim))
+            if (self.mesh is not None and len(self._vecs)
+                    and len(self._vecs) % self.mesh.shape[self.shard_axis] == 0):
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                mat = jax.device_put(
+                    mat, NamedSharding(self.mesh, P(self.shard_axis, None)))
+            self._mat = mat
         return self._mat
 
     def scores(self, embs: jnp.ndarray) -> jnp.ndarray:

@@ -116,6 +116,27 @@ def test_speaker_embedder_and_bank():
     assert res[0][1] == pytest.approx(1.0, abs=1e-5)
 
 
+def test_speaker_bank_mesh_sharded_matches_single():
+    """A mesh-row-sharded bank returns the same scores/top-1 as the
+    single-device bank — XLA partitions the search matmul from the
+    NamedSharding; semantics stay exact."""
+    from audio_classification_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((16, 32)).astype(np.float32)  # 16 % 8 == 0
+    mesh = make_mesh(8, model_axis=1)
+    plain, sharded = SpeakerBank(32), SpeakerBank(32, mesh=mesh)
+    for i, v in enumerate(vecs):
+        plain.add(f"s{i}", v)
+        sharded.add(f"s{i}", v)
+    queries = rng.standard_normal((5, 32)).astype(np.float32)
+    a = np.asarray(plain.scores(jnp.asarray(queries)))
+    b = np.asarray(sharded.scores(jnp.asarray(queries)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    assert ([r[0] for r in plain.search_batch(queries, 0.2)]
+            == [r[0] for r in sharded.search_batch(queries, 0.2)])
+
+
 def test_vad_hysteresis():
     cfg = VADConfig(threshold=0.5, min_silence_duration=0.2, min_speech_duration=0.1)
     det = VoiceActivityDetector(cfg)
