@@ -43,7 +43,10 @@ def parse_args(argv=None):
                    choices=list(ALL_STAGES), help="Subset of stages to export")
     p.add_argument("--seconds", type=float, default=10.0,
                    help="Static audio length baked into each export")
-    p.add_argument("--use-itn", action="store_true", default=True)
+    p.add_argument("--use-itn", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="Text-norm row baked into the asr export "
+                        "(--no-use-itn for the other mode)")
     return p.parse_args(argv)
 
 

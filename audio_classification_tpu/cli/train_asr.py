@@ -31,7 +31,6 @@ reference: scripts/benchmark_pipeline.py:239-249).
 from __future__ import annotations
 
 import argparse
-import json
 import time
 from pathlib import Path
 
@@ -72,7 +71,12 @@ def parse_args(argv=None):
                         "asr config when exporting: full=7, tiny=3)")
     m.add_argument("--init-onnx", default="",
                    help="SenseVoice .onnx export to map and fine-tune "
-                        "(--preset dims; needs --cmvn for serving parity)")
+                        "(--preset dims; pass the export's --cmvn too so "
+                        "training sees the features it was trained on)")
+    m.add_argument("--cmvn", default="",
+                   help="Kaldi am.mvn stats applied in the frontend "
+                        "(match serving's --cmvn; essential with "
+                        "--init-onnx fine-tuning)")
     m.add_argument("--preset", default="full", choices=["full", "tiny"],
                    help="Which preset's asr dims --init-onnx maps onto "
                         "(real sherpa exports are full-preset shaped)")
@@ -106,45 +110,22 @@ def _speak(rng, word: str) -> np.ndarray:
 
 def read_manifest(path: str):
     """-> [(wav_path, text)]; JSONL {wav,text} or TSV wav<TAB>text."""
-    items = []
-    for ln in Path(path).read_text(encoding="utf-8").splitlines():
-        ln = ln.strip()
-        if not ln:
-            continue
-        if ln.startswith("{"):
-            rec = json.loads(ln)
-            items.append((rec["wav"], rec["text"]))
-        else:
-            wav, text = ln.split("\t", 1)
-            items.append((wav, text))
-    if not items:
-        raise SystemExit(f"empty manifest: {path}")
-    return items
+    from ..train.data import read_manifest as _rm
+
+    return _rm(path, "text")
 
 
 class ManifestSampler:
-    """Random (padded wav, label ids) batches from a manifest, with a small
-    LRU so repeated epochs over a modest corpus skip re-decoding."""
+    """Random (padded wav, label ids) batches from a manifest, with a
+    bounded decode cache so repeated epochs skip re-decoding."""
 
     def __init__(self, items, tokens, t_max, rng):
+        from ..train.data import WavCache
+
         self.items, self.tokens, self.t_max, self.rng = items, tokens, t_max, rng
         self.max_label = max(
             (len(tokens.encode(txt)) for _, txt in items), default=1) or 1
-        self._cache: dict = {}
-
-    def _wav(self, path: str) -> np.ndarray:
-        if path not in self._cache:
-            from ..audio_io import read_wav, to_mono
-            from ..ops.resample import resample_poly
-
-            wav, sr = read_wav(path)
-            wav = to_mono(wav)
-            if sr != SR:
-                wav = np.asarray(resample_poly(wav, sr, SR))
-            if len(self._cache) > 512:
-                self._cache.clear()
-            self._cache[path] = wav.astype(np.float32)
-        return self._cache[path]
+        self._wav = WavCache()
 
     def batch(self, n):
         wavs = np.zeros((n, self.t_max), np.float32)
@@ -244,9 +225,24 @@ def main(argv=None):
                                conv_kernel=args.conv_kernel)
     model = SenseVoiceEncoder(cfg)
 
+    cmvn_mean = cmvn_istd = None
+    if args.cmvn:
+        from ..models.convert.assets import load_kaldi_cmvn
+
+        shift, scale = load_kaldi_cmvn(args.cmvn)
+        cmvn_mean, cmvn_istd = jnp.asarray(shift), jnp.asarray(scale)
+        print(f"[train_asr] CMVN stats from {args.cmvn} "
+              f"(dim {cmvn_mean.shape[-1]})")
+
+    def frontend(wav, lens):
+        return sensevoice_frontend(wav, lens, cfg,
+                                   cmvn_mean=cmvn_mean, cmvn_istd=cmvn_istd)
+
     b0, _ = sampler.batch(2)
-    feats0, mask0 = sensevoice_frontend(jnp.asarray(b0["wav"]),
-                                        jnp.asarray(b0["lens"]), cfg)
+    # jitted: eager setup-time device code pays ~90 ms per op through the
+    # tunnel (CLAUDE.md)
+    feats0, mask0 = jax.jit(frontend)(jnp.asarray(b0["wav"]),
+                                      jnp.asarray(b0["lens"]))
     if args.init_onnx:
         from ..models.convert.onnx_graph_map import import_onnx
 
@@ -258,7 +254,7 @@ def main(argv=None):
         params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), feats0, mask0)
 
     def loss_fn(apply_fn, p_, b_):
-        feats, mask = sensevoice_frontend(b_["wav"], b_["lens"], cfg)
+        feats, mask = frontend(b_["wav"], b_["lens"])
         logits = apply_fn(p_, feats, mask)[:, cfg.num_prompt:]
         return ctc_loss(logits, mask.astype(jnp.float32), b_["labels"],
                         b_["lab_lens"], blank_id=tokens.blank_id)
@@ -277,7 +273,7 @@ def main(argv=None):
     def _eval_fwd(p_, wav, lens):
         # whole eval forward (frontend + encoder + greedy decode) in ONE
         # program: eager dispatch pays ~90 ms/op through the tunnel
-        feats, mask = sensevoice_frontend(wav, lens, cfg)
+        feats, mask = frontend(wav, lens)
         logits = model.apply(p_, feats, mask)[:, cfg.num_prompt:]
         return ctc_greedy_decode(logits, mask.astype(jnp.float32),
                                  tokens.blank_id)

@@ -33,7 +33,6 @@ and keeping the train step a pure params-only program.
 from __future__ import annotations
 
 import argparse
-import json
 import time
 from pathlib import Path
 
@@ -107,43 +106,20 @@ def synth_utterance(rng, spk: int, dur: float = 1.0) -> np.ndarray:
 
 def read_manifest(path: str):
     """-> [(wav_path, speaker)]; JSONL {wav,speaker} or TSV."""
-    items = []
-    for ln in Path(path).read_text(encoding="utf-8").splitlines():
-        ln = ln.strip()
-        if not ln:
-            continue
-        if ln.startswith("{"):
-            rec = json.loads(ln)
-            items.append((rec["wav"], str(rec["speaker"])))
-        else:
-            wav, spk = ln.split("\t", 1)
-            items.append((wav, spk))
-    if not items:
-        raise SystemExit(f"empty manifest: {path}")
-    return items
+    from ..train.data import read_manifest as _rm
+
+    return _rm(path, "speaker")
 
 
 class ManifestSampler:
     """Random (cropped wav, label id) batches from a manifest."""
 
     def __init__(self, items, spk2id, t_max, rng):
+        from ..train.data import WavCache
+
         self.items, self.spk2id = items, spk2id
         self.t_max, self.rng = t_max, rng
-        self._cache: dict = {}
-
-    def _wav(self, path: str) -> np.ndarray:
-        if path not in self._cache:
-            from ..audio_io import read_wav, to_mono
-            from ..ops.resample import resample_poly
-
-            wav, sr = read_wav(path)
-            wav = to_mono(wav)
-            if sr != SR:
-                wav = np.asarray(resample_poly(wav, sr, SR))
-            if len(self._cache) > 512:
-                self._cache.clear()
-            self._cache[path] = wav.astype(np.float32)
-        return self._cache[path]
+        self._wav = WavCache()
 
     def batch(self, n):
         wavs = np.zeros((n, self.t_max), np.float32)
@@ -202,13 +178,17 @@ def main(argv=None):
         val_sampler = SyntheticSampler(n_spk, t_max, np.random.default_rng(123))
     else:
         items = read_manifest(args.manifest)
-        spk2id = {s: i for i, s in enumerate(sorted({s for _, s in items}))}
-        n_spk = len(spk2id)
         if args.val_manifest:
             val_items = read_manifest(args.val_manifest)
         else:  # hold out the manifest tail
             cut = max(len(items) - max(len(items) // 10, 1), 1)
             items, val_items = items[:cut], items[cut:]
+        # ids over the UNION of manifests: a held-out speaker absent from
+        # training is fine for the bank-search gate (open-set), it just
+        # gets an AAM class the optimizer never visits
+        spk2id = {s: i for i, s in enumerate(sorted(
+            {s for _, s in items} | {s for _, s in val_items}))}
+        n_spk = len(spk2id)
         sampler = ManifestSampler(items, spk2id, t_max, rng)
         val_sampler = ManifestSampler(val_items, spk2id, t_max,
                                       np.random.default_rng(123))
@@ -231,10 +211,16 @@ def main(argv=None):
     model = EmbedderWithHead()
     feats0 = fbank_batch(jnp.zeros((1, t_max)))
     # jitted init: eager dispatch pays ~90 ms/op through the tunnel
-    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), feats0)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(args.seed), feats0)
+    # the BN layers run in inference mode with their INIT statistics
+    # (learnable-affine behavior); keeping batch_stats out of the trainable
+    # tree stops Adam from gradient-updating running means/vars (a drifted
+    # negative var would NaN rsqrt)
+    stats = {k: v for k, v in variables.items() if k != "params"}
+    params = {"params": variables["params"]}
 
     def loss_fn(apply_fn, p_, b_):
-        emb, w = apply_fn(p_, b_["feats"])
+        emb, w = apply_fn({**p_, **stats}, b_["feats"])
         return aam_softmax_loss(emb, b_["labels"], w,
                                 margin=args.margin, scale=args.aam_scale)
 
@@ -250,7 +236,7 @@ def main(argv=None):
 
     @jax.jit
     def _embed_fwd(p_, wav):
-        emb, _ = model.apply(p_, fbank_batch(wav))
+        emb, _ = model.apply({**p_, **stats}, fbank_batch(wav))
         return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True),
                                  1e-12)
 
@@ -307,8 +293,8 @@ def main(argv=None):
 
     # embedder-only tree, shaped exactly like the engine's spk stage params
     # (SpeakerEmbedder.init): drop the AAM centers, unwrap the "embedder"
-    # scope
-    vars_ = trainer.state.params
+    # scope; reattach the (frozen) BN statistics
+    vars_ = {**trainer.state.params, **stats}
     export_tree = {
         coll: dict(vars_[coll])["embedder"]
         for coll in vars_ if "embedder" in vars_[coll]

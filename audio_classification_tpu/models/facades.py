@@ -231,6 +231,11 @@ class Separator:
             out = sp_separate(pack.params[stage], cfg,
                               jnp.asarray(wav)[None], None, mesh, axis=axis)
         out = np.asarray(out)[0]
+        if out.shape[0] < self.n_src:  # same contract as separate()
+            raise RuntimeError(
+                f"Separation output has {out.shape[0]} < {self.n_src} "
+                f"sources; the '{self.backend}' preset emits "
+                f"{out.shape[0]} streams — check model/config.")
         return [out[i] for i in range(self.n_src)]
 
     def _ensure_sr(self, samples: np.ndarray, sr: int) -> np.ndarray:

@@ -143,24 +143,31 @@ class SpeakerBank:
 
     @property
     def matrix(self) -> jnp.ndarray:
-        """[S, D] l2-normalized bank, cached on device (row-sharded over
-        the mesh when one was given and S tiles the axis)."""
+        """[S', D] l2-normalized bank, cached on device; with a mesh, rows
+        are zero-padded up to the shard-axis tiling and the matrix is
+        row-sharded (zero rows score 0 and `scores` slices them off)."""
         if self._mat is None:
-            mat = jnp.asarray(np.stack(self._vecs)) if self._vecs else jnp.zeros((0, self.dim))
-            if (self.mesh is not None and len(self._vecs)
-                    and len(self._vecs) % self.mesh.shape[self.shard_axis] == 0):
+            mat = np.stack(self._vecs) if self._vecs else np.zeros((0, self.dim), np.float32)
+            if self.mesh is not None and len(self._vecs):
                 import jax
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                mat = jax.device_put(
-                    mat, NamedSharding(self.mesh, P(self.shard_axis, None)))
-            self._mat = mat
+                n = self.mesh.shape[self.shard_axis]
+                pad = (-len(self._vecs)) % n
+                if pad:
+                    mat = np.concatenate(
+                        [mat, np.zeros((pad, self.dim), mat.dtype)])
+                self._mat = jax.device_put(
+                    jnp.asarray(mat),
+                    NamedSharding(self.mesh, P(self.shard_axis, None)))
+            else:
+                self._mat = jnp.asarray(mat)
         return self._mat
 
     def scores(self, embs: jnp.ndarray) -> jnp.ndarray:
         """[B, D] (any scale) -> [B, S] cosine scores in one matmul."""
         e = embs / jnp.maximum(jnp.linalg.norm(embs, axis=-1, keepdims=True), 1e-12)
-        return e @ self.matrix.T
+        return (e @ self.matrix.T)[:, : len(self.names)]  # drop shard pad rows
 
     def search(self, emb: np.ndarray, threshold: float) -> str:
         if not self.names:

@@ -81,11 +81,16 @@ def _gln_sp(x, mask, scope, axis_name: str, eps: float = 1e-8):
 
 
 def _dw_conv_sp(x, scope, dilation: int, axis_name: str):
-    """Depthwise SAME conv across the sharded frame axis via halos."""
+    """Depthwise SAME conv across the sharded frame axis via halos.
+
+    XLA SAME at stride 1 pads total=(k-1)*dilation split lo=total//2 /
+    hi=total-lo — the split is over the TOTAL, not per-tap, which differs
+    for even kernels with dilation > 1."""
     k = jnp.asarray(scope["kernel"])                 # [K, 1, C]
     ksz = k.shape[0]
-    lo = (ksz - 1) // 2 * dilation
-    hi = ((ksz - 1) - (ksz - 1) // 2) * dilation
+    total = (ksz - 1) * dilation
+    lo = total // 2
+    hi = total - lo
     parts = []
     if lo:
         parts.append(_halo_from_left(x, lo, axis_name))
@@ -208,7 +213,9 @@ def sp_separate(params, cfg, mix: jnp.ndarray, lengths, mesh: Mesh,
     f = max(f, int(-(-t // stride)))
     f = n * int(-(-f // n))                    # frames tile the mesh axis
     fs = f // n
-    max_halo = (c.conv_kernel - 1) // 2 * 2 ** (c.n_blocks - 1)
+    d_max = 2 ** (c.n_blocks - 1)
+    # widest one-sided halo = hi side of the largest dilation's SAME pads
+    max_halo = -(-(c.conv_kernel - 1) * d_max // 2)
     if fs < max(max_halo, 1):
         raise ValueError(
             f"sp_separate: {fs} frames/shard < the TCN's widest halo "
@@ -360,7 +367,7 @@ def sp_separate_mossformer(params, cfg, mix: jnp.ndarray, lengths,
     f = max(f_dense, int(-(-t // stride)))     # cover every real sample
     f = n * int(-(-f // n))
     fs = f // n
-    max_halo = (c.conv_kernel - 1) - (c.conv_kernel - 1) // 2
+    max_halo = -(-(c.conv_kernel - 1) // 2)  # hi side of the SAME pads
     if fs < max(max_halo, 1):
         raise ValueError(
             f"sp_separate_mossformer: {fs} frames/shard < the conv halo "

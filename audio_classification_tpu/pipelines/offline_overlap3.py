@@ -161,7 +161,7 @@ def build_engine(cfg) -> StageEngine:
                 f"'{getattr(cfg, 'preset', 'full')}' preset asr config "
                 "(vocab from --tokens; dims from the preset) — was it "
                 "trained with different --dim/--heads/--layers or another "
-                "token table?") from e
+                f"token table? (cause: {type(e).__name__}: {e})") from e
     elif sv_path.endswith(".onnx") and family == "sensevoice":
         # real SenseVoice exports emit their 4 prompt positions in the CTC
         # logits; drop them before decode unless overridden
@@ -246,7 +246,8 @@ def build_engine(cfg) -> StageEngine:
             raise ValueError(
                 f"--spk-embed-model {spk_path}: orbax tree does not match "
                 f"the '{getattr(cfg, 'preset', 'full')}' preset spk config "
-                "— was it trained with different --channels/--embed-dim?") from e
+                "— was it trained with different --channels/--embed-dim? "
+                f"(cause: {type(e).__name__}: {e})") from e
     ckpt = getattr(cfg, "checkpoint_dir", "")
     if ckpt:
         from ..train.checkpoint import load_model_pack
@@ -265,13 +266,14 @@ def build_engine(cfg) -> StageEngine:
             try:
                 pack.load_params(stage, load_params(pack.params[stage], sep_ckpt))
                 break
-            except Exception:
+            except Exception as e:
                 if stage == candidates[-1]:
                     raise ValueError(
                         f"--sep-checkpoint {sep_ckpt}: orbax tree matches "
                         f"none of the separator presets ({candidates}) — "
                         "was it trained with different --enc-dim/--hidden/"
-                        "--mf-dim/... flags?")
+                        "--mf-dim/... flags? (last cause: "
+                        f"{type(e).__name__}: {e})") from e
     elif sep_ckpt:
         from ..models.convert.torch_import import load_convtasnet_torch
 

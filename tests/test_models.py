@@ -123,8 +123,8 @@ def test_speaker_bank_mesh_sharded_matches_single():
     from audio_classification_tpu.parallel.mesh import make_mesh
 
     rng = np.random.default_rng(1)
-    vecs = rng.standard_normal((16, 32)).astype(np.float32)  # 16 % 8 == 0
-    mesh = make_mesh(8, model_axis=1)
+    vecs = rng.standard_normal((13, 32)).astype(np.float32)  # 13 % 8 != 0:
+    mesh = make_mesh(8, model_axis=1)       # exercises the zero-row padding
     plain, sharded = SpeakerBank(32), SpeakerBank(32, mesh=mesh)
     for i, v in enumerate(vecs):
         plain.add(f"s{i}", v)

@@ -75,6 +75,20 @@ def test_manifest_mode_and_mismatch_fails_loud(tmp_path):
     man = root / "train.jsonl"
     man.write_text("\n".join(json.dumps(r) for r in rows), encoding="utf-8")
 
+    # a held-out manifest containing a speaker ABSENT from training must
+    # not crash the gate (open-set bank search; review finding r3)
+    w = tsp.synth_utterance(rng, 7, 0.5)
+    p = root / "unseen.wav"
+    write_wav(p, w, tsp.SR)
+    val = root / "val.jsonl"
+    val.write_text(json.dumps({"wav": str(p), "speaker": "mystery"}),
+                   encoding="utf-8")
+    a0u, a1u = tsp.main(["--manifest", str(man), "--val-manifest", str(val),
+                         "--steps", "1", "--channels", "8",
+                         "--embed-dim", "16", "--batch", "4",
+                         "--max-seconds", "0.5", "--log-every", "100"])
+    assert np.isfinite(a0u) and np.isfinite(a1u)
+
     export = str(root / "export16")
     a0, a1 = tsp.main(["--manifest", str(man), "--steps", "2",
                        "--channels", "8", "--embed-dim", "16",
