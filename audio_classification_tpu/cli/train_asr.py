@@ -95,6 +95,11 @@ def parse_args(argv=None):
                         "encoder (feats+language -> logits, like the "
                         "reference's sherpa exports; runs on onnxruntime or "
                         "--onnx-exec direct)")
+    c.add_argument("--export-quant", default="none", choices=["none", "int8"],
+                   help="int8: --export-onnx writes dynamic-quant "
+                        "MatMulInteger graphs — the same artifact type as "
+                        "the reference's int8 SenseVoice export (~4x "
+                        "smaller weights, s8 MXU at serving)")
     return p.parse_args(argv)
 
 
@@ -318,10 +323,12 @@ def main(argv=None):
 
         host_params = jax.tree.map(np.asarray, trainer.state.params)
         frames = feats0.shape[1]  # the training bucket's static length
-        export_sensevoice(host_params, cfg, args.export_onnx, frames=frames)
+        export_sensevoice(host_params, cfg, args.export_onnx, frames=frames,
+                          quant=args.export_quant)
+        q = f", {args.export_quant}" if args.export_quant != "none" else ""
         print(f"[train_asr] exported ONNX -> {args.export_onnx} "
               f"(feats [batch,{frames},{cfg.lfr_m * cfg.num_mel}] + "
-              f"language [1] -> logits)")
+              f"language [1] -> logits{q})")
     return c0, c1
 
 

@@ -196,9 +196,27 @@ def _conv(g: OnnxGraphWriter, x: str, scope: dict, *, stride: int = 1,
                  group=groups, pads=list(pads))
 
 
-def _dense(g: OnnxGraphWriter, x: str, scope: dict) -> str:
-    """nn.Dense / DenseQ on a rank-3 tensor: MatMul [.., Din]x[Din, F] + bias."""
-    y = g.add("MatMul", [x, g.init("w", np.asarray(scope["kernel"], np.float32))])
+def _dense(g: OnnxGraphWriter, x: str, scope: dict, quant: str = "none") -> str:
+    """nn.Dense / DenseQ on a rank-3 tensor: MatMul [.., Din]x[Din, F] + bias.
+
+    ``quant="int8"`` emits the onnxruntime dynamic-quant transform instead
+    — the graph shape of the reference's own int8 SenseVoice export
+    (sherpa-onnx, src/model.py:79-87): DynamicQuantizeLinear(x) ->
+    MatMulInteger(x_u8, w_s8, x_zp, 0) -> Cast -> * (x_scale*w_scale) + b.
+    Weights ship as int8 with one symmetric per-tensor scale.
+    """
+    if quant != "int8":
+        y = g.add("MatMul", [x, g.init("w", np.asarray(scope["kernel"], np.float32))])
+        return g.add("Add", [y, g.init("b", np.asarray(scope["bias"], np.float32))])
+    w = np.asarray(scope["kernel"], np.float32)
+    w_scale = float(np.max(np.abs(w)) / 127.0) or 1.0
+    w_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+    xq, x_scale, x_zp = g.add("DynamicQuantizeLinear", [x], n_out=3)
+    y = g.add("MatMulInteger", [xq, g.init("wq", w_q), x_zp,
+                                g.init("wzp", np.int8(0).reshape(()))])
+    y = g.add("Cast", [y], to=1)  # -> float32
+    y = g.add("Mul", [y, g.add("Mul", [x_scale, g.init(
+        "wscale", np.float32(w_scale).reshape(()))])])
     return g.add("Add", [y, g.init("b", np.asarray(scope["bias"], np.float32))])
 
 
@@ -239,7 +257,8 @@ def _same_pads(t: int, k: int, stride: int = 1) -> tuple:
 
 
 def _transformer_block(g: OnnxGraphWriter, x: str, blk: dict, dim: int,
-                       heads: int, conv_kernel: int) -> str:
+                       heads: int, conv_kernel: int,
+                       quant: str = "none") -> str:
     """models/common.TransformerBlock (dense path, no mask): pre-LN MHSA ->
     optional depthwise-conv branch -> gelu FFN, residuals throughout."""
     dh = dim // heads
@@ -247,7 +266,7 @@ def _transformer_block(g: OnnxGraphWriter, x: str, blk: dict, dim: int,
 
     # --- self-attention (common.py:186-231)
     h = _layernorm(g, x, blk[f"LayerNorm_{ln}"]); ln += 1
-    qkv = _dense(g, h, blk["MultiHeadSelfAttention_0"]["qkv"])
+    qkv = _dense(g, h, blk["MultiHeadSelfAttention_0"]["qkv"], quant)
     q, k, v = g.add("Split", [qkv], n_out=3, axis=-1)
 
     def _heads(z):
@@ -265,7 +284,7 @@ def _transformer_block(g: OnnxGraphWriter, x: str, blk: dict, dim: int,
     o = g.add("Transpose", [o], perm=[0, 2, 1, 3])
     o = g.add("Reshape", [o, g.init(
         "shape", np.asarray([0, 0, dim], np.int64))])
-    o = _dense(g, o, blk["MultiHeadSelfAttention_0"]["out"])
+    o = _dense(g, o, blk["MultiHeadSelfAttention_0"]["out"], quant)
     x = g.add("Add", [x, o])
 
     # --- FSMN-equivalent depthwise-conv branch (common.py:252-257)
@@ -279,9 +298,9 @@ def _transformer_block(g: OnnxGraphWriter, x: str, blk: dict, dim: int,
 
     # --- FFN (common.py:258-263)
     h = _layernorm(g, x, blk[f"LayerNorm_{ln}"])
-    h = _dense(g, h, blk["Dense_0"])
+    h = _dense(g, h, blk["Dense_0"], quant)
     h = _gelu_tanh(g, h)
-    return g.add("Add", [x, _dense(g, h, blk["Dense_1"])])
+    return g.add("Add", [x, _dense(g, h, blk["Dense_1"], quant)])
 
 
 # ------------------------------------------------------------- ConvTasNet
@@ -384,7 +403,7 @@ def export_convtasnet(params, cfg, path: str, seconds: float = 4.0) -> str:
 # ----------------------------------------------------- SenseVoice encoder
 
 def export_sensevoice(params, cfg, path: str, frames: int,
-                      use_itn: bool = True) -> str:
+                      use_itn: bool = True, quant: str = "none") -> str:
     """Serialize the SenseVoice-style CTC encoder (models/asr/sensevoice.py)
     to ONNX — a trained/fine-tuned recognizer (cli/train_asr) becomes a
     standard export deployable on onnxruntime or this framework's own graph
@@ -412,7 +431,7 @@ def export_sensevoice(params, cfg, path: str, frames: int,
     t, pr = int(frames), int(c.num_prompt)
 
     g = OnnxGraphWriter("sensevoice")
-    x = _dense(g, "feats", p["in_proj"])                     # [B, T, D]
+    x = _dense(g, "feats", p["in_proj"], quant)              # [B, T, D]
 
     # prompt rows: language row gathered at runtime, itn row baked,
     # padding rows constant (sensevoice.py:75-93)
@@ -442,13 +461,11 @@ def export_sensevoice(params, cfg, path: str, frames: int,
 
     for i in range(c.layers):
         x = _transformer_block(g, x, p[f"block_{i}"], c.dim, c.heads,
-                               c.conv_kernel)
+                               c.conv_kernel, quant=quant)
 
     x = _layernorm(g, x, p["final_ln"])
-    g.add("MatMul", [x, g.init("w", np.asarray(p["ctc_head"]["kernel"],
-                                               np.float32))], out="mm_head")
-    g.add("Add", ["mm_head", g.init("b", np.asarray(p["ctc_head"]["bias"],
-                                                    np.float32))], out="logits")
+    head = _dense(g, x, p["ctc_head"], quant)
+    g.add("Identity", [head], out="logits")
 
     blob = g.serialize(
         inputs=[("feats", np.float32, ["batch", t, c.lfr_m * c.num_mel]),
@@ -460,6 +477,7 @@ def export_sensevoice(params, cfg, path: str, frames: int,
             "layers": c.layers, "ffn_mult": c.ffn_mult,
             "conv_kernel": c.conv_kernel, "lfr_m": c.lfr_m, "lfr_n": c.lfr_n,
             "num_mel": c.num_mel, "num_prompt": pr, "use_itn": int(use_itn),
+            "quant": quant,
             "languages": ",".join(LANGUAGES),
         })
     with open(path, "wb") as f:

@@ -103,6 +103,42 @@ def test_sensevoice_roundtrip(tmp_path, lang, use_itn, conv_kernel):
     assert int(meta["use_itn"]) == int(use_itn)
 
 
+def test_sensevoice_int8_export(tmp_path):
+    """quant='int8' emits dynamic-quant MatMulInteger graphs (the artifact
+    type of the reference's own int8 SenseVoice export): output tracks the
+    float forward within quantization error, and the file shrinks."""
+    import jax
+
+    from audio_classification_tpu.models.asr.sensevoice import (
+        SenseVoiceConfig, SenseVoiceEncoder)
+    from audio_classification_tpu.models.convert.onnx_export import (
+        export_sensevoice)
+
+    cfg = SenseVoiceConfig(vocab_size=16, dim=32, heads=2, layers=2,
+                           ffn_mult=2, conv_kernel=3)
+    model = SenseVoiceEncoder(cfg)
+    t, din = 9, cfg.lfr_m * cfg.num_mel
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, t, din)))
+    feats = np.random.default_rng(0).standard_normal(
+        (2, t, din)).astype(np.float32) * 0.4
+
+    ref = np.asarray(model.apply(params, jnp.asarray(feats)))
+    f32_path, q_path = str(tmp_path / "sv.onnx"), str(tmp_path / "svq.onnx")
+    export_sensevoice(params, cfg, f32_path, frames=t)
+    export_sensevoice(params, cfg, q_path, frames=t, quant="int8")
+
+    import os
+
+    # the block projections dominate the weight bytes -> real shrink
+    assert os.path.getsize(q_path) < 0.55 * os.path.getsize(f32_path)
+    got = np.asarray(OnnxModel(q_path)(
+        feats=jnp.asarray(feats),
+        language=np.asarray([0], np.int64))["logits"])
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert err < 0.08, f"int8 deviates {err} from the float forward"
+    assert load_onnx_metadata(q_path)["quant"] == "int8"
+
+
 def test_mossformer_roundtrip(tmp_path):
     """Second separation backend: flax forward == exported GAU graph."""
     import jax
