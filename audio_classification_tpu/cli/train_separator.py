@@ -70,6 +70,10 @@ def parse_args(argv=None):
     par = p.add_argument_group("parallelism")
     par.add_argument("--data-parallel", type=int, default=0)
     par.add_argument("--model-parallel", type=int, default=0)
+    par.add_argument("--time-shard", action="store_true",
+                     help="Shard each crop's TIME axis over the data axis "
+                          "(sequence-parallel training for --seconds too "
+                          "long for one chip; batch is replicated)")
     c = p.add_argument_group("checkpointing")
     c.add_argument("--ckpt-dir", default="", help="Resumable train-state dir")
     c.add_argument("--save-every", type=int, default=100)
@@ -162,7 +166,8 @@ def main(argv=None):
     dp, mp = max(args.data_parallel, 1), max(args.model_parallel, 1)
     n_dev = dp * mp if (args.data_parallel or args.model_parallel) else len(jax.devices())
     mesh = make_mesh(n_dev, model_axis=mp if mp > 1 else 1)
-    trainer = SeparatorTrainer(cfg, mesh=mesh, lr=args.lr, seed=args.seed)
+    trainer = SeparatorTrainer(cfg, mesh=mesh, lr=args.lr, seed=args.seed,
+                               time_shard=args.time_shard)
 
     start_step = 0
     if args.resume and args.ckpt_dir and Path(args.ckpt_dir).is_dir():
@@ -201,7 +206,8 @@ def main(argv=None):
     before = eval_sisdri(trainer.state.params)
     print(f"[train_separator] held-out SI-SDRi at step {start_step}: {before:+.2f} dB")
     t0 = time.time()
-    global_batch = args.batch * mesh.shape["data"]
+    # time-sharded crops replicate the batch (the data axis carries T)
+    global_batch = args.batch * (1 if args.time_shard else mesh.shape["data"])
     for step in range(start_step + 1, args.steps + 1):
         mix, refs = sample(global_batch)
         loss = trainer.train_step(mix, refs, np.ones_like(mix))

@@ -49,11 +49,21 @@ class SeparatorTrainer:
         lr: float = 1e-3,
         seed: int = 0,
         param_rule: Optional[Callable] = None,
+        time_shard: bool = False,
     ):
         """cfg picks the architecture: ConvTasNetConfig or MossFormerConfig
         (both models share the [B,T] mix + mask -> [B,n_src,T] contract and
-        the PIT SI-SDR objective; each gets its own TP partitioning rule)."""
+        the PIT SI-SDR objective; each gets its own TP partitioning rule).
+
+        ``time_shard=True`` runs the forward through the sequence-parallel
+        separator (parallel/sp_convtasnet) instead of sharding the batch:
+        the "data" axis carries each crop's TIME axis (halo-exchanged
+        convs; shard_map differentiates, so the backward pass reuses the
+        same halos/psums transposed). For crops too long for one chip —
+        batch is replicated, params follow `param_rule` as usual.
+        """
         self.cfg = cfg
+        self.time_shard = bool(time_shard)
         self.mesh = mesh or make_mesh(model_axis=1)
         if isinstance(cfg, MossFormerConfig):
             self.model = MossFormer(cfg)
@@ -76,9 +86,20 @@ class SeparatorTrainer:
 
         dsh = data_sharding(self.mesh)
 
-        def loss_fn(p, mix, refs, mask):
-            ests = self.model.apply(p, mix, mask)
-            return pit_si_sdr_loss(ests, refs, mask)
+        if self.time_shard:
+            from ..parallel.sp_convtasnet import sp_separate, sp_separate_mossformer
+
+            sp_fn = (sp_separate_mossformer if isinstance(cfg, MossFormerConfig)
+                     else sp_separate)
+
+            def loss_fn(p, mix, refs, mask):
+                lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
+                ests = sp_fn(p, cfg, mix, lengths, self.mesh, axis="data")
+                return pit_si_sdr_loss(ests, refs, mask)
+        else:
+            def loss_fn(p, mix, refs, mask):
+                ests = self.model.apply(p, mix, mask)
+                return pit_si_sdr_loss(ests, refs, mask)
 
         def step_fn(params, opt_state, mix, refs, mask):
             loss, grads = jax.value_and_grad(loss_fn)(params, mix, refs, mask)
@@ -86,18 +107,26 @@ class SeparatorTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        # time-sharded crops keep the batch replicated (the "data" axis
+        # carries the time axis inside the shard_map'd forward)
+        in_dsh = None if self.time_shard else dsh
         self._step = jax.jit(
             step_fn,
-            in_shardings=(self.param_shardings, None, dsh, dsh, dsh),
+            in_shardings=(self.param_shardings, None, in_dsh, in_dsh, in_dsh),
             out_shardings=(self.param_shardings, None, NamedSharding(self.mesh, P())),
         )
 
     def train_step(self, mix, refs, mask) -> float:
         """mix [B, T], refs [B, n_src, T], mask [B, T] -> loss (float)."""
-        dsh = data_sharding(self.mesh)
-        mix = jax.device_put(jnp.asarray(mix, jnp.float32), dsh)
-        refs = jax.device_put(jnp.asarray(refs, jnp.float32), dsh)
-        mask = jax.device_put(jnp.asarray(mask, jnp.float32), dsh)
+        if self.time_shard:  # batch replicated; jit places per in_shardings
+            mix = jnp.asarray(mix, jnp.float32)
+            refs = jnp.asarray(refs, jnp.float32)
+            mask = jnp.asarray(mask, jnp.float32)
+        else:
+            dsh = data_sharding(self.mesh)
+            mix = jax.device_put(jnp.asarray(mix, jnp.float32), dsh)
+            refs = jax.device_put(jnp.asarray(refs, jnp.float32), dsh)
+            mask = jax.device_put(jnp.asarray(mask, jnp.float32), dsh)
         params, opt_state, loss = self._step(self.state.params, self.state.opt_state, mix, refs, mask)
         self.state = TrainState(params, opt_state, self.state.step + 1)
         return float(loss)

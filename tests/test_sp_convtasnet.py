@@ -138,6 +138,34 @@ def test_sp_mossformer_matches_dense(setup):
     assert np.all(got[1, :, 700:] == 0.0)
 
 
+def test_time_sharded_training_matches_dense(setup):
+    """SeparatorTrainer(time_shard=True): one train step through the
+    shard_map'd forward produces the same loss AND the same updated params
+    as the dense batch-sharded step — shard_map differentiates, so the
+    backward pass is the transposed halo/psum traffic."""
+    from audio_classification_tpu.train.trainer import SeparatorTrainer
+
+    _, _, mesh = setup
+    rng = np.random.default_rng(7)
+    t = 1024
+    b = 8  # divisible by the dense trainer's 8-way batch sharding
+    refs = (rng.standard_normal((b, 2, t)) * 0.3).astype(np.float32)
+    mix = refs.sum(axis=1)
+    mask = np.ones((b, t), np.float32)
+
+    dense_tr = SeparatorTrainer(CFG, mesh=mesh, lr=1e-3, seed=0)
+    sp_tr = SeparatorTrainer(CFG, mesh=mesh, lr=1e-3, seed=0, time_shard=True)
+    loss_d = dense_tr.train_step(mix, refs, mask)
+    loss_s = sp_tr.train_step(mix, refs, mask)
+    assert loss_s == pytest.approx(loss_d, rel=1e-4)
+
+    leaves_d = jax.tree.leaves(dense_tr.state.params)
+    leaves_s = jax.tree.leaves(sp_tr.state.params)
+    worst = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for a, b in zip(leaves_d, leaves_s))
+    assert worst < 1e-4, f"post-step param drift {worst}"
+
+
 def test_sp_rejects_int8(setup):
     import dataclasses
 
