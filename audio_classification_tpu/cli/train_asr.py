@@ -83,6 +83,11 @@ def parse_args(argv=None):
     par = p.add_argument_group("parallelism")
     par.add_argument("--data-parallel", type=int, default=0)
     par.add_argument("--model-parallel", type=int, default=0)
+    par.add_argument("--seq-parallel", action="store_true",
+                     help="Shard the frame axis over the data axis inside "
+                          "every attention block (ring attention; for "
+                          "--max-seconds too long for one chip — batch is "
+                          "replicated, gradients flow through the ring)")
     c = p.add_argument_group("checkpointing")
     c.add_argument("--ckpt-dir", default="")
     c.add_argument("--save-every", type=int, default=100)
@@ -258,16 +263,19 @@ def main(argv=None):
         # (~90 ms each — CLAUDE.md; ModelPack jits inits for the same reason)
         params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), feats0, mask0)
 
-    def loss_fn(apply_fn, p_, b_):
-        feats, mask = frontend(b_["wav"], b_["lens"])
-        logits = apply_fn(p_, feats, mask)[:, cfg.num_prompt:]
-        return ctc_loss(logits, mask.astype(jnp.float32), b_["labels"],
-                        b_["lab_lens"], blank_id=tokens.blank_id)
-
     dp, mp = max(args.data_parallel, 1), max(args.model_parallel, 1)
     n_dev = dp * mp if (args.data_parallel or args.model_parallel) else len(jax.devices())
     mesh = make_mesh(n_dev, model_axis=mp if mp > 1 else 1)
-    trainer = ModuleTrainer(model, params, loss_fn, mesh=mesh, lr=args.lr)
+    sp_mesh = mesh if args.seq_parallel else None
+
+    def loss_fn(apply_fn, p_, b_):
+        feats, mask = frontend(b_["wav"], b_["lens"])
+        logits = apply_fn(p_, feats, mask, mesh=sp_mesh)[:, cfg.num_prompt:]
+        return ctc_loss(logits, mask.astype(jnp.float32), b_["labels"],
+                        b_["lab_lens"], blank_id=tokens.blank_id)
+
+    trainer = ModuleTrainer(model, params, loss_fn, mesh=mesh, lr=args.lr,
+                            shard_batch=not args.seq_parallel)
 
     start_step = 0
     if args.resume and args.ckpt_dir and Path(args.ckpt_dir).is_dir():
@@ -296,7 +304,8 @@ def main(argv=None):
     print(f"[train_asr] CER at step {start_step}: {c0:.3f}  "
           f"(e.g. ref='{r0}' hyp='{h0}')")
     t0 = time.time()
-    global_batch = args.batch * mesh.shape["data"]
+    # seq-parallel spends the data axis on frames; batch stays replicated
+    global_batch = args.batch * (1 if args.seq_parallel else mesh.shape["data"])
     for step in range(start_step + 1, args.steps + 1):
         b, _ = sampler.batch(global_batch)
         b = {k: jnp.asarray(v) for k, v in b.items()}

@@ -172,12 +172,17 @@ class ModuleTrainer:
     ASR CTC via models/asr/ctc.ctc_loss).
     """
 
-    def __init__(self, module, params, loss_fn, mesh: Optional[Mesh] = None, lr: float = 1e-3):
+    def __init__(self, module, params, loss_fn, mesh: Optional[Mesh] = None,
+                 lr: float = 1e-3, shard_batch: bool = True):
+        """``shard_batch=False`` keeps the batch replicated — for losses
+        that spend the "data" axis on something else (e.g. sequence-
+        parallel encoders sharding the frame axis inside the loss)."""
         self.module = module
         self.mesh = mesh or make_mesh(model_axis=1)
+        self.shard_batch = bool(shard_batch)
         self.tx = make_optimizer(lr)
         self.state = TrainState(params=params, opt_state=self.tx.init(params))
-        dsh = data_sharding(self.mesh)
+        dsh = data_sharding(self.mesh) if self.shard_batch else None
 
         def step_fn(params, opt_state, batch):
             loss, grads = jax.value_and_grad(
@@ -193,7 +198,8 @@ class ModuleTrainer:
         )
 
     def train_step(self, batch) -> float:
-        batch = jax.device_put(batch, data_sharding(self.mesh))
+        if self.shard_batch:
+            batch = jax.device_put(batch, data_sharding(self.mesh))
         params, opt_state, loss = self._step(self.state.params, self.state.opt_state, batch)
         self.state = TrainState(params, opt_state, self.state.step + 1)
         return float(loss)

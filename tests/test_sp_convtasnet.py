@@ -166,6 +166,27 @@ def test_time_sharded_training_matches_dense(setup):
     assert worst < 1e-4, f"post-step param drift {worst}"
 
 
+def test_time_sharded_training_mossformer(setup):
+    """time_shard=True also trains the GAU backend: the ring partial-sum
+    attention differentiates (static-bound fori_loop lowers to scan)."""
+    from audio_classification_tpu.models.mossformer import MossFormerConfig
+    from audio_classification_tpu.train.trainer import SeparatorTrainer
+
+    _, _, mesh = setup
+    cfg = MossFormerConfig(n_src=2, enc_dim=16, enc_kernel=16, dim=16,
+                           qk_dim=8, layers=2, conv_kernel=5,
+                           sample_rate=8000)
+    rng = np.random.default_rng(7)
+    refs = (rng.standard_normal((8, 2, 1024)) * 0.3).astype(np.float32)
+    mix = refs.sum(axis=1)
+    mask = np.ones((8, 1024), np.float32)
+    loss_d = SeparatorTrainer(cfg, mesh=mesh, lr=1e-3, seed=0).train_step(
+        mix, refs, mask)
+    loss_s = SeparatorTrainer(cfg, mesh=mesh, lr=1e-3, seed=0,
+                              time_shard=True).train_step(mix, refs, mask)
+    assert loss_s == pytest.approx(loss_d, rel=1e-4)
+
+
 def test_sp_rejects_int8(setup):
     import dataclasses
 

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from audio_classification_tpu.parallel.mesh import data_sharding, make_mesh
 from audio_classification_tpu.parallel.sp_encoder import SPTransformerBlock
@@ -228,3 +229,36 @@ def test_sp_encoders_lower_without_remat_warnings(capfd):
 
     err = capfd.readouterr().err
     assert "Involuntary full rematerialization" not in err, err[:2000]
+
+
+def test_sp_encoder_gradients_match_dense():
+    """Sequence-parallel TRAINING: the CTC gradient through ring attention
+    (shard_map + ppermute, streaming softmax) matches the dense gradient —
+    the backward pass of the ring is the transposed ring."""
+    from audio_classification_tpu.models.asr.ctc import ctc_loss
+    from audio_classification_tpu.models.asr.sensevoice import (
+        SenseVoiceConfig, SenseVoiceEncoder)
+
+    cfg = SenseVoiceConfig(vocab_size=12, dim=16, heads=2, layers=2,
+                           ffn_mult=2, conv_kernel=3)
+    enc = SenseVoiceEncoder(cfg)
+    mesh = make_mesh(8, model_axis=1)
+    t = 64
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((2, t, 10)).astype(np.float32))
+    fmask = jnp.asarray(np.arange(t)[None, :] < np.asarray([t, t - 9])[:, None])
+    params = enc.init(jax.random.PRNGKey(0), feats, fmask)
+    labels = jnp.asarray(rng.integers(1, 12, size=(2, 6)).astype(np.int32))
+    lab_lens = jnp.asarray([6, 4], np.int32)
+
+    def loss(p, mesh_arg):
+        logits = enc.apply(p, feats, fmask, mesh=mesh_arg)[:, cfg.num_prompt:]
+        return ctc_loss(logits, fmask.astype(jnp.float32), labels, lab_lens,
+                        blank_id=0)
+
+    ld, gd = jax.value_and_grad(loss)(params, None)
+    ls, gs = jax.value_and_grad(lambda p: loss(p, mesh))(params)
+    assert float(ls) == pytest.approx(float(ld), rel=1e-5)
+    worst = max(float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)))
+    assert worst < 2e-4, f"SP gradient drift {worst}"

@@ -89,6 +89,16 @@ def test_manifest_train_ckpt_resume_export(corpus, capsys, tmp_path):
     assert isinstance(text, str)
 
 
+def test_seq_parallel_training_smoke():
+    """--seq-parallel: gradients flow through ring attention (frame axis on
+    the data mesh axis, batch replicated); loss stays finite."""
+    c0, c1 = ta.main(["--synthetic", "--steps", "2", "--batch", "2",
+                      "--seq-parallel", "--data-parallel", "8",
+                      "--dim", "32", "--heads", "2", "--layers", "1",
+                      "--conv-kernel", "3", "--log-every", "100"])
+    assert np.isfinite(c0) and np.isfinite(c1)
+
+
 def test_tsv_manifest_and_char_vocab(corpus, tmp_path):
     root, man, _ = corpus
     rows = [json.loads(ln) for ln in open(man, encoding="utf-8")]
