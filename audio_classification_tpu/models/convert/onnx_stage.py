@@ -136,7 +136,15 @@ class OnnxStage:
             feeds[self.length_input] = jnp.sum(m.astype(jnp.int32), axis=-1)
         for name in self.int_inputs:
             v = self._prompt_value(name, language_id, use_itn)
-            feeds[name] = jnp.full((feats.shape[0],), v, jnp.int32)
+            # honor a concretely declared shape (e.g. this framework's own
+            # exports take language as [1]); symbolic/absent dims -> [B]
+            shape = (feats.shape[0],)
+            for vi in self.model.graph.inputs:
+                if vi.name == name and vi.shape and all(
+                        isinstance(d, int) for d in vi.shape):
+                    shape = tuple(vi.shape)
+                    break
+            feeds[name] = jnp.full(shape, v, jnp.int32)
         outs = self.model.raw_fn(params, feeds)
         result = []
         for i, name in enumerate(self.outputs):
