@@ -265,13 +265,16 @@ def main(argv=None):
             scores = np.asarray(bank.scores(jnp.asarray(e)[None]))[0]
             for j, nm in enumerate(bank.names):
                 (same if nm == f"spk{int(l)}" else diff).append(scores[j])
-        acc = correct / max(total, 1)
-        return acc, float(np.mean(same)) if same else float("nan"), \
-            float(np.mean(diff)) if diff else float("nan")
+        from ..metrics import eer
 
-    a0, s0, d0 = eval_accuracy()
+        acc = correct / max(total, 1)
+        e, thr = eer(same, diff)
+        return acc, float(np.mean(same)) if same else float("nan"), \
+            float(np.mean(diff)) if diff else float("nan"), e, thr
+
+    a0, s0, d0, e0, _ = eval_accuracy()
     print(f"[train_speaker] held-out id accuracy at step {start_step}: "
-          f"{a0:.3f} (same-cos {s0:.3f} / diff-cos {d0:.3f})")
+          f"{a0:.3f} (same-cos {s0:.3f} / diff-cos {d0:.3f} / EER {e0:.3f})")
     t0 = time.time()
     global_batch = args.batch * mesh.shape["data"]
     for step in range(start_step + 1, args.steps + 1):
@@ -287,9 +290,10 @@ def main(argv=None):
             print(f"[train_speaker] checkpoint @ step {step} -> {args.ckpt_dir}")
     if args.ckpt_dir and trainer.state.step > start_step:
         trainer.save(args.ckpt_dir)
-    a1, s1, d1 = eval_accuracy()
+    a1, s1, d1, e1, thr1 = eval_accuracy()
     print(f"[train_speaker] held-out id accuracy after: {a1:.3f} "
-          f"(same-cos {s1:.3f} / diff-cos {d1:.3f})")
+          f"(same-cos {s1:.3f} / diff-cos {d1:.3f} / EER {e1:.3f} "
+          f"@thr {thr1:.3f} — a calibrated --sv-threshold)")
 
     # embedder-only tree, shaped exactly like the engine's spk stage params
     # (SpeakerEmbedder.init): drop the AAM centers, unwrap the "embedder"

@@ -12,6 +12,7 @@ from .sisdr import (
     si_sdr_matrix,
 )
 from .text import cer, edit_distance, normalize_for_cer, wer
+from .verification import eer
 
 __all__ = [
     "agg_stats", "agg_stats_full", "maybe_round",

@@ -1,5 +1,6 @@
 """Metric tests: SI-SDR/PIT host-vs-device parity, CER/WER, OSD masks."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from audio_classification_tpu.metrics import (
@@ -190,3 +191,26 @@ def test_gt_overlap_mask_and_metrics():
     assert m["precision"] == 1.0 and m["recall"] == 1.0 and m["iou"] == 1.0
     m2 = compute_osd_metrics(gt, np.zeros_like(gt))
     assert m2["recall"] == 0.0
+
+
+def test_eer_separable_and_overlapping():
+    from audio_classification_tpu.metrics import eer
+
+    # perfectly separable -> EER 0, threshold between the distributions
+    e, thr = eer([0.8, 0.9, 0.95], [0.1, 0.2, 0.3])
+    assert e == pytest.approx(0.0, abs=1e-9)
+    assert 0.3 <= thr <= 0.8
+
+    # fully overlapping identical distributions -> EER 0.5
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(500)
+    y = rng.standard_normal(500)
+    e, _ = eer(x, y)
+    assert e == pytest.approx(0.5, abs=0.06)
+
+    # known asymmetric case: one impostor above all targets
+    e, _ = eer([0.5, 0.6, 0.7, 0.8], [0.0, 0.1, 0.9, 0.2])
+    assert 0.0 < e <= 0.25 + 1e-9
+
+    e, _ = eer([], [0.1])
+    assert np.isnan(e)
