@@ -40,6 +40,10 @@ def parse_args(argv=None):
                    choices=["train-360", "train-100", "dev", "test"])
     d.add_argument("--synthetic", action="store_true",
                    help="Train on synthetic harmonic scenes (no corpus needed)")
+    d.add_argument("--dynamic-mix", action="store_true",
+                   help="Remix sources from DIFFERENT LibriMix items with "
+                        "random gains every step (fresh mixtures each epoch "
+                        "— the standard separation data-augmentation)")
     d.add_argument("--n-src", type=int, default=2, choices=[2, 3])
     d.add_argument("--sample-rate", type=int, default=8000, choices=[8000, 16000])
     d.add_argument("--seconds", type=float, default=1.0,
@@ -107,9 +111,14 @@ def synthetic_batch(rng, b, n_src, t, sr):
 
 
 class LibriMixSampler:
-    """Random fixed-length crops of (mix, sources) from a LibriMix tree."""
+    """Random fixed-length crops of (mix, sources) from a LibriMix tree.
 
-    def __init__(self, root, subset, n_src, sr, crop, rng):
+    ``dynamic=True`` composes each training mixture from sources of
+    DIFFERENT items with random per-source gains (±5 dB) — dynamic mixing,
+    the standard separation augmentation (every step sees a never-before-
+    heard mixture instead of the corpus' fixed pairings)."""
+
+    def __init__(self, root, subset, n_src, sr, crop, rng, dynamic=False):
         from ..data.librimix import LibriMixDataset
 
         self.ds = LibriMixDataset(root, subset=subset, num_speakers=n_src,
@@ -117,20 +126,34 @@ class LibriMixSampler:
         if not len(self.ds):
             raise FileNotFoundError(f"no LibriMix mixtures under {root}")
         self.n_src, self.crop, self.rng = n_src, crop, rng
+        self.dynamic = bool(dynamic)
+
+    def _item_sources(self):
+        while True:
+            _, mix, srcs = self.ds[int(self.rng.integers(len(self.ds)))]
+            if srcs is not None:
+                return mix, srcs
 
     def batch(self, b):
         mixes = np.zeros((b, self.crop), np.float32)
         refs = np.zeros((b, self.n_src, self.crop), np.float32)
         for i in range(b):
-            while True:
-                _, mix, srcs = self.ds[int(self.rng.integers(len(self.ds)))]
-                if srcs is not None:
-                    break
-            n = min(len(mix), self.crop)
-            off = int(self.rng.integers(max(len(mix) - self.crop, 0) + 1))
-            mixes[i, :n] = mix[off:off + n]
-            for k in range(self.n_src):
-                refs[i, k, :n] = srcs[k][off:off + n]
+            if self.dynamic:
+                for k in range(self.n_src):
+                    _, srcs = self._item_sources()
+                    src = srcs[int(self.rng.integers(len(srcs)))]
+                    n = min(len(src), self.crop)
+                    off = int(self.rng.integers(max(len(src) - self.crop, 0) + 1))
+                    gain = 10.0 ** (self.rng.uniform(-5.0, 5.0) / 20.0)
+                    refs[i, k, :n] = gain * src[off:off + n]
+                mixes[i] = refs[i].sum(axis=0)
+            else:
+                mix, srcs = self._item_sources()
+                n = min(len(mix), self.crop)
+                off = int(self.rng.integers(max(len(mix) - self.crop, 0) + 1))
+                mixes[i, :n] = mix[off:off + n]
+                for k in range(self.n_src):
+                    refs[i, k, :n] = srcs[k][off:off + n]
         return mixes, refs
 
 
@@ -180,9 +203,11 @@ def main(argv=None):
         held = synthetic_batch(np.random.default_rng(123), 16, args.n_src, t, sr)
     else:
         sampler = LibriMixSampler(args.librimix_root, args.subset, args.n_src,
-                                  sr, t, rng)
+                                  sr, t, rng, dynamic=args.dynamic_mix)
         sample = sampler.batch
-        held = sampler.batch(16)
+        # held-out on the corpus' REAL mixtures even when training dynamic
+        held = LibriMixSampler(args.librimix_root, args.subset, args.n_src,
+                               sr, t, np.random.default_rng(123)).batch(16)
 
     eval_model = trainer.model  # same arch/params layout as the train step
     # one jitted program per eval batch shape — eager apply pays a tunnel

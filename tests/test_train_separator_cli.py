@@ -142,3 +142,38 @@ def test_mossformer_train_export_serve(tmp_path, capsys):
     mix = ts.synthetic_batch(np.random.default_rng(3), 1, 2, 2000, 8000)[0][0]
     est = eng.separate([mix], n_src=2, backend="mossformer")
     assert np.asarray(est[0]).shape == (2, 2000)
+
+
+def test_dynamic_mixing_on_librimix_tree(tmp_path):
+    """--dynamic-mix: sources drawn from different items with random gains;
+    train runs end-to-end on a real tree layout and refs always sum to mix."""
+    from audio_classification_tpu.audio_io import write_wav
+
+    sr8 = 8000
+    base = tmp_path / "Libri2Mix" / "wav8k" / "min" / "train-100"
+    for sub in ("mix_clean", "s1", "s2"):
+        (base / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        s1 = (0.3 * np.sin(2 * np.pi * (250 + 40 * i)
+                           * np.arange(2 * sr8) / sr8)).astype(np.float32)
+        s2 = (0.3 * np.sin(2 * np.pi * (700 + 60 * i)
+                           * np.arange(2 * sr8) / sr8)).astype(np.float32)
+        for sub, sig in (("s1", s1), ("s2", s2), ("mix_clean", s1 + s2)):
+            write_wav(base / sub / f"mix_{i}.wav", sig, sr8)
+
+    sampler = ts.LibriMixSampler(str(tmp_path), "train-100", 2, sr8,
+                                 crop=4000, rng=rng, dynamic=True)
+    mix, refs = sampler.batch(4)
+    np.testing.assert_allclose(mix, refs.sum(axis=1), atol=1e-6)
+    # dynamic pairings differ from the corpus' fixed ones: with random
+    # gains the two sources are (almost surely) not unit-gain stems
+    assert np.std(np.max(np.abs(refs), axis=-1)) > 1e-3
+
+    before, after = _run([
+        "--librimix-root", str(tmp_path), "--subset", "train-100",
+        "--dynamic-mix", "--steps", "2", "--batch", "2", "--seconds", "0.5",
+        "--enc-dim", "16", "--bottleneck", "8", "--hidden", "16",
+        "--n-blocks", "2", "--n-repeats", "1", "--log-every", "100",
+    ])
+    assert np.isfinite(before) and np.isfinite(after)
