@@ -288,6 +288,11 @@ def main(argv=None):
         save_params(trainer.state.params, args.export)
         print(f"[distill_asr] exported student params -> {args.export} "
               f"(use --sense-voice {args.export}; vocab from --tokens)")
+    from ..train.data import write_run_manifest
+
+    for d in filter(None, {args.ckpt_dir, args.export}):
+        write_run_manifest(d, args, {"agreement_before": a0,
+                                     "agreement_after": a1})
     return a0, a1
 
 

@@ -296,6 +296,11 @@ def main(argv=None) -> dict:
 
     save_params(trainer.state.params, args.out)
     print(f"saved OSD params: {args.out} (use --osd-checkpoint {args.out})")
+    from ..train.data import write_run_manifest
+
+    write_run_manifest(args.out, args, {"f1": m["f1"],
+                                        "precision": m["precision"],
+                                        "recall": m["recall"]})
     if args.export_onnx:
         from ..models.convert.onnx_export import export_osdnet
 

@@ -338,6 +338,10 @@ def main(argv=None):
         print(f"[train_asr] exported ONNX -> {args.export_onnx} "
               f"(feats [batch,{frames},{cfg.lfr_m * cfg.num_mel}] + "
               f"language [1] -> logits{q})")
+    from ..train.data import write_run_manifest
+
+    for d in filter(None, {args.ckpt_dir, args.export}):
+        write_run_manifest(d, args, {"cer_before": c0, "cer_after": c1})
     return c0, c1
 
 

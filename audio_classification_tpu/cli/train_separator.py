@@ -264,6 +264,11 @@ def main(argv=None):
         exporter(host_params, cfg, args.export_onnx, seconds=args.seconds)
         print(f"[train_separator] exported ONNX -> {args.export_onnx} "
               f"(mix [batch,{t}] -> est [batch,{args.n_src},{t}])")
+    from ..train.data import write_run_manifest
+
+    for d in filter(None, {args.ckpt_dir, args.export}):
+        write_run_manifest(d, args, {"si_sdri_before": before,
+                                     "si_sdri_after": after})
     return before, after
 
 

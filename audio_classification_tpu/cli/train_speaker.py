@@ -317,6 +317,11 @@ def main(argv=None):
                        args.export_onnx, frames=frames)
         print(f"[train_speaker] exported ONNX -> {args.export_onnx} "
               f"(feats [batch,{frames},{fb.num_bins}] -> emb)")
+    from ..train.data import write_run_manifest
+
+    for d in filter(None, {args.ckpt_dir, args.export}):
+        write_run_manifest(d, args, {"accuracy_before": a0, "accuracy_after": a1,
+                                     "eer_after": e1})
     return a0, a1
 
 

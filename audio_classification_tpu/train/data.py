@@ -54,3 +54,37 @@ class WavCache:
                 self._cache.clear()
             self._cache[path] = wav.astype(np.float32)
         return self._cache[path]
+
+
+def write_run_manifest(out_dir, args, extra: dict | None = None) -> str:
+    """Drop a run.json next to a checkpoint/export: argv namespace, seed,
+    git revision and library versions — enough to reproduce or audit a
+    training run (the reference's only run provenance is timestamped dir
+    names, overlap3_core.py:189-198)."""
+    import json
+    import subprocess
+    from pathlib import Path
+
+    rev = ""
+    try:
+        rev = subprocess.run(["git", "rev-parse", "HEAD"],
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip()
+    except Exception:
+        pass
+    import jax
+
+    meta = {
+        "argv": {k: v for k, v in sorted(vars(args).items())},
+        "git_rev": rev,
+        "jax_version": jax.__version__,
+        "backend": jax.default_backend(),
+        "n_devices": len(jax.devices()),
+    }
+    meta.update(extra or {})
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / "run.json"
+    path.write_text(json.dumps(meta, indent=2, default=str) + "\n",
+                    encoding="utf-8")
+    return str(path)

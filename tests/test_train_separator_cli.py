@@ -34,6 +34,13 @@ def test_train_loss_moves_and_exports(trained):
 
     assert os.path.isdir(ckpt) and os.path.isdir(export)
     assert np.isfinite(before) and np.isfinite(after)
+    # reproducibility manifest next to both artifacts
+    import json
+
+    for d in (ckpt, export):
+        meta = json.loads(open(os.path.join(d, "run.json")).read())
+        assert meta["argv"]["steps"] == 6 and "git_rev" in meta
+        assert "si_sdri_after" in meta
 
 
 def test_resume_continues_from_saved_step(trained, capsys):
