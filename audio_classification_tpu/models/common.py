@@ -220,6 +220,18 @@ class MultiHeadSelfAttention(nn.Module):
             return z.reshape(b, z.shape[1], self.heads, d_head).transpose(0, 2, 1, 3)
 
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
+
+        from ..ops.pallas.attention_kernel import flash_attention, flash_enabled
+
+        if quant == "none" and flash_enabled(t):
+            # Blockwise streaming-softmax Pallas kernel: same mask semantics
+            # and f32 accumulation as the einsum path below (its numeric
+            # oracle), but the [B, H, T, T] logits never touch HBM — the
+            # long-form single-chip path stops being O(T^2) memory.
+            out = flash_attention(q, k, v, mask)
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+            return DenseQ(self.dim, quant=quant, name="out")(out, mask)
+
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
         logits = logits / np.sqrt(d_head)
         if mask is not None:

@@ -1,0 +1,234 @@
+"""Pallas TPU kernel: blockwise streaming-softmax (flash) self-attention.
+
+The dense MHSA path (models/common.MultiHeadSelfAttention) materializes the
+[B, H, T, T] logit tensor in HBM; at long-form lengths (transcribe_long on a
+single chip, SP-training crops) that matrix dominates memory traffic and
+caps T at sqrt(HBM). This kernel streams K/V blocks through VMEM with the
+classic running-max/running-sum softmax rescaling, so attention memory is
+O(T * block) and the logits never leave the chip:
+
+  per (batch*head, q-block):  for each k-block:
+    s = q @ k^T * scale + key_bias          [block_q, block_k]  (MXU, f32 acc)
+    m' = max(m, rowmax(s)); alpha = exp(m - m')
+    p = exp(s - m'); l = alpha*l + rowsum(p)
+    acc = alpha*acc + p @ v                 (MXU)
+  out = acc / l
+
+Mask semantics match the dense path exactly: an additive key bias
+(0 / -1e9) derived from the boolean frame mask — fully-masked (padded)
+query rows degrade to the same near-uniform softmax the dense path
+produces and are discarded downstream.
+
+Backward runs through a jax.checkpoint'ed blockwise XLA reference (scan
+over q blocks), so training gets the same O(T * block) memory without a
+hand-written backward kernel; gradients are those of exact softmax
+attention.
+
+Used by MultiHeadSelfAttention when ``attn_impl`` resolves to flash (TPU
+backend and T >= ACT_FLASH_ATTN_MIN_T, or ACT_FLASH_ATTN=1); the dense
+einsum path is the numeric oracle (tests/test_flash_attention.py).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class _FlashCfg(NamedTuple):
+    block_q: int
+    block_k: int
+    scale: float
+    heads: int
+    interpret: bool
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, m_ref, l_ref, acc_ref,
+            *, scale: float, nk: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [block_q, Dp]
+    k = k_ref[0]  # [block_k, Dp]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + bias_ref[0]  # [1, block_k] broadcasts over q rows
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _():
+        out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+
+
+def _flash_fwd_call(cfg: _FlashCfg, q, k, v, bias):
+    """Padded [BH, Tq, Dp] q / [BH, Tk, Dp] k,v / [B, 1, Tk] bias -> [BH, Tq, Dp] f32.
+
+    bias rides as rank-3 with a singleton middle dim so its block's last two
+    dims are (1, block_k) == (array dim, lane multiple) — Mosaic requires the
+    sublane block dim be 8-divisible OR equal to the full array dim."""
+    bh, tq, dp = q.shape
+    tk = k.shape[1]
+    nq, nk = tq // cfg.block_q, tk // cfg.block_k
+    heads = cfg.heads
+    mem = pl.ANY if cfg.interpret else pltpu.VMEM
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=cfg.scale, nk=nk),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, dp), jnp.float32),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, cfg.block_q, dp), lambda b, i, j: (b, i, 0), memory_space=mem),
+            pl.BlockSpec((1, cfg.block_k, dp), lambda b, i, j: (b, j, 0), memory_space=mem),
+            pl.BlockSpec((1, cfg.block_k, dp), lambda b, i, j: (b, j, 0), memory_space=mem),
+            pl.BlockSpec((1, 1, cfg.block_k), lambda b, i, j: (b // heads, 0, j), memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((1, cfg.block_q, dp), lambda b, i, j: (b, i, 0), memory_space=mem),
+        scratch_shapes=[
+            pltpu.VMEM((cfg.block_q, _LANE), jnp.float32),
+            pltpu.VMEM((cfg.block_q, _LANE), jnp.float32),
+            pltpu.VMEM((cfg.block_q, dp), jnp.float32),
+        ],
+        interpret=cfg.interpret,
+    )(q, k, v, bias)
+
+
+def _blockwise_ref(cfg: _FlashCfg, q, k, v, bias):
+    """XLA blockwise oracle on the padded operands; backward runs through
+    this under jax.checkpoint (O(T * block_q) live memory either way)."""
+    bh, tq, dp = q.shape
+    b = bias.shape[0]
+    nq = tq // cfg.block_q
+    kh = k.reshape(b, cfg.heads, -1, dp)
+    vh = v.reshape(b, cfg.heads, -1, dp)
+
+    @jax.checkpoint
+    def blk(qb):  # [B, H, block_q, Dp]
+        s = jnp.einsum("bhqd,bhkd->bhqk", qb, kh,
+                       preferred_element_type=jnp.float32) * cfg.scale
+        s = s + bias[:, :, None, :]  # [B, 1, Tk] -> broadcasts over heads + q rows
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(vh.dtype), vh,
+                          preferred_element_type=jnp.float32)
+
+    qb = q.reshape(b, cfg.heads, nq, cfg.block_q, dp).transpose(2, 0, 1, 3, 4)
+    out = jax.lax.map(blk, qb)  # [nq, B, H, block_q, Dp]
+    return out.transpose(1, 2, 0, 3, 4).reshape(bh, tq, dp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_core(cfg: _FlashCfg, q, k, v, bias):
+    return _flash_fwd_call(cfg, q, k, v, bias)
+
+
+def _flash_core_fwd(cfg, q, k, v, bias):
+    return _flash_fwd_call(cfg, q, k, v, bias), (q, k, v, bias)
+
+
+def _flash_core_bwd(cfg, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda a, b_, c, d: _blockwise_ref(cfg, a, b_, c, d),
+                     q, k, v, bias)
+    return vjp(g)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    *,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Masked non-causal self-attention, [B, H, T, D] -> [B, H, T, D] f32.
+
+    kv_mask: optional [B, T] boolean; False keys are excluded exactly as the
+    dense path's additive -1e9 bias does. Arbitrary T and D are padded to
+    block/lane multiples internally and sliced back.
+    """
+    b, h, t, d = q.shape
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu", "gpu")
+    scale = 1.0 / float(np.sqrt(d))
+
+    block_q = min(block_q, _round_up(t, _LANE))
+    block_k = min(block_k, _round_up(t, _LANE))
+    tqp = _round_up(t, block_q)
+    tkp = _round_up(t, block_k)
+    dp = _round_up(d, _LANE)
+
+    def pad3(z, tp):
+        return jnp.pad(z, ((0, 0), (0, 0), (0, tp - t), (0, dp - d)))
+
+    qp = pad3(q, tqp).reshape(b * h, tqp, dp)
+    kp = pad3(k, tkp).reshape(b * h, tkp, dp)
+    vp = pad3(v, tkp).reshape(b * h, tkp, dp)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, t), bool)
+    mask_p = jnp.pad(kv_mask.astype(bool), ((0, 0), (0, tkp - t)))
+    bias = jnp.where(mask_p, 0.0, -1e9).astype(jnp.float32)[:, None, :]
+
+    cfg = _FlashCfg(block_q=block_q, block_k=block_k, scale=scale,
+                    heads=h, interpret=bool(interpret))
+    out = _flash_core(cfg, qp, kp, vp, bias)
+    return out.reshape(b, h, tqp, dp)[:, :, :t, :d]
+
+
+def flash_enabled(t: int) -> bool:
+    """Resolve the auto attn-impl switch for a sequence length.
+
+    ACT_FLASH_ATTN=1 forces flash, =0 forces dense; default: flash on the
+    TPU backend once T reaches ACT_FLASH_ATTN_MIN_T (default 512) — short
+    segment batches keep the proven fused dense path, long-form stops
+    materializing [B, H, T, T] in HBM.
+    """
+    env = os.environ.get("ACT_FLASH_ATTN", "").strip()
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - backend probe
+        return False
+    if backend in ("cpu", "gpu"):
+        return False
+    min_t = int(os.environ.get("ACT_FLASH_ATTN_MIN_T", "512"))
+    return t >= min_t

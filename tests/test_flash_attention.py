@@ -1,0 +1,113 @@
+"""Flash (blockwise streaming-softmax) attention kernel vs the dense oracle.
+
+The dense einsum path in models/common.MultiHeadSelfAttention is the numeric
+reference (SURVEY.md §2.3: the reference delegates attention to onnxruntime
+kernels; here both paths are ours and must agree).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_classification_tpu.ops.pallas.attention_kernel import (
+    flash_attention,
+    flash_enabled,
+)
+
+
+def dense_attention(q, k, v, mask=None):
+    d = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(d)
+    if mask is not None:
+        logits = logits + jnp.where(mask[:, None, None, :], 0.0, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                      preferred_element_type=jnp.float32)
+
+
+def _rand(shape, seed, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, dtype=dtype)
+
+
+@pytest.mark.parametrize("t,d", [(64, 32), (300, 64), (512, 48)])
+def test_flash_matches_dense(t, d):
+    b, h = 2, 3
+    q, k, v = (_rand((b, h, t, d), i) for i in range(3))
+    mask = jnp.arange(t)[None, :] < jnp.array([t, max(1, t - 37)])[:, None]
+    out = flash_attention(q, k, v, mask, block_q=128, block_k=128, interpret=True)
+    ref = dense_attention(q, k, v, mask)
+    valid = np.asarray(mask)[:, None, :, None]
+    err = np.abs(np.asarray(out) - np.asarray(ref)) * valid
+    assert err.max() < 1e-4
+
+
+def test_flash_no_mask_and_non_tiling_blocks():
+    b, h, t, d = 1, 2, 130, 64
+    q, k, v = (_rand((b, h, t, d), 10 + i) for i in range(3))
+    out = flash_attention(q, k, v, None, block_q=128, block_k=256, interpret=True)
+    ref = dense_attention(q, k, v)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-4
+
+
+def test_flash_bf16_inputs():
+    b, h, t, d = 2, 2, 256, 64
+    q, k, v = (_rand((b, h, t, d), 20 + i, jnp.bfloat16) for i in range(3))
+    mask = jnp.arange(t)[None, :] < jnp.array([200, 256])[:, None]
+    out = flash_attention(q, k, v, mask, interpret=True)
+    ref = dense_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                          v.astype(jnp.float32), mask)
+    valid = np.asarray(mask)[:, None, :, None]
+    err = np.abs(np.asarray(out) - np.asarray(ref)) * valid
+    assert err.max() < 3e-2  # bf16 matmul noise
+
+
+def test_flash_gradients_match_dense():
+    b, h, t, d = 1, 2, 192, 32
+    q, k, v = (_rand((b, h, t, d), 30 + i) for i in range(3))
+    mask = jnp.arange(t)[None, :] < (t - 11)
+    g = _rand((b, h, t, d), 40)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, mask, block_q=64, block_k=64, interpret=True)
+        return jnp.sum(out * g * mask[:, None, :, None])
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v, mask) * g * mask[:, None, :, None])
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        assert np.abs(np.asarray(a) - np.asarray(b_)).max() < 1e-4
+
+
+def test_mhsa_module_flash_parity(monkeypatch):
+    """The module's flash branch == its dense branch, same params."""
+    import flax.linen as nn
+
+    from audio_classification_tpu.models.common import MultiHeadSelfAttention
+
+    mod = MultiHeadSelfAttention(dim=64, heads=4)
+    x = _rand((2, 96, 64), 50)
+    mask = jnp.arange(96)[None, :] < jnp.array([96, 70])[:, None]
+    params = mod.init(jax.random.PRNGKey(0), x, mask)
+
+    monkeypatch.setenv("ACT_FLASH_ATTN", "0")
+    ref = mod.apply(params, x, mask)
+    monkeypatch.setenv("ACT_FLASH_ATTN", "1")
+    out = mod.apply(params, x, mask)
+    valid = np.asarray(mask)[..., None]
+    err = np.abs(np.asarray(out) - np.asarray(ref)) * valid
+    assert err.max() < 1e-4
+
+
+def test_flash_enabled_resolution(monkeypatch):
+    monkeypatch.setenv("ACT_FLASH_ATTN", "1")
+    assert flash_enabled(8)
+    monkeypatch.setenv("ACT_FLASH_ATTN", "0")
+    assert not flash_enabled(10_000)
+    monkeypatch.delenv("ACT_FLASH_ATTN")
+    # conftest forces the cpu backend -> auto mode stays dense
+    assert not flash_enabled(10_000)
