@@ -74,13 +74,14 @@ def get_args(argv=None):
     p.add_argument("--model-parallel", type=int, default=0, dest="model_parallel",
                    help="Devices on the mesh 'model' axis (TP)")
     p.add_argument("--long-form", action="store_true", dest="long_form",
-                   help="Transcribe each utterance as ONE sequence-parallel "
-                        "program: its frame axis spans the mesh's data axis "
-                        "(ring attention) instead of per-segment batching. "
-                        "Frame-parallel decoder families only (sense-voice "
-                        "CTC, paraformer CIF); transducer/whisper and "
-                        "direct-exec ONNX graphs fall back to segment mode, "
-                        "as does a mesh-less engine")
+                   help="Transcribe each utterance as ONE full-context "
+                        "program instead of per-segment batching: the frame "
+                        "axis spans the mesh's data axis (ring attention) "
+                        "when --data-parallel sets one, or runs single-chip "
+                        "via Pallas flash attention otherwise. Frame-parallel "
+                        "decoder families only (sense-voice CTC, paraformer "
+                        "CIF); transducer/whisper and direct-exec ONNX "
+                        "graphs fall back to segment mode")
     return p.parse_args(argv)
 
 

@@ -900,18 +900,21 @@ class StageEngine:
         attention context at segment edges; here the SenseVoice/Paraformer
         encoders run ring attention over the mesh's data axis, so a
         minutes-long utterance keeps FULL self-attention context while its
-        activation memory splits across chips. LONG_FORM_FAMILIES only (the
-        transducer/whisper scan decoders are per-frame sequential); falls
-        back to transcribe() when no mesh is configured, the family is not
-        long-form capable, or a direct-exec ONNX graph serves the stage
-        (exported graphs carry no mesh switch). Inputs snap to the
-        PRE-DECLARED long bucket grid (BucketSpec.long_bucket_for — the ×2
-        grid extends past the segment cap without ad-hoc-bucket warnings;
-        each grid point compiles once and persists in the XLA cache).
+        activation memory splits across chips. Without a mesh the SAME
+        program runs single-chip: the encoder's dense MHSA auto-routes to
+        the Pallas flash kernel at T≥512 (ops/pallas/attention_kernel), so
+        full-context long-form stays O(T·block) in attention memory on one
+        chip too. LONG_FORM_FAMILIES only (the transducer/whisper scan
+        decoders are per-frame sequential); falls back to transcribe()
+        when the family is not long-form capable or a direct-exec ONNX
+        graph serves the stage (exported graphs carry no mesh switch).
+        Inputs snap to the PRE-DECLARED long bucket grid
+        (BucketSpec.long_bucket_for — the ×2 grid extends past the segment
+        cap without ad-hoc-bucket warnings; each grid point compiles once
+        and persists in the XLA cache).
         """
         wav = np.asarray(wav, np.float32)
-        if (self.mesh is None
-                or self.pack.asr_family not in self.LONG_FORM_FAMILIES
+        if (self.pack.asr_family not in self.LONG_FORM_FAMILIES
                 or self.pack.onnx_stages.get("asr") is not None):
             return self.transcribe([wav], language, use_itn)[0]
         p = self.pack

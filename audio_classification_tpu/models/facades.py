@@ -52,13 +52,14 @@ class ASRRecognizer:
     def transcribe(self, samples: np.ndarray, sr: int,
                    long_form: bool = False) -> str:
         """``long_form`` routes through StageEngine.transcribe_long: the
-        utterance's frame axis spans the engine's mesh (sequence-parallel
-        ring attention) instead of batch sharding — full attention context
-        for minutes-long audio. Supported for the frame-parallel decoders
-        only (sensevoice CTC, paraformer CIF —
-        StageEngine.LONG_FORM_FAMILIES); transducer/whisper decode
-        frame-sequentially and fall back to segment mode, as does any
-        engine without a mesh or serving a direct-exec ONNX graph."""
+        utterance runs as ONE full-attention-context program — its frame
+        axis spans the engine's mesh (sequence-parallel ring attention)
+        when one is configured, or stays on a single chip via the Pallas
+        flash-attention path (O(T·block) memory) without one. Supported
+        for the frame-parallel decoders only (sensevoice CTC, paraformer
+        CIF — StageEngine.LONG_FORM_FAMILIES); transducer/whisper decode
+        frame-sequentially and fall back to segment mode, as does an
+        engine serving a direct-exec ONNX graph."""
         wav = self.engine.resample(np.asarray(samples, np.float32), sr, G_SAMPLE_RATE)
         if long_form:
             return self.engine.transcribe_long(wav, self.language, self.use_itn)

@@ -60,11 +60,21 @@ class GAUBlock(nn.Module):
         q = z * gamma[0] + beta[0]
         k = z * gamma[1] + beta[1]
         t = x.shape[1]
-        logits = jnp.einsum("btd,bsd->bts", q, k, preferred_element_type=jnp.float32) / t
-        if mask is not None:
-            logits = logits * mask[:, None, :].astype(logits.dtype)
-        attn = jax.nn.relu(logits) ** 2
-        out = u * jnp.einsum("bts,bse->bte", attn, v, preferred_element_type=jnp.float32)
+
+        from ..ops.pallas.attention_kernel import flash_enabled, gau_attention
+
+        if flash_enabled(t):
+            # Blockwise Pallas path: identical relu² scores (multiplicative
+            # key mask -> masked keys contribute exactly 0) but the [T, T]
+            # score matrix never touches HBM — at 8 kHz/stride-8 frames a
+            # 16 s segment is T≈16k, i.e. ~1 GB of scores per layer dense.
+            out = u * gau_attention(q, k, v, mask, 1.0 / t)
+        else:
+            logits = jnp.einsum("btd,bsd->bts", q, k, preferred_element_type=jnp.float32) / t
+            if mask is not None:
+                logits = logits * mask[:, None, :].astype(logits.dtype)
+            attn = jax.nn.relu(logits) ** 2
+            out = u * jnp.einsum("bts,bse->bte", attn, v, preferred_element_type=jnp.float32)
         out = nn.Dense(c.dim, name="to_out")(out)
         if mask is not None:
             out = out * mask[..., None]

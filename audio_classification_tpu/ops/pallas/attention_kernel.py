@@ -211,6 +211,141 @@ def flash_attention(
     return out.reshape(b, h, tqp, dp)[:, :, :t, :d]
 
 
+def _gau_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, acc_ref,
+                *, scale: float, nk: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [block_q, Dqk]
+    k = k_ref[0]  # [block_k, Dqk]
+    v = v_ref[0]  # [block_k, De]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s * mask_ref[0]  # [1, block_k]: masked keys -> 0 -> relu^2 = 0
+    p = jnp.square(jax.nn.relu(s))
+    acc_ref[:] += jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nk - 1)
+    def _():
+        out_ref[0] = acc_ref[:]
+
+
+def _gau_fwd_call(cfg: _FlashCfg, q, k, v, mask):
+    """Padded [B, Tq, Dqk] q / [B, Tk, Dqk] k / [B, Tk, De] v /
+    [B, 1, Tk] f32 mask -> [B, Tq, De] f32 (no softmax: relu^2 scores
+    accumulate directly, so no running-max/sum state is needed)."""
+    b, tq, dqk = q.shape
+    tk, de = v.shape[1], v.shape[2]
+    nq, nk = tq // cfg.block_q, tk // cfg.block_k
+    mem = pl.ANY if cfg.interpret else pltpu.VMEM
+    return pl.pallas_call(
+        functools.partial(_gau_kernel, scale=cfg.scale, nk=nk),
+        out_shape=jax.ShapeDtypeStruct((b, tq, de), jnp.float32),
+        grid=(b, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, cfg.block_q, dqk), lambda b, i, j: (b, i, 0), memory_space=mem),
+            pl.BlockSpec((1, cfg.block_k, dqk), lambda b, i, j: (b, j, 0), memory_space=mem),
+            pl.BlockSpec((1, cfg.block_k, de), lambda b, i, j: (b, j, 0), memory_space=mem),
+            pl.BlockSpec((1, 1, cfg.block_k), lambda b, i, j: (b, 0, j), memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((1, cfg.block_q, de), lambda b, i, j: (b, i, 0), memory_space=mem),
+        scratch_shapes=[pltpu.VMEM((cfg.block_q, de), jnp.float32)],
+        interpret=cfg.interpret,
+    )(q, k, v, mask)
+
+
+def _gau_blockwise_ref(cfg: _FlashCfg, q, k, v, mask):
+    """XLA blockwise oracle; backward runs through this under
+    jax.checkpoint — [block_q, Tk] logits live per block, never [Tq, Tk]."""
+    b, tq, dqk = q.shape
+    nq = tq // cfg.block_q
+
+    @jax.checkpoint
+    def blk(qb):  # [B, block_q, Dqk]
+        s = jnp.einsum("bqd,bkd->bqk", qb, k,
+                       preferred_element_type=jnp.float32) * cfg.scale
+        s = s * mask  # [B, 1, Tk]
+        p = jnp.square(jax.nn.relu(s))
+        return jnp.einsum("bqk,bke->bqe", p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+
+    qb = q.reshape(b, nq, cfg.block_q, dqk).transpose(1, 0, 2, 3)
+    out = jax.lax.map(blk, qb)  # [nq, B, block_q, De]
+    return out.transpose(1, 0, 2, 3).reshape(b, tq, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gau_core(cfg: _FlashCfg, q, k, v, mask):
+    return _gau_fwd_call(cfg, q, k, v, mask)
+
+
+def _gau_core_fwd(cfg, q, k, v, mask):
+    return _gau_fwd_call(cfg, q, k, v, mask), (q, k, v, mask)
+
+
+def _gau_core_bwd(cfg, res, g):
+    q, k, v, mask = res
+    _, vjp = jax.vjp(lambda a, b_, c: _gau_blockwise_ref(cfg, a, b_, c, mask),
+                     q, k, v)
+    # the 0/1 key mask is data, not a parameter: symbolic-zero cotangent
+    return (*vjp(g), jnp.zeros_like(mask))
+
+
+_gau_core.defvjp(_gau_core_fwd, _gau_core_bwd)
+
+
+def gau_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+    scale: float,
+    *,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Blockwise gated-attention-unit scores: relu(q·kᵀ·scale)² @ v.
+
+    q/k: [B, T, Dqk], v: [B, T, De] -> [B, T, De] f32. The [T, T] relu²
+    score matrix (models/mossformer.GAUBlock's dense path — ~1 GB/layer at
+    16 s of 8 kHz frames) is never materialized; masked keys contribute
+    exactly 0 (multiplicative mask, matching the dense path). relu² is not
+    a softmax, so blocks accumulate with no rescaling state.
+    """
+    b, t, dqk = q.shape
+    de = v.shape[-1]
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu", "gpu")
+
+    block_q = min(block_q, _round_up(t, _LANE))
+    block_k = min(block_k, _round_up(t, _LANE))
+    tqp = _round_up(t, block_q)
+    tkp = _round_up(t, block_k)
+
+    def pad3(z, tp, dp):
+        return jnp.pad(z, ((0, 0), (0, tp - z.shape[1]), (0, dp - z.shape[2])))
+
+    qp = pad3(q, tqp, _round_up(dqk, _LANE))
+    kp = pad3(k, tkp, _round_up(dqk, _LANE))
+    vp = pad3(v, tkp, _round_up(de, _LANE))
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, t), bool)
+    mask_p = jnp.pad(kv_mask.astype(jnp.float32), ((0, 0), (0, tkp - t)))[:, None, :]
+
+    cfg = _FlashCfg(block_q=block_q, block_k=block_k, scale=float(scale),
+                    heads=1, interpret=bool(interpret))
+    out = _gau_core(cfg, qp, kp, vp, mask_p)
+    return out[:, :t, :de]
+
+
 def flash_enabled(t: int) -> bool:
     """Resolve the auto attn-impl switch for a sequence length.
 

@@ -181,6 +181,24 @@ def test_transcribe_long_paraformer_and_bucket_grid(engines):
         assert sv_sharded.transcribe_long(long_wav) == dense_long
 
 
+def test_transcribe_long_single_chip_full_context(engines):
+    """Without a mesh, transcribe_long runs the SAME full-context long-form
+    program on one chip (dense MHSA on CPU; the Pallas flash path at T≥512
+    on TPU — tests/test_flash_attention.py proves their parity) and snaps
+    to the long bucket grid, so a single-device engine gets warning-free
+    long-form instead of the segment fallback."""
+    import warnings
+
+    sv_single, _ = engines
+    long_wav = np.concatenate([_tone(16000 * 2, 420), _tone(16000, 650)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # segment path's ad-hoc bucket
+        segment_text = sv_single.transcribe([long_wav])[0]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # long path must stay warning-free
+        assert sv_single.transcribe_long(long_wav) == segment_text
+
+
 def test_long_bucket_for_no_warning():
     import warnings
 

@@ -103,6 +103,72 @@ def test_mhsa_module_flash_parity(monkeypatch):
     assert err.max() < 1e-4
 
 
+def dense_gau(q, k, v, mask, scale):
+    s = jnp.einsum("btd,bsd->bts", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        s = s * mask[:, None, :].astype(s.dtype)
+    p = jax.nn.relu(s) ** 2
+    return jnp.einsum("bts,bse->bte", p, v, preferred_element_type=jnp.float32)
+
+
+@pytest.mark.parametrize("t,dqk,de", [(128, 64, 96), (300, 128, 256)])
+def test_gau_matches_dense(t, dqk, de):
+    from audio_classification_tpu.ops.pallas.attention_kernel import gau_attention
+
+    b = 2
+    q = _rand((b, t, dqk), 1)
+    k = _rand((b, t, dqk), 2)
+    v = _rand((b, t, de), 3)
+    mask = jnp.arange(t)[None, :] < jnp.array([t, max(1, t - 41)])[:, None]
+    scale = 1.0 / t
+    out = gau_attention(q, k, v, mask, scale, block_q=128, block_k=128,
+                        interpret=True)
+    ref = dense_gau(q, k, v, mask, scale)
+    valid = np.asarray(mask)[:, :, None]
+    assert (np.abs(np.asarray(out) - np.asarray(ref)) * valid).max() < 1e-4
+
+
+def test_gau_gradients_match_dense():
+    from audio_classification_tpu.ops.pallas.attention_kernel import gau_attention
+
+    b, t, dqk, de = 1, 192, 32, 48
+    q, k, v = _rand((b, t, dqk), 4), _rand((b, t, dqk), 5), _rand((b, t, de), 6)
+    mask = jnp.arange(t)[None, :] < (t - 13)
+    g = _rand((b, t, de), 7)
+    scale = 1.0 / t
+
+    def lf(q, k, v):
+        out = gau_attention(q, k, v, mask, scale, block_q=64, block_k=64,
+                            interpret=True)
+        return jnp.sum(out * g * mask[..., None])
+
+    def ld(q, k, v):
+        return jnp.sum(dense_gau(q, k, v, mask, scale) * g * mask[..., None])
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(ld, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        assert np.abs(np.asarray(a) - np.asarray(b_)).max() < 1e-4
+
+
+def test_gau_module_flash_parity(monkeypatch):
+    """MossFormer's GAUBlock flash branch == its dense branch, same params."""
+    from audio_classification_tpu.models.mossformer import GAUBlock, MossFormerConfig
+
+    cfg = MossFormerConfig(dim=64, qk_dim=32, enc_dim=48, expansion=2, layers=1)
+    mod = GAUBlock(cfg)
+    x = _rand((2, 160, 64), 8)
+    mask = jnp.arange(160)[None, :] < jnp.array([160, 117])[:, None]
+    params = mod.init(jax.random.PRNGKey(0), x, mask)
+
+    monkeypatch.setenv("ACT_FLASH_ATTN", "0")
+    ref = mod.apply(params, x, mask)
+    monkeypatch.setenv("ACT_FLASH_ATTN", "1")
+    out = mod.apply(params, x, mask)
+    valid = np.asarray(mask)[..., None]
+    assert (np.abs(np.asarray(out) - np.asarray(ref)) * valid).max() < 1e-4
+
+
 def test_flash_enabled_resolution(monkeypatch):
     monkeypatch.setenv("ACT_FLASH_ATTN", "1")
     assert flash_enabled(8)
