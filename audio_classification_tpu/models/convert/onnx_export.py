@@ -601,7 +601,7 @@ def export_mossformer(params, cfg, path: str, seconds: float = 4.0) -> str:
     m = g.add("Reshape", [m, g.init(
         "shape", np.asarray([-1, n_frames, c.n_src, c.enc_dim], np.int64))])
 
-    # masked = w[:, :, None, :] * m with w as [B, F, N] (mossformer.py:106)
+    # masked = w[:, :, None, :] * m with w as [B, F, N] (mossformer.py:116)
     wu = g.add("Unsqueeze", [wt, g.init("axes", np.asarray([2], np.int64))])
     masked = g.add("Mul", [wu, m])                           # [B, F, S, N]
     masked = g.add("Transpose", [masked], perm=[0, 2, 3, 1]) # [B, S, N, F]

@@ -240,7 +240,7 @@ def _gau_ring_attn(q, k, v, fmask, inv_t: float, axis_name: str):
     """GAU attention with the key axis sharded: out_t = Σ_s relu(q_t·k_s *
     inv_t * m_s)² v_s. No softmax → ring accumulation is a plain partial
     sum; K/V/mask blocks rotate while each shard accumulates its queries'
-    sum (models/mossformer.py:62-67 semantics, mask applied pre-relu)."""
+    sum (models/mossformer.py:73-77 semantics, mask applied pre-relu)."""
     n = jax.lax.psum(1, axis_name)
 
     def block(k_b, v_b, m_b):
@@ -276,7 +276,7 @@ def _cln(x, scope, eps: float = 1e-8):
 
 def _moss_body(mix_local, lengths, params, cfg, fs: int, f_dense: int,
                axis_name: str):
-    """One shard of the MossFormer forward (models/mossformer.py:80-114)."""
+    """One shard of the MossFormer forward (models/mossformer.py:90-124)."""
     p = params["params"] if "params" in params else params
     c = cfg
     stride, L = c.stride, c.enc_kernel
@@ -324,7 +324,7 @@ def _moss_body(mix_local, lengths, params, cfg, fs: int, f_dense: int,
     m = jax.nn.relu(m)
 
     # frames past the dense tiling don't exist in the dense forward (which
-    # never zeroes its own invalid-but-existing frames — mossformer.py:106);
+    # never zeroes its own invalid-but-existing frames — mossformer.py:116);
     # only the mesh round-up frames must vanish
     masked = w[:, :, None, :] * m * tile[..., None, None].astype(w.dtype)
     dec = jnp.asarray(p["decoder"])
