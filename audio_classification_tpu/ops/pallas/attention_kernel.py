@@ -211,6 +211,185 @@ def flash_attention(
     return out.reshape(b, h, tqp, dp)[:, :, :t, :d]
 
 
+def _kernel_stats(q_ref, k_ref, v_ref, bias_ref, out_ref, m_out_ref, l_out_ref,
+                  m_ref, l_ref, acc_ref, *, scale: float, nk: int):
+    """Same streaming-softmax body as _kernel, but emits the UNNORMALIZED
+    accumulator plus the running (max, sum) stats — the ring-attention
+    cross-shard merge (parallel/ring_attention._ring_body) rescales and
+    normalizes across shards itself."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + bias_ref[0]
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _():
+        out_ref[0] = acc_ref[:]
+        m_out_ref[0] = m_ref[:]
+        l_out_ref[0] = l_ref[:]
+
+
+def _flash_stats_fwd_call(cfg: _FlashCfg, q, k, v, bias):
+    """Padded operands -> (acc [BH,Tq,Dp], m [BH,Tq,LANE], l [BH,Tq,LANE]),
+    all f32; m/l carry the row value broadcast across the lane dim."""
+    bh, tq, dp = q.shape
+    tk = k.shape[1]
+    nq, nk = tq // cfg.block_q, tk // cfg.block_k
+    heads = cfg.heads
+    mem = pl.ANY if cfg.interpret else pltpu.VMEM
+    return pl.pallas_call(
+        functools.partial(_kernel_stats, scale=cfg.scale, nk=nk),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tq, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tq, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tq, _LANE), jnp.float32),
+        ),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, cfg.block_q, dp), lambda b, i, j: (b, i, 0), memory_space=mem),
+            pl.BlockSpec((1, cfg.block_k, dp), lambda b, i, j: (b, j, 0), memory_space=mem),
+            pl.BlockSpec((1, cfg.block_k, dp), lambda b, i, j: (b, j, 0), memory_space=mem),
+            pl.BlockSpec((1, 1, cfg.block_k), lambda b, i, j: (b // heads, 0, j), memory_space=mem),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, cfg.block_q, dp), lambda b, i, j: (b, i, 0), memory_space=mem),
+            pl.BlockSpec((1, cfg.block_q, _LANE), lambda b, i, j: (b, i, 0), memory_space=mem),
+            pl.BlockSpec((1, cfg.block_q, _LANE), lambda b, i, j: (b, i, 0), memory_space=mem),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cfg.block_q, _LANE), jnp.float32),
+            pltpu.VMEM((cfg.block_q, _LANE), jnp.float32),
+            pltpu.VMEM((cfg.block_q, dp), jnp.float32),
+        ],
+        interpret=cfg.interpret,
+    )(q, k, v, bias)
+
+
+def _stats_blockwise_ref(cfg: _FlashCfg, q, k, v, bias):
+    """Differentiable blockwise (o_unnorm, m, l) oracle; backward runs
+    through this under jax.checkpoint. Exact softmax-attention stats —
+    rescaling by m cancels analytically, so autodiff through it is the
+    true gradient."""
+    bh, tq, dp = q.shape
+    b = bias.shape[0]
+    nq = tq // cfg.block_q
+    kh = k.reshape(b, cfg.heads, -1, dp)
+    vh = v.reshape(b, cfg.heads, -1, dp)
+
+    @jax.checkpoint
+    def blk(qb):  # [B, H, block_q, Dp]
+        s = jnp.einsum("bhqd,bhkd->bhqk", qb, kh,
+                       preferred_element_type=jnp.float32) * cfg.scale
+        s = s + bias[:, :, None, :]  # [B, 1, Tk] -> broadcasts over heads + q
+        m = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m[..., None])
+        l = jnp.sum(p, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vh.dtype), vh,
+                       preferred_element_type=jnp.float32)
+        return o, m, l
+
+    qb = q.reshape(b, cfg.heads, nq, cfg.block_q, dp).transpose(2, 0, 1, 3, 4)
+    o, m, l = jax.lax.map(blk, qb)
+    o = o.transpose(1, 2, 0, 3, 4).reshape(bh, tq, dp)
+    m = m.transpose(1, 2, 0, 3).reshape(bh, tq)
+    l = l.transpose(1, 2, 0, 3).reshape(bh, tq)
+    return o, m, l
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_stats_core(cfg: _FlashCfg, q, k, v, bias):
+    o, m, l = _flash_stats_fwd_call(cfg, q, k, v, bias)
+    return o, m[..., 0], l[..., 0]
+
+
+def _flash_stats_core_fwd(cfg, q, k, v, bias):
+    return _flash_stats_core(cfg, q, k, v, bias), (q, k, v, bias)
+
+
+def _flash_stats_core_bwd(cfg, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda a, b_, c, d: _stats_blockwise_ref(cfg, a, b_, c, d),
+                     q, k, v, bias)
+    return vjp(g)
+
+
+_flash_stats_core.defvjp(_flash_stats_core_fwd, _flash_stats_core_bwd)
+
+
+def flash_attention_stats(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    *,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """Streaming-softmax attention WITHOUT the final normalization:
+    [B, H, T, D] -> (o_unnorm [B,H,T,D], m [B,H,T], l [B,H,T]) f32 with
+    o = Σ_k exp(s-m)·v, l = Σ_k exp(s-m). The ring-attention shard body
+    merges these across devices (same m/l contract as its dense
+    _local_attn_block) — so each shard's intra-block attention stops
+    materializing [B, H, T_shard, T_shard] logits."""
+    b, h, t, d = q.shape
+    tk = k.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu", "gpu")
+    scale = 1.0 / float(np.sqrt(d))
+
+    block_q = min(block_q, _round_up(t, _LANE))
+    block_k = min(block_k, _round_up(tk, _LANE))
+    tqp = _round_up(t, block_q)
+    tkp = _round_up(tk, block_k)
+    dp = _round_up(d, _LANE)
+
+    def pad3(z, tp):
+        return jnp.pad(z, ((0, 0), (0, 0), (0, tp - z.shape[2]), (0, dp - d)))
+
+    qp = pad3(q, tqp).reshape(b * h, tqp, dp)
+    kp = pad3(k, tkp).reshape(b * h, tkp, dp)
+    vp = pad3(v, tkp).reshape(b * h, tkp, dp)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, tk), bool)
+    mask_p = jnp.pad(kv_mask.astype(bool), ((0, 0), (0, tkp - tk)))
+    bias = jnp.where(mask_p, 0.0, -1e9).astype(jnp.float32)[:, None, :]
+
+    cfg = _FlashCfg(block_q=block_q, block_k=block_k, scale=scale,
+                    heads=h, interpret=bool(interpret))
+    o, m, l = _flash_stats_core(cfg, qp, kp, vp, bias)
+    o = o.reshape(b, h, tqp, dp)[:, :, :t, :d]
+    m = m.reshape(b, h, tqp)[:, :, :t]
+    l = l.reshape(b, h, tqp)[:, :, :t]
+    return o, m, l
+
+
 def _gau_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, acc_ref,
                 *, scale: float, nk: int):
     j = pl.program_id(2)

@@ -25,7 +25,20 @@ def _local_attn_block(q, k, v, scale, kv_mask=None):
     """q [B,Ts,H,D] x k,v [B,Tb,H,D] -> (scores-max, exp-sums, weighted v).
 
     kv_mask [B,Tb] (True = valid key) masks padded positions of this block.
+
+    On TPU at long per-shard lengths the block routes through the Pallas
+    streaming kernel (ops/pallas/attention_kernel.flash_attention_stats):
+    identical (m, l, unnormalized o) contract, but the [B,H,Ts,Tb] block
+    logits stay in VMEM instead of materializing per ring step.
     """
+    from ..ops.pallas.attention_kernel import flash_attention_stats, flash_enabled
+
+    if flash_enabled(q.shape[1]):
+        o, m, l = flash_attention_stats(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), kv_mask)
+        return m, l, o.transpose(0, 2, 1, 3)
+
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     if kv_mask is not None:
         logits = jnp.where(kv_mask[:, None, None, :], logits, -1e30)
@@ -75,28 +88,34 @@ def ring_attention(
     blocks rotate around the ring alongside K/V. Returns [B, T, H, D] with
     the same sharding.
     """
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-
     spec = P(None, axis, None, None)
     mask_spec = P(None, axis)
     if kv_mask is not None:
-        fn = shard_map(
+        fn = _shard_map(
             partial(_ring_body, axis_name=axis),
-            mesh=mesh,
-            in_specs=(spec, spec, spec, mask_spec),
-            out_specs=spec,
+            mesh, (spec, spec, spec, mask_spec), spec,
         )
         return fn(q, k, v, kv_mask)
-    fn = shard_map(
+    fn = _shard_map(
         lambda q_, k_, v_: _ring_body(q_, k_, v_, None, axis_name=axis),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
+        mesh, (spec, spec, spec), spec,
     )
     return fn(q, k, v)
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map with varying-mesh-axes checking off: the Pallas streaming
+    block (flash_attention_stats) emits plain ShapeDtypeStructs, which the
+    vma checker rejects inside shard_map; the ring body's collectives are
+    explicit (ppermute/psum), so the check buys nothing here."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as sm
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
 
 
 def reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

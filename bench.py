@@ -539,6 +539,30 @@ def main():
             time.sleep(1.0)
             i += 1
 
+        # --- long-form smoke: ONE 60 s utterance as a single
+        # full-attention-context program (StageEngine.transcribe_long;
+        # the Pallas flash path keeps attention O(T·block) at T>=512, so
+        # it runs single-chip). The reference's only long-audio strategy
+        # is time-segmentation — this measures the capability it lacks.
+        longform_rtf = None
+        if os.environ.get("ACT_BENCH_LONGFORM", "1") != "0":
+            try:
+                lf_sec = 60.0
+                wav0 = items[0][0]
+                reps = int(np.ceil(lf_sec * sr / len(wav0)))
+                lf = np.tile(wav0, reps)[: int(lf_sec * sr)].astype(np.float32)
+                t0 = time.time()
+                eng.transcribe_long(lf)  # compile + first exec
+                lf_warm = time.time() - t0
+                t0 = time.time()
+                eng.transcribe_long(lf)  # returns decoded text: host-synced
+                lf_dt = time.time() - t0
+                longform_rtf = lf_dt / lf_sec
+                log(f"bench: longform 60s single-chip (flash attention) "
+                    f"rtf={longform_rtf:.4f} ({lf_dt:.2f}s; warmup {lf_warm:.1f}s)")
+            except Exception as e:  # never let the add-on kill the capture
+                log(f"bench: longform smoke failed: {type(e).__name__}: {e}")
+
     probes.append(tunnel_health("post-passes"))
     rtf = float(min(rtfs))
     log(f"bench: rtf min={rtf:.4f} median={float(np.median(rtfs)):.4f} "
@@ -573,6 +597,7 @@ def main():
         "mfu_best_pct": round(float(max(mfus)) * 100, 2),
         "wait_budget_left_s": round(max(wait_budget[0], 0.0), 1),
         "quality_si_sdri_db": round(quality, 2) if quality is not None else None,
+        "longform_rtf_60s": round(longform_rtf, 4) if longform_rtf is not None else None,
         "dtype": dtype,
         "device": kind,
     }))

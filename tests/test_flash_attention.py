@@ -65,9 +65,9 @@ def test_flash_bf16_inputs():
 
 
 def test_flash_gradients_match_dense():
-    b, h, t, d = 1, 2, 192, 32
+    b, h, t, d = 2, 2, 192, 32  # b>1: catches bias-rank broadcast bugs
     q, k, v = (_rand((b, h, t, d), 30 + i) for i in range(3))
-    mask = jnp.arange(t)[None, :] < (t - 11)
+    mask = jnp.arange(t)[None, :] < jnp.array([t - 11, t])[:, None]
     g = _rand((b, h, t, d), 40)
 
     def loss_flash(q, k, v):
@@ -101,6 +101,73 @@ def test_mhsa_module_flash_parity(monkeypatch):
     valid = np.asarray(mask)[..., None]
     err = np.abs(np.asarray(out) - np.asarray(ref)) * valid
     assert err.max() < 1e-4
+
+
+def test_flash_stats_normalize_matches_dense():
+    """(o_unnorm, m, l) contract: o/l == exact softmax attention; l is the
+    exp-sum under the row max m (ring-attention merge semantics)."""
+    from audio_classification_tpu.ops.pallas.attention_kernel import flash_attention_stats
+
+    b, h, t, d = 2, 2, 256, 64
+    q, k, v = (_rand((b, h, t, d), 60 + i) for i in range(3))
+    mask = jnp.arange(t)[None, :] < jnp.array([t, t - 29])[:, None]
+    o, m, l = flash_attention_stats(q, k, v, mask, block_q=128, block_k=128,
+                                    interpret=True)
+    out = o / jnp.maximum(l[..., None], 1e-30)
+    ref = dense_attention(q, k, v, mask)
+    valid = np.asarray(mask)[:, None, :, None]
+    assert (np.abs(np.asarray(out) - np.asarray(ref)) * valid).max() < 1e-4
+
+    # m/l match the direct biased-logit stats
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(d)
+    logits = logits + jnp.where(mask[:, None, None, :], 0.0, -1e9)
+    m_ref = jnp.max(logits, axis=-1)
+    l_ref = jnp.sum(jnp.exp(logits - m_ref[..., None]), axis=-1)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref), rtol=1e-4)
+
+
+def test_ring_attention_flash_block(monkeypatch):
+    """Ring attention with its per-shard blocks forced through the Pallas
+    streaming kernel (interpret on CPU) == the dense single-device oracle,
+    forward and backward."""
+    import jax.numpy as jnp2
+
+    from audio_classification_tpu.parallel.mesh import make_mesh
+    from audio_classification_tpu.parallel.ring_attention import (
+        reference_attention,
+        ring_attention,
+    )
+
+    mesh = make_mesh(8, model_axis=1)
+    b, t, h, d = 2, 256, 2, 32  # 32 frames per shard
+    q, k, v = (_rand((b, t, h, d), 70 + i) for i in range(3))
+    mask = jnp.arange(t)[None, :] < jnp.array([t, t - 50])[:, None]
+
+    monkeypatch.setenv("ACT_FLASH_ATTN", "1")
+    out = ring_attention(q, k, v, mesh, axis="data", kv_mask=mask)
+    monkeypatch.setenv("ACT_FLASH_ATTN", "0")
+    ref = reference_attention(q, k, v, kv_mask=mask)
+    valid = np.asarray(mask)[:, :, None, None]
+    assert (np.abs(np.asarray(out) - np.asarray(ref)) * valid).max() < 1e-4
+
+    g = _rand((b, t, h, d), 80)
+
+    def loss(fn):
+        def f(q, k, v):
+            o = fn(q, k, v)
+            return jnp2.sum(o * g * mask[:, :, None, None])
+        return f
+
+    monkeypatch.setenv("ACT_FLASH_ATTN", "1")
+    gf = jax.grad(loss(lambda a, b_, c: ring_attention(
+        a, b_, c, mesh, axis="data", kv_mask=mask)), argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("ACT_FLASH_ATTN", "0")
+    gd = jax.grad(loss(lambda a, b_, c: reference_attention(
+        a, b_, c, kv_mask=mask)), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        assert np.abs(np.asarray(a) - np.asarray(b_)).max() < 1e-4
 
 
 def dense_gau(q, k, v, mask, scale):
