@@ -78,10 +78,11 @@ def get_args(argv=None):
                         "program instead of per-segment batching: the frame "
                         "axis spans the mesh's data axis (ring attention) "
                         "when --data-parallel sets one, or runs single-chip "
-                        "via Pallas flash attention otherwise. Frame-parallel "
-                        "decoder families only (sense-voice CTC, paraformer "
-                        "CIF); transducer/whisper and direct-exec ONNX "
-                        "graphs fall back to segment mode")
+                        "via Pallas flash attention otherwise. On a mesh, "
+                        "frame-parallel decoder families only (sense-voice "
+                        "CTC, paraformer CIF); single-chip, all four "
+                        "in-framework families. Direct-exec ONNX graphs "
+                        "fall back to segment mode")
     return p.parse_args(argv)
 
 

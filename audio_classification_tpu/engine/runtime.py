@@ -887,8 +887,11 @@ class StageEngine:
     #: ASR families transcribe_long can run sequence-parallel: their whole
     #: decode is frame-parallel (CTC argmax / CIF + NAR decode), so one
     #: utterance's frame axis can span the mesh. transducer/whisper decode
-    #: frame-sequentially (lax.scan) and fall back to segment mode.
+    #: frame-sequentially (lax.scan): they can't ride the mesh, but their
+    #: ENCODERS scale via flash attention, so they still get the
+    #: single-chip full-context long path (LONG_FORM_SINGLE_CHIP).
     LONG_FORM_FAMILIES = ("sensevoice", "paraformer")
+    LONG_FORM_SINGLE_CHIP = ("sensevoice", "paraformer", "transducer", "whisper")
 
     def transcribe_long(self, wav: np.ndarray, language: str = "auto",
                         use_itn: bool = True) -> str:
@@ -904,17 +907,21 @@ class StageEngine:
         program runs single-chip: the encoder's dense MHSA auto-routes to
         the Pallas flash kernel at T≥512 (ops/pallas/attention_kernel), so
         full-context long-form stays O(T·block) in attention memory on one
-        chip too. LONG_FORM_FAMILIES only (the transducer/whisper scan
-        decoders are per-frame sequential); falls back to transcribe()
-        when the family is not long-form capable or a direct-exec ONNX
-        graph serves the stage (exported graphs carry no mesh switch).
-        Inputs snap to the PRE-DECLARED long bucket grid
-        (BucketSpec.long_bucket_for — the ×2 grid extends past the segment
-        cap without ad-hoc-bucket warnings; each grid point compiles once
-        and persists in the XLA cache).
+        chip too — and since only the ENCODER needs to scale there, the
+        single-chip path also serves the transducer/whisper families
+        (their lax.scan decoders run frame/token-sequentially over the
+        full-context encoding; whisper output length stays bounded by its
+        max_decode_len). With a mesh, LONG_FORM_FAMILIES only; falls back
+        to transcribe() otherwise, and always for a direct-exec ONNX graph
+        (exported graphs carry no mesh switch). Inputs snap to the
+        PRE-DECLARED long bucket grid (BucketSpec.long_bucket_for — the ×2
+        grid extends past the segment cap without ad-hoc-bucket warnings;
+        each grid point compiles once and persists in the XLA cache).
         """
         wav = np.asarray(wav, np.float32)
-        if (self.pack.asr_family not in self.LONG_FORM_FAMILIES
+        capable = (self.LONG_FORM_FAMILIES if self.mesh is not None
+                   else self.LONG_FORM_SINGLE_CHIP)
+        if (self.pack.asr_family not in capable
                 or self.pack.onnx_stages.get("asr") is not None):
             return self.transcribe([wav], language, use_itn)[0]
         p = self.pack
@@ -933,6 +940,23 @@ class StageEngine:
                         mesh=mesh, sp_axis="data")
                     return paraformer_greedy(logits.astype(jnp.float32),
                                              counts)
+            elif p.asr_family == "transducer":  # single-chip only (scan decode)
+                def long_fn(params, wav_i16, lengths, language_id, use_itn):
+                    w = wav_i16.astype(jnp.float32) * (1.0 / 32768.0)
+                    feats, mask = transducer_frontend(w, lengths,
+                                                      p.transducer_cfg)
+                    if p.decoding_method == "modified_beam_search":
+                        return p.asr_model.apply(
+                            params, feats.astype(cdt), mask,
+                            p.num_active_paths, method=Transducer.beam_decode)
+                    return p.asr_model.apply(params, feats.astype(cdt), mask,
+                                             method=Transducer.greedy_decode)
+            elif p.asr_family == "whisper":  # single-chip only (scan decode)
+                def long_fn(params, wav_i16, lengths, language_id, use_itn):
+                    w = wav_i16.astype(jnp.float32) * (1.0 / 32768.0)
+                    feats, mask = whisper_frontend(w, lengths, p.whisper_cfg)
+                    return p.asr_model.apply(params, feats.astype(cdt), mask,
+                                             method=WhisperStyle.greedy_decode)
             else:
                 def long_fn(params, wav_i16, lengths, language_id, use_itn):
                     w = wav_i16.astype(jnp.float32) * (1.0 / 32768.0)

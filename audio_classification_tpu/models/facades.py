@@ -55,11 +55,12 @@ class ASRRecognizer:
         utterance runs as ONE full-attention-context program — its frame
         axis spans the engine's mesh (sequence-parallel ring attention)
         when one is configured, or stays on a single chip via the Pallas
-        flash-attention path (O(T·block) memory) without one. Supported
-        for the frame-parallel decoders only (sensevoice CTC, paraformer
-        CIF — StageEngine.LONG_FORM_FAMILIES); transducer/whisper decode
-        frame-sequentially and fall back to segment mode, as does an
-        engine serving a direct-exec ONNX graph."""
+        flash-attention path (O(T·block) memory) without one. On the mesh,
+        frame-parallel decoders only (sensevoice CTC, paraformer CIF —
+        StageEngine.LONG_FORM_FAMILIES); single-chip, all four in-framework
+        families (transducer/whisper scan-decode over the full-context
+        encoding). An engine serving a direct-exec ONNX graph falls back
+        to segment mode."""
         wav = self.engine.resample(np.asarray(samples, np.float32), sr, G_SAMPLE_RATE)
         if long_form:
             return self.engine.transcribe_long(wav, self.language, self.use_itn)

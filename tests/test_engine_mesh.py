@@ -199,6 +199,29 @@ def test_transcribe_long_single_chip_full_context(engines):
         assert sv_single.transcribe_long(long_wav) == segment_text
 
 
+def test_transcribe_long_scan_decoders_single_chip():
+    """transducer/whisper can't ride the mesh (frame/token-sequential scan
+    decode) but DO get the single-chip full-context long path: only their
+    encoders need to scale, which the flash-attention route covers. With a
+    mesh they still fall back to segment mode."""
+    import warnings
+
+    from audio_classification_tpu.engine import BucketSpec, ModelPack, StageEngine, tiny_preset
+
+    spec = BucketSpec(lengths=(4000, 8000, 16000), max_batch=8)
+    wav = np.concatenate([_tone(16000, 350), _tone(12000, 520)])
+    for family in ("transducer", "whisper"):
+        pack = ModelPack(tiny_preset(), seed=0, asr_family=family)
+        single = StageEngine(pack, spec)
+        segment_text = single.transcribe([wav])[0]
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # long grid: no ad-hoc buckets
+            assert single.transcribe_long(wav) == segment_text, family
+
+        sharded = StageEngine(pack, spec, mesh=make_mesh(8, model_axis=1))
+        assert sharded.transcribe_long(wav) == sharded.transcribe([wav])[0]
+
+
 def test_long_bucket_for_no_warning():
     import warnings
 
