@@ -582,6 +582,13 @@ class StageEngine:
 
             all_psh = self._psh if self._psh is not None else self._rep
 
+        # transcribe_long reuses the per-family decode dispatch for its
+        # single-chip long programs (uncapped ids, long bucket grid) —
+        # segment and long-form modes can't silently diverge.
+        self._asr_core_fn = _asr_core
+
+        if self.mesh is not None:
+
             def shard_for(key):
                 return dict(in_shardings=(psh(key), self._dsh, self._dsh),
                             out_shardings=self._dsh)
@@ -941,21 +948,21 @@ class StageEngine:
                     return paraformer_greedy(logits.astype(jnp.float32),
                                              counts)
             elif p.asr_family == "transducer":  # single-chip only (scan decode)
+                core = self._asr_core_fn  # same dispatch as segment mode
+
                 def long_fn(params, wav_i16, lengths, language_id, use_itn):
                     w = wav_i16.astype(jnp.float32) * (1.0 / 32768.0)
-                    feats, mask = transducer_frontend(w, lengths,
-                                                      p.transducer_cfg)
-                    if p.decoding_method == "modified_beam_search":
-                        return p.asr_model.apply(
-                            params, feats.astype(cdt), mask,
-                            p.num_active_paths, method=Transducer.beam_decode)
-                    return p.asr_model.apply(params, feats.astype(cdt), mask,
-                                             method=Transducer.greedy_decode)
+                    return core(params, w, lengths, language_id, use_itn)
             elif p.asr_family == "whisper":  # single-chip only (scan decode)
-                def long_fn(params, wav_i16, lengths, language_id, use_itn):
+                def long_fn(params, wav_i16, lengths, language_id, use_itn,
+                            max_len):
+                    # max_len scales the decode budget with audio length —
+                    # cfg.max_decode_len alone would silently truncate a
+                    # minutes-long transcript to one segment's budget
                     w = wav_i16.astype(jnp.float32) * (1.0 / 32768.0)
                     feats, mask = whisper_frontend(w, lengths, p.whisper_cfg)
                     return p.asr_model.apply(params, feats.astype(cdt), mask,
+                                             max_len,
                                              method=WhisperStyle.greedy_decode)
             else:
                 def long_fn(params, wav_i16, lengths, language_id, use_itn):
@@ -970,17 +977,27 @@ class StageEngine:
                     return ctc_greedy_decode(body, mask.astype(jnp.float32),
                                              p.tokens.blank_id)
 
-            self._asr_long = jax.jit(
-                long_fn, static_argnames=("language_id", "use_itn"))
+            statics = ("language_id", "use_itn")
+            if p.asr_family == "whisper":
+                statics += ("max_len",)
+            self._asr_long = jax.jit(long_fn, static_argnames=statics)
         # snap to the pre-declared long bucket grid (programs cache per
         # padded length; no ad-hoc-bucket warning for long-form inputs)
         t = self.buckets.long_bucket_for(len(wav))
         padded = np.zeros((1, t), np.float32)
         padded[0, : len(wav)] = wav[:t]
+        kwargs = {}
+        if p.asr_family == "whisper":
+            # decode budget scales with the bucket: cfg.max_decode_len is
+            # the checkpoint's per-30 s budget (sherpa whisper convention)
+            sr = p.whisper_cfg.fbank.sample_rate
+            kwargs["max_len"] = max(
+                p.whisper_cfg.max_decode_len,
+                int(np.ceil(p.whisper_cfg.max_decode_len * t / (30.0 * sr))))
         ids, n = self._asr_long(
             self.exec_params["asr"], jnp.asarray(self._quantize_i16(padded)),
             jnp.asarray([min(len(wav), t)], jnp.int32),
-            language_id=lang_id, use_itn=use_itn)
+            language_id=lang_id, use_itn=use_itn, **kwargs)
         return p.tokens.decode(np.asarray(ids)[0][: int(np.asarray(n)[0])])
 
     def process_clean(

@@ -235,12 +235,17 @@ class WhisperStyle(nn.Module):
         mem, mem_mask = self.encode(feats, frame_mask)
         return self.decode_logits(tokens, mem, mem_mask)
 
-    def greedy_decode(self, feats, frame_mask):
-        """-> (ids [B, max_decode_len-1], lengths [B]); BOS/EOS stripped."""
+    def greedy_decode(self, feats, frame_mask, max_len: int = None):
+        """-> (ids [B, l-1], lengths [B]); BOS/EOS stripped.
+
+        ``max_len`` (static) overrides cfg.max_decode_len — no parameter
+        depends on the decode budget (positions are host constants, caches
+        are zero-init), so long-form callers scale it with audio length
+        (engine/runtime.transcribe_long) against the same checkpoint."""
         c = self.cfg
         mem, mem_mask = self.encode(feats, frame_mask)
         b = mem.shape[0]
-        l = c.max_decode_len
+        l = int(max_len) if max_len is not None else c.max_decode_len
         heads, d_head = c.heads, c.dim // c.heads
         n_layers = len(self.dec_blocks)
 

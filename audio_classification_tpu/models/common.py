@@ -223,11 +223,13 @@ class MultiHeadSelfAttention(nn.Module):
 
         from ..ops.pallas.attention_kernel import flash_attention, flash_enabled
 
-        if quant == "none" and flash_enabled(t):
+        if flash_enabled(t):
             # Blockwise streaming-softmax Pallas kernel: same mask semantics
             # and f32 accumulation as the einsum path below (its numeric
             # oracle), but the [B, H, T, T] logits never touch HBM — the
-            # long-form single-chip path stops being O(T^2) memory.
+            # long-form single-chip path stops being O(T^2) memory. Applies
+            # to int8 packs too: DenseQ quantizes the projections only, the
+            # attention core is f32 on either branch.
             out = flash_attention(q, k, v, mask)
             out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
             return DenseQ(self.dim, quant=quant, name="out")(out, mask)

@@ -36,7 +36,7 @@ def _local_attn_block(q, k, v, scale, kv_mask=None):
     if flash_enabled(q.shape[1]):
         o, m, l = flash_attention_stats(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), kv_mask)
+            v.transpose(0, 2, 1, 3), kv_mask, scale=scale)
         return m, l, o.transpose(0, 2, 1, 3)
 
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
@@ -88,34 +88,37 @@ def ring_attention(
     blocks rotate around the ring alongside K/V. Returns [B, T, H, D] with
     the same sharding.
     """
+    from ..ops.pallas.attention_kernel import flash_enabled
+
+    # vma/replication checking must stay ON for the dense path (it catches
+    # out_specs/psum mismatches at trace time) but OFF when the shard body
+    # routes through the Pallas kernel: pallas_call emits plain
+    # ShapeDtypeStructs, which the vma checker rejects inside shard_map.
+    check = not flash_enabled(q.shape[1] // mesh.shape[axis])
     spec = P(None, axis, None, None)
     mask_spec = P(None, axis)
     if kv_mask is not None:
         fn = _shard_map(
             partial(_ring_body, axis_name=axis),
-            mesh, (spec, spec, spec, mask_spec), spec,
+            mesh, (spec, spec, spec, mask_spec), spec, check,
         )
         return fn(q, k, v, kv_mask)
     fn = _shard_map(
         lambda q_, k_, v_: _ring_body(q_, k_, v_, None, axis_name=axis),
-        mesh, (spec, spec, spec), spec,
+        mesh, (spec, spec, spec), spec, check,
     )
     return fn(q, k, v)
 
 
-def _shard_map(f, mesh, in_specs, out_specs):
-    """shard_map with varying-mesh-axes checking off: the Pallas streaming
-    block (flash_attention_stats) emits plain ShapeDtypeStructs, which the
-    vma checker rejects inside shard_map; the ring body's collectives are
-    explicit (ppermute/psum), so the check buys nothing here."""
+def _shard_map(f, mesh, in_specs, out_specs, check: bool):
     try:
         from jax import shard_map  # jax >= 0.8
         return shard_map(f, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_vma=False)
+                         out_specs=out_specs, check_vma=check)
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map as sm
         return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                  check_rep=False)
+                  check_rep=check)
 
 
 def reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

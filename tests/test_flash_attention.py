@@ -236,6 +236,25 @@ def test_gau_module_flash_parity(monkeypatch):
     assert (np.abs(np.asarray(out) - np.asarray(ref)) * valid).max() < 1e-4
 
 
+def test_mhsa_int8_flash_parity(monkeypatch):
+    """int8 packs take the flash branch too (DenseQ quantizes projections
+    only; the attention core is f32 on either branch) — long-form must not
+    fall back to dense [T,T] logits just because quant is on."""
+    from audio_classification_tpu.models.common import MultiHeadSelfAttention
+
+    mod = MultiHeadSelfAttention(dim=64, heads=4, quant="int8")
+    x = _rand((2, 96, 64), 90)
+    mask = jnp.arange(96)[None, :] < jnp.array([96, 71])[:, None]
+    params = mod.init(jax.random.PRNGKey(0), x, mask)
+
+    monkeypatch.setenv("ACT_FLASH_ATTN", "0")
+    ref = mod.apply(params, x, mask)
+    monkeypatch.setenv("ACT_FLASH_ATTN", "1")
+    out = mod.apply(params, x, mask)
+    valid = np.asarray(mask)[..., None]
+    assert (np.abs(np.asarray(out) - np.asarray(ref)) * valid).max() < 1e-4
+
+
 def test_flash_enabled_resolution(monkeypatch):
     monkeypatch.setenv("ACT_FLASH_ATTN", "1")
     assert flash_enabled(8)

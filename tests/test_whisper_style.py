@@ -40,6 +40,26 @@ def test_greedy_decode_shapes_and_eos():
             assert (row[first:] == TINY.eos_id).all()
 
 
+def test_greedy_decode_max_len_override():
+    """max_len scales the decode budget without touching params (long-form:
+    engine/runtime.transcribe_long) — same checkpoint, longer scan, and the
+    emitted prefix matches the default-budget decode."""
+    wav = jnp.asarray(np.random.default_rng(1).standard_normal((1, 8000)).astype(np.float32) * 0.1)
+    feats, mask = whisper_frontend(wav, jnp.asarray([8000]), TINY)
+    model = WhisperStyle(TINY)
+    params = model.init(jax.random.PRNGKey(0), feats, mask, method=WhisperStyle.greedy_decode)
+    ids, counts = model.apply(params, feats, mask, method=WhisperStyle.greedy_decode)
+    ids_long, counts_long = model.apply(params, feats, mask, 3 * TINY.max_decode_len,
+                                        method=WhisperStyle.greedy_decode)
+    assert ids_long.shape == (1, 3 * TINY.max_decode_len - 1)
+    short = TINY.max_decode_len - 1
+    # the greedy path is deterministic: the long budget reproduces the short
+    # budget's tokens as its prefix (EOS-padded identically)
+    np.testing.assert_array_equal(np.asarray(ids)[:, :short],
+                                  np.asarray(ids_long)[:, :short])
+    assert int(counts_long[0]) >= int(counts[0])
+
+
 def test_kv_cache_matches_full_recompute():
     """Cached greedy decode must equal argmax decoding with full-prefix
     teacher-forcing logits (the KV cache is an optimization, not a change
