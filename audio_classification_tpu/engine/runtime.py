@@ -378,6 +378,14 @@ class StageEngine:
         self.fbank_cfg = fbank or FbankConfig()
         p = pack
         self._p_ref = pack
+        if mesh is not None:
+            # a pallas_call can't be partitioned by pjit: under a mesh
+            # (DP-sharded batch / TP-sharded hidden dim) the separators must
+            # take the dense TCN loop, not the fused VMEM-resident kernel
+            sep3_model = ConvTasNet(dataclasses.replace(p.sep3_model.cfg, fused_tcn="off"))
+            sep2_model = ConvTasNet(dataclasses.replace(p.sep2_model.cfg, fused_tcn="off"))
+        else:
+            sep3_model, sep2_model = p.sep3_model, p.sep2_model
 
         # ---- jitted stage programs (shape-keyed cache inside jax.jit) ----
         # Audio crosses host->device as int16 (audio is 16-bit at the
@@ -546,7 +554,7 @@ class StageEngine:
             if backend == "mossformer":
                 sep_model, sep_key = p.moss_model, "mossformer"
             else:  # convtasnet (and the reference's "asteroid" alias)
-                sep_model, sep_key = p.sep3_model, "sep3"
+                sep_model, sep_key = sep3_model, "sep3"
             est = _sep_core(sep_model, params[sep_key], wav, lengths)  # [B, S, T]
             b, s, t = est.shape
             flat = est.reshape(b * s, t)
@@ -594,9 +602,9 @@ class StageEngine:
                             out_shardings=self._dsh)
 
             self._osd = AOT("osd", osd_fn, jit_kwargs=shard_for("osd"))
-            self._sep3 = AOT("sep3", partial(sep_fn, p.sep3_model),
+            self._sep3 = AOT("sep3", partial(sep_fn, sep3_model),
                              jit_kwargs=shard_for("sep3"))
-            self._sep2 = AOT("sep2", partial(sep_fn, p.sep2_model),
+            self._sep2 = AOT("sep2", partial(sep_fn, sep2_model),
                              jit_kwargs=shard_for("sep2"))
             self._moss = AOT("mossformer", partial(sep_fn, p.moss_model),
                              jit_kwargs=shard_for("mossformer"))
@@ -622,8 +630,8 @@ class StageEngine:
                                  param_leading=False)
         else:
             self._osd = AOT("osd", osd_fn)
-            self._sep3 = AOT("sep3", partial(sep_fn, p.sep3_model))
-            self._sep2 = AOT("sep2", partial(sep_fn, p.sep2_model))
+            self._sep3 = AOT("sep3", partial(sep_fn, sep3_model))
+            self._sep2 = AOT("sep2", partial(sep_fn, sep2_model))
             self._moss = AOT("mossformer", partial(sep_fn, p.moss_model))
             self._spk = AOT("spk", spk_fn)
             self._asr = AOT("asr", asr_fn, static_argnames=("language_id", "use_itn"))

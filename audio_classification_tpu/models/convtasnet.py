@@ -38,6 +38,13 @@ class ConvTasNetConfig:
     sample_rate: int = 16000
     quant: str = "none"       # "int8": pointwise convs + encoder/decoder on
                               # the s8 MXU path (ops/quant), 2x bf16 rate
+    fused_tcn: str = "auto"   # "auto": run the whole masker as one Pallas
+                              # kernel (ops/pallas/tcn_kernel) when the TPU
+                              # backend + dims + VMEM plan allow; "off":
+                              # always the dense block loop. Mesh callers
+                              # (TP-sharded hidden dim / DP pjit) MUST pass
+                              # "off" — a pallas_call can't be partitioned
+                              # by pjit (trainer and mesh engine do this).
 
     @property
     def stride(self) -> int:
@@ -76,6 +83,14 @@ class ConvTasNet(nn.Module):
 
     cfg: ConvTasNetConfig = ConvTasNetConfig()
 
+    def _use_fused_tcn(self, n_frames: int, dtype) -> bool:
+        c = self.cfg
+        if c.fused_tcn == "off" or c.quant != "none" or self.is_initializing():
+            return False
+        from ..ops.pallas.tcn_kernel import fused_tcn_enabled
+        return fused_tcn_enabled(n_frames, c.bottleneck, c.hidden,
+                                 c.conv_kernel, c.n_blocks, dtype)
+
     @nn.compact
     def __call__(self, mix: jnp.ndarray, sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         c = self.cfg
@@ -103,11 +118,27 @@ class ConvTasNet(nn.Module):
         # --- masker TCN
         h = GlobalLayerNorm(c.enc_dim, name="ln_in")(w, frame_mask)
         h = Conv1d(c.bottleneck, 1, quant=c.quant, name="bottleneck")(h, frame_mask)
-        skips = 0.0
-        for r in range(c.n_repeats):
-            for xb in range(c.n_blocks):
-                h, skip = TCNBlock(c, dilation=2**xb, name=f"tcn_{r}_{xb}")(h, frame_mask)
-                skips = skips + skip
+        if self._use_fused_tcn(n_frames, h.dtype):
+            # single fused Pallas program over all R*X blocks: the [F, hidden]
+            # intermediates never leave VMEM (ops/pallas/tcn_kernel). Params
+            # were declared by the dense loop during init; here we read them
+            # from the bound scope and stack per-block. Training works: the
+            # kernel's custom_vjp differentiates an op-for-op XLA replica.
+            from ..ops.pallas.tcn_kernel import fused_tcn_masker, stack_tcn_params
+            blocks = [
+                self.variables["params"][f"tcn_{r}_{xb}"]
+                for r in range(c.n_repeats) for xb in range(c.n_blocks)
+            ]
+            st = stack_tcn_params(blocks, h.dtype)
+            fl = (f_len if frame_mask is not None
+                  else jnp.full((b,), n_frames, jnp.int32))
+            skips = fused_tcn_masker(h, fl, st, n_per_repeat=c.n_blocks)
+        else:
+            skips = 0.0
+            for r in range(c.n_repeats):
+                for xb in range(c.n_blocks):
+                    h, skip = TCNBlock(c, dilation=2**xb, name=f"tcn_{r}_{xb}")(h, frame_mask)
+                    skips = skips + skip
         m = PReLU(name="mask_prelu")(skips)
         m = Conv1d(c.n_src * c.enc_dim, 1, quant=c.quant, name="mask_conv")(m, frame_mask)
         m = m.reshape(b, n_frames, c.n_src, c.enc_dim)

@@ -69,7 +69,11 @@ class SeparatorTrainer:
             self.model = MossFormer(cfg)
             param_rule = param_rule or mossformer_param_spec
         elif isinstance(cfg, ConvTasNetConfig):
-            self.model = ConvTasNet(cfg)
+            # train steps run under pjit with mesh-placed params (TP shards
+            # the hidden dim); the fused Pallas masker can't be partitioned
+            # by pjit, so the trainer always takes the dense TCN loop
+            import dataclasses as _dc
+            self.model = ConvTasNet(_dc.replace(cfg, fused_tcn="off"))
             param_rule = param_rule or convtasnet_param_spec
         else:
             raise TypeError(f"unsupported separator config: {type(cfg)}")

@@ -1,0 +1,180 @@
+"""Fused Conv-TasNet TCN masker kernel (ops/pallas/tcn_kernel) vs the dense
+block loop — interpret mode on the CPU mesh.
+
+The kernel runs the whole masker (all R*X dilated blocks) with the
+bottleneck stream VMEM-resident; these tests pin it to the dense
+models/convtasnet path: masker-level parity, full-model parity, padded-vs-
+solo exactness, exact-dense gradients through the custom_vjp, bf16, and the
+auto-enable gating.
+"""
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_classification_tpu.models.convtasnet import ConvTasNet, ConvTasNetConfig
+from audio_classification_tpu.ops.pallas.tcn_kernel import (
+    fused_tcn_enabled,
+    fused_tcn_masker,
+    stack_tcn_params,
+    tcn_masker_reference,
+)
+
+NB_PER, NREP, C, H = 4, 2, 128, 128
+
+
+def _blocks(rng, dtype=np.float32):
+    def mk():
+        return {
+            "in_conv": {"kernel": rng.normal(size=(1, C, H)).astype(dtype) * 0.1,
+                        "bias": rng.normal(size=(H,)).astype(dtype) * 0.1},
+            "prelu1": {"alpha": np.array([0.25], dtype)},
+            "norm1": {"gamma": rng.normal(size=(H,)).astype(dtype) * 0.5 + 1.0,
+                      "beta": rng.normal(size=(H,)).astype(dtype) * 0.1},
+            "dw_conv": {"kernel": rng.normal(size=(3, 1, H)).astype(dtype) * 0.3,
+                        "bias": rng.normal(size=(H,)).astype(dtype) * 0.1},
+            "prelu2": {"alpha": np.array([0.3], dtype)},
+            "norm2": {"gamma": rng.normal(size=(H,)).astype(dtype) * 0.5 + 1.0,
+                      "beta": rng.normal(size=(H,)).astype(dtype) * 0.1},
+            "res_conv": {"kernel": rng.normal(size=(1, H, C)).astype(dtype) * 0.1,
+                         "bias": rng.normal(size=(C,)).astype(dtype) * 0.1},
+            "skip_conv": {"kernel": rng.normal(size=(1, H, C)).astype(dtype) * 0.1,
+                          "bias": rng.normal(size=(C,)).astype(dtype) * 0.1},
+        }
+
+    return [jax.tree.map(jnp.asarray, mk()) for _ in range(NB_PER * NREP)]
+
+
+def test_kernel_matches_reference():
+    rng = np.random.default_rng(0)
+    st = stack_tcn_params(_blocks(rng), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 150, C)).astype(np.float32))
+    f_len = jnp.array([150, 97], jnp.int32)
+    ref = np.asarray(tcn_masker_reference(x, f_len, st, n_per_repeat=NB_PER))
+    out = np.asarray(fused_tcn_masker(x, f_len, st, n_per_repeat=NB_PER,
+                                      tile=64, interpret=True))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_kernel_tile_not_dividing_frames():
+    # F far from a tile multiple + F < tile both exercise the pad/slice edge
+    rng = np.random.default_rng(3)
+    st = stack_tcn_params(_blocks(rng), jnp.float32)
+    for f, tile in [(65, 64), (40, 64), (128, 128)]:
+        x = jnp.asarray(rng.normal(size=(1, f, C)).astype(np.float32))
+        f_len = jnp.array([f], jnp.int32)
+        ref = np.asarray(tcn_masker_reference(x, f_len, st, n_per_repeat=NB_PER))
+        out = np.asarray(fused_tcn_masker(x, f_len, st, n_per_repeat=NB_PER,
+                                          tile=tile, interpret=True))
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5, (f, tile)
+
+
+def test_gradients_match_dense():
+    rng = np.random.default_rng(1)
+    st = stack_tcn_params(_blocks(rng), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 100, C)).astype(np.float32))
+    f_len = jnp.array([100, 63], jnp.int32)
+
+    def loss(fn):
+        return lambda xx, ss: jnp.sum(
+            fn(xx, f_len, ss, n_per_repeat=NB_PER) ** 2)
+
+    fused = lambda xx, fl, ss, n_per_repeat: fused_tcn_masker(
+        xx, fl, ss, n_per_repeat=n_per_repeat, tile=64, interpret=True)
+    gx_f, gs_f = jax.grad(loss(fused), argnums=(0, 1))(x, st)
+    gx_r, gs_r = jax.grad(loss(tcn_masker_reference), argnums=(0, 1))(x, st)
+    assert np.abs(np.asarray(gx_f) - np.asarray(gx_r)).max() / np.abs(np.asarray(gx_r)).max() < 1e-5
+    for a, b in zip(jax.tree.leaves(gs_f), jax.tree.leaves(gs_r)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-9) < 1e-5
+
+
+@pytest.fixture
+def _force_fused(monkeypatch):
+    monkeypatch.setenv("ACT_FUSED_TCN", "1")
+    monkeypatch.setenv("ACT_FUSED_TCN_TILE", "64")
+
+
+def _model_pair():
+    cfg = ConvTasNetConfig(n_src=3, enc_dim=128, enc_kernel=16, bottleneck=C,
+                           hidden=H, n_blocks=NB_PER, n_repeats=NREP)
+    return ConvTasNet(cfg), ConvTasNet(dataclasses.replace(cfg, fused_tcn="off"))
+
+
+def test_full_model_fused_matches_dense(_force_fused):
+    m_fused, m_dense = _model_pair()
+    rng = np.random.default_rng(2)
+    mix = jnp.asarray(rng.normal(size=(2, 4000)).astype(np.float32))
+    mask = jnp.asarray(np.arange(4000)[None, :] < np.array([4000, 2513])[:, None])
+    params = jax.jit(m_dense.init)(jax.random.PRNGKey(0), mix, mask)
+    yd = np.asarray(m_dense.apply(params, mix, mask))
+    yf = np.asarray(m_fused.apply(params, mix, mask))
+    assert np.abs(yd - yf).max() / np.abs(yd).max() < 1e-5
+
+    # padded-vs-solo exactness must survive the fused masker
+    solo = np.asarray(m_fused.apply(params, mix[1:2, :2513], jnp.ones((1, 2513), bool)))
+    assert np.abs(yf[1, :, :2513] - solo[0]).max() / np.abs(solo).max() < 1e-5
+
+
+def test_full_model_fused_bf16(_force_fused):
+    m_fused, m_dense = _model_pair()
+    rng = np.random.default_rng(4)
+    mix = jnp.asarray(rng.normal(size=(1, 4000)).astype(np.float32)).astype(jnp.bfloat16)
+    mask = jnp.ones((1, 4000), bool)
+    params = jax.jit(m_dense.init)(jax.random.PRNGKey(0), mix, mask)
+    yd = np.asarray(m_dense.apply(params, mix, mask).astype(jnp.float32))
+    yf = np.asarray(m_fused.apply(params, mix, mask).astype(jnp.float32))
+    # bf16 residual streams round at every block in both paths, but the
+    # kernel fuses matmul+bias where XLA may not — allow bf16-scale slack
+    assert np.abs(yd - yf).max() / np.abs(yd).max() < 0.1
+
+
+def test_fused_training_step(_force_fused):
+    # gradients flow through the flax-wired fused path (custom_vjp bwd)
+    m_fused, m_dense = _model_pair()
+    rng = np.random.default_rng(5)
+    mix = jnp.asarray(rng.normal(size=(1, 3200)).astype(np.float32))
+    mask = jnp.ones((1, 3200), bool)
+    params = jax.jit(m_dense.init)(jax.random.PRNGKey(1), mix, mask)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, mix, mask) ** 2)
+
+    gf = jax.grad(loss(m_fused))(params)
+    gd = jax.grad(loss(m_dense))(params)
+
+    def check(path, a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 1e-4, path
+
+    jax.tree_util.tree_map_with_path(check, gf, gd)
+
+
+def test_enabled_gating(monkeypatch):
+    monkeypatch.delenv("ACT_FUSED_TCN", raising=False)
+    # CPU backend -> off by default
+    assert not fused_tcn_enabled(1000, 128, 512, 3, 8, jnp.bfloat16)
+    monkeypatch.setenv("ACT_FUSED_TCN", "0")
+    assert not fused_tcn_enabled(1000, 128, 512, 3, 8, jnp.bfloat16)
+    monkeypatch.setenv("ACT_FUSED_TCN", "1")
+    # forced on (fits) regardless of backend
+    assert fused_tcn_enabled(1000, 128, 512, 3, 8, jnp.bfloat16)
+    # structural rejections: non-3 conv kernel, non-lane-multiple channels
+    assert not fused_tcn_enabled(1000, 128, 512, 5, 8, jnp.bfloat16)
+    assert not fused_tcn_enabled(1000, 96, 512, 3, 8, jnp.bfloat16)
+    # VMEM overflow: very long inputs fall back to the dense loop
+    assert not fused_tcn_enabled(3_000_000, 128, 512, 3, 8, jnp.float32)
+
+
+def test_int8_quant_stays_dense(_force_fused):
+    # the fused path has no s8 MXU story; quant="int8" must use the dense
+    # loop (gate in ConvTasNet._use_fused_tcn)
+    cfg = ConvTasNetConfig(n_src=2, enc_dim=128, enc_kernel=16, bottleneck=C,
+                           hidden=H, n_blocks=NB_PER, n_repeats=1, quant="int8")
+    m = ConvTasNet(cfg)
+    assert not m._use_fused_tcn(1000, jnp.float32)
