@@ -463,7 +463,15 @@ def main():
         # --- warmup run: identical full pass so every (bucket, batch) stage
         # program is compiled; steady-state serving reuses compiled programs,
         # so the measured passes exclude one-time XLA compilation.
-        log(f"bench: warmup/compile pass (dtype={dtype}, max_batch={max_batch}) ...")
+        import jax.numpy as jnp
+        from audio_classification_tpu.ops.pallas.tcn_kernel import fused_tcn_enabled
+        from audio_classification_tpu.models.convtasnet import ConvTasNetConfig as _CTC
+        _c3 = _CTC(n_src=3)
+        _fused = fused_tcn_enabled(8000 // _c3.stride, _c3.bottleneck, _c3.hidden,
+                                   _c3.conv_kernel, _c3.n_blocks,
+                                   jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+        log(f"bench: warmup/compile pass (dtype={dtype}, max_batch={max_batch}, "
+            f"fused_tcn={'on' if _fused else 'off'}) ...")
         t0 = time.time()
         pipe = Overlap3Pipeline(cfg)
         pipe.run()
