@@ -99,6 +99,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--model-parallel", type=int, default=0,
                    help="TP: shard the separators' TCN hidden dim over M "
                         "chips (mesh = data x model; 0 = off)")
+    p.add_argument("--slices", type=int, default=1,
+                   help="Multi-slice deployments: the data axis spans "
+                        "slices x per-slice chips with the DCN factor "
+                        "outermost (DP collectives reduce in-slice over ICI "
+                        "first); TP never crosses a slice")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="bfloat16 halves MXU cost; norm statistics stay f32")
     p.add_argument("--wave-mixtures", type=int, default=0,

@@ -74,6 +74,9 @@ def parse_args(argv=None):
     par = p.add_argument_group("parallelism")
     par.add_argument("--data-parallel", type=int, default=0)
     par.add_argument("--model-parallel", type=int, default=0)
+    par.add_argument("--slices", type=int, default=1,
+                     help="Multi-slice jobs: DP spans slices x chips, DCN "
+                          "factor outermost; TP stays in-slice")
     par.add_argument("--time-shard", action="store_true",
                      help="Shard each crop's TIME axis over the data axis "
                           "(sequence-parallel training for --seconds too "
@@ -188,7 +191,8 @@ def main(argv=None):
                                n_repeats=args.n_repeats, sample_rate=sr)
     dp, mp = max(args.data_parallel, 1), max(args.model_parallel, 1)
     n_dev = dp * mp if (args.data_parallel or args.model_parallel) else len(jax.devices())
-    mesh = make_mesh(n_dev, model_axis=mp if mp > 1 else 1)
+    mesh = make_mesh(n_dev, model_axis=mp if mp > 1 else 1,
+                     slices=max(args.slices, 1))
     trainer = SeparatorTrainer(cfg, mesh=mesh, lr=args.lr, seed=args.seed,
                                time_shard=args.time_shard)
 

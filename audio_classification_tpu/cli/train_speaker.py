@@ -73,6 +73,9 @@ def parse_args(argv=None):
     par = p.add_argument_group("parallelism")
     par.add_argument("--data-parallel", type=int, default=0)
     par.add_argument("--model-parallel", type=int, default=0)
+    par.add_argument("--slices", type=int, default=1,
+                     help="Multi-slice jobs: DP spans slices x chips, DCN "
+                          "factor outermost; TP stays in-slice")
     c = p.add_argument_group("checkpointing")
     c.add_argument("--ckpt-dir", default="")
     c.add_argument("--save-every", type=int, default=100)
@@ -226,7 +229,8 @@ def main(argv=None):
 
     dp, mp = max(args.data_parallel, 1), max(args.model_parallel, 1)
     n_dev = dp * mp if (args.data_parallel or args.model_parallel) else len(jax.devices())
-    mesh = make_mesh(n_dev, model_axis=mp if mp > 1 else 1)
+    mesh = make_mesh(n_dev, model_axis=mp if mp > 1 else 1,
+                     slices=max(args.slices, 1))
     trainer = ModuleTrainer(model, params, loss_fn, mesh=mesh, lr=args.lr)
 
     start_step = 0

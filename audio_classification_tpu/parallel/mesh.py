@@ -19,21 +19,64 @@ def make_mesh(
     n_devices: Optional[int] = None,
     model_axis: int = 1,
     devices: Optional[Sequence] = None,
+    slices: int = 1,
 ) -> Mesh:
     """Build a 2-D ("data", "model") mesh.
 
     model_axis divides n_devices; data axis gets the rest. model_axis=1
     degenerates to pure DP (still a valid 2-D mesh so the same shardings
     apply everywhere).
+
+    slices > 1 declares a multi-slice (DCN-connected) deployment: the
+    "data" axis then spans slices x per-slice-chips with the slice factor
+    OUTERMOST, so every DP collective (gradient psum, batch all-gather)
+    reduce-scatters over in-slice ICI first and only the per-slice
+    partial crosses DCN — the standard hybrid data-parallel layout
+    (scaling-book recipe). Axis names are unchanged, so every existing
+    P("data")/P("model") spec in the trainers and the serving engine
+    works on a hybrid mesh as-is. "model" (TP) stays inside one slice:
+    TP collectives are latency-bound and must never ride DCN.
     """
     devs = list(devices) if devices is not None else list(jax.devices())
     if n_devices is not None:
         devs = devs[:n_devices]
     n = len(devs)
-    if n % model_axis != 0:
-        raise ValueError(f"model_axis {model_axis} must divide device count {n}")
-    arr = np.asarray(devs).reshape(n // model_axis, model_axis)
+    slices = max(int(slices), 1)
+    if n % (model_axis * slices) != 0:
+        raise ValueError(
+            f"model_axis {model_axis} x slices {slices} must divide device count {n}")
+    if slices > 1:
+        # model_axis * slices | n implies model_axis <= n // slices, so TP
+        # always fits inside one slice's chips (never crosses DCN)
+        per_slice = n // slices
+        arr = _hybrid_device_grid(devs, slices, per_slice, model_axis)
+    else:
+        arr = np.asarray(devs).reshape(n // model_axis, model_axis)
     return Mesh(arr, axis_names=("data", "model"))
+
+
+def _hybrid_device_grid(devs, slices: int, per_slice: int, model_axis: int):
+    """[slices*per_slice/model, model] grid, slice-major on the data axis.
+
+    On real multi-slice TPU jobs, jax.experimental.mesh_utils arranges each
+    slice's chips along physical ICI rings (nearest-neighbor collectives);
+    process/slice boundaries land on the outer (DCN) factor. Virtual or
+    homogeneous-host device lists (CPU tests, the tunneled single chip)
+    don't carry coords, so fall back to order-preserving reshape — the
+    collective layout (slice outermost) is identical either way.
+    """
+    try:
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(per_slice // model_axis, model_axis),
+            dcn_mesh_shape=(slices, 1),
+            devices=devs,
+        )  # -> [slices * per_slice/model, model]
+        return grid
+    except Exception:
+        arr = np.asarray(devs).reshape(slices, per_slice // model_axis, model_axis)
+        return arr.reshape(slices * (per_slice // model_axis), model_axis)
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -315,7 +315,8 @@ def build_engine(cfg) -> StageEngine:
     if dp > 1 or mp > 1:
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh(max(dp, 1) * max(mp, 1), model_axis=max(mp, 1))
+        mesh = make_mesh(max(dp, 1) * max(mp, 1), model_axis=max(mp, 1),
+                         slices=int(getattr(cfg, "slices", 1) or 1))
     return StageEngine(pack, buckets, mesh=mesh,
                        compute_dtype=getattr(cfg, "compute_dtype", "float32"))
 

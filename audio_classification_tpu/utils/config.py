@@ -90,6 +90,8 @@ class Overlap3Config:
     profile_dir: str = ""             # jax.profiler trace output dir
     data_parallel: int = 0            # shard stage batches over N chips (0 = single device)
     model_parallel: int = 0           # TP: separators' TCN hidden dim over M chips
+    slices: int = 1                   # multi-slice deployments: DP spans slices x chips
+                                      # with the DCN factor outermost (TP stays in-slice)
     compute_dtype: str = "float32"    # "bfloat16" halves MXU cost (norm stats stay f32)
     wave_mixtures: int = 0            # mixtures per wave (0 = 4x max_batch); larger waves
                                       # amortize per-phase dispatch latency over more audio

@@ -43,7 +43,8 @@ Env knobs: ACT_BENCH_PASSES (7), ACT_BENCH_MAX_PASSES (24),
 ACT_BENCH_TARGET_RTF (0.0045), ACT_BENCH_WAIT_BUDGET_S (900),
 ACT_BENCH_DTYPE (bfloat16), ACT_BENCH_MIXTURES (128), ACT_BENCH_DUR_SEC
 (10), ACT_BENCH_MAX_BATCH (64), ACT_BENCH_QUALITY (1), ACT_BENCH_QUALITY_STEPS
-(150), ACT_BENCH_ROOFLINE (0), ACT_BENCH_FAMILIES (0),
+(150), ACT_BENCH_ROOFLINE (0), ACT_BENCH_FAMILIES (0), ACT_BENCH_QUANT
+(none; "int8" serves the whole pipeline through the s8 MXU path),
 ACT_BENCH_BACKEND_WAIT_S (600; bounded retry when the tunnel backend
 fails to initialize at all).
 """
@@ -448,6 +449,7 @@ def main():
             wave_mixtures=2 * max_batch,
             enable_metrics=False,
             compute_dtype=dtype,
+            quant=os.environ.get("ACT_BENCH_QUANT", "none"),
         )
 
         # --- experiment control: a degraded tunnel inflates EVERYTHING,
@@ -607,6 +609,7 @@ def main():
         "quality_si_sdri_db": round(quality, 2) if quality is not None else None,
         "longform_rtf_60s": round(longform_rtf, 4) if longform_rtf is not None else None,
         "dtype": dtype,
+        "quant": os.environ.get("ACT_BENCH_QUANT", "none"),
         "device": kind,
     }))
 
