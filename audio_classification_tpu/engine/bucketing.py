@@ -99,6 +99,38 @@ def pad_batch(
     return wav, lengths
 
 
+def pad_batch_i16(
+    items: Sequence[np.ndarray], bucket_len: int, batch_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Padded int16 uplink batch built directly from float waveforms.
+
+    Bit-identical to ``pad_batch`` followed by the engine's int16 audio
+    quantization (clip(rint(x * 32768))), but touches ONLY each item's
+    valid samples: the padding stays calloc zeros (0.0 quantizes to 0) and
+    the [batch, bucket] float32 intermediate never exists. On the 1-core
+    host the pad->quantize pair dominated warm pass walls (profiled 3.3 s
+    of a 6.7 s pass at 128x10 s mixtures: full-buffer zero-fill + mult +
+    rint + clip + astype over padded rows); this path cuts that to one
+    scaled-rint-clip pass over the real audio.
+    """
+    assert len(items) <= batch_size
+    wav = np.zeros((batch_size, bucket_len), dtype=np.int16)
+    lengths = np.zeros((batch_size,), dtype=np.int32)
+    for i, x in enumerate(items):
+        n = x.shape[-1]
+        if n > bucket_len:
+            raise ValueError(
+                f"item {i} has {n} samples > bucket {bucket_len}; pick the "
+                "bucket with BucketSpec.bucket_for to avoid truncating audio"
+            )
+        y = np.asarray(x[..., :n], dtype=np.float32) * 32768.0
+        np.rint(y, out=y)
+        np.clip(y, -32768, 32767, out=y)
+        wav[i, :n] = y  # integral floats in int16 range: exact conversion
+        lengths[i] = n
+    return wav, lengths
+
+
 def group_by_bucket(
     items: Sequence[np.ndarray], spec: BucketSpec
 ) -> List[Tuple[int, List[int]]]:

@@ -38,7 +38,7 @@ from ..models.speaker import SpeakerEmbedder, SpeakerEmbedderConfig
 from ..models.vad import VADConfig, VADNet
 from ..ops.fbank import FbankConfig, log_mel_fbank
 from ..ops.resample import resample_poly
-from .bucketing import BucketSpec, group_by_bucket, pad_batch
+from .bucketing import BucketSpec, group_by_bucket, pad_batch, pad_batch_i16
 from .segments import flags_to_segments
 
 G_SAMPLE_RATE = 16000
@@ -719,8 +719,8 @@ class StageEngine:
             for off in range(0, len(idxs), self.buckets.max_batch):
                 chunk_idx = idxs[off : off + self.buckets.max_batch]
                 bs = self.buckets.batch_size_for(len(chunk_idx))
-                wav, lengths = pad_batch([items[i] for i in chunk_idx], bucket_len, bs)
-                args = [jnp.asarray(self._quantize_i16(wav)), jnp.asarray(lengths)]
+                wav, lengths = pad_batch_i16([items[i] for i in chunk_idx], bucket_len, bs)
+                args = [jnp.asarray(wav), jnp.asarray(lengths)]
                 if extras is not None:
                     ex = np.stack([np.asarray(extras[i]) for i in chunk_idx])
                     if len(chunk_idx) < bs:

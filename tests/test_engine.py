@@ -44,6 +44,35 @@ def test_pad_batch_rejects_overflow():
         pad_batch([np.ones(9, np.float32)], 8, 1)
 
 
+def test_pad_batch_i16_bit_exact_with_pad_then_quantize():
+    # the direct int16 uplink path must equal pad_batch -> the engine's
+    # int16 quantization exactly, including clipping, rint ties-to-even
+    # and untouched padding rows/tails
+    from audio_classification_tpu.engine.bucketing import pad_batch_i16
+
+    rng = np.random.default_rng(0)
+    items = [
+        (rng.standard_normal(n).astype(np.float32) * s)
+        for n, s in ((5, 0.3), (8, 1.7), (1, 0.0), (7, 0.99))
+    ]
+    # exact rint ties (0.5/32768 scales to 16384.5) + out-of-range values
+    items[0][:4] = np.array([0.5 / 32768.0, 1.5 / 32768.0, 2.0, -2.0],
+                            np.float32)
+    ref_wav, ref_len = pad_batch(items, 8, 8)
+    ref_q = np.clip(np.rint(ref_wav * 32768.0), -32768, 32767).astype(np.int16)
+    got, lengths = pad_batch_i16(items, 8, 8)
+    assert got.dtype == np.int16
+    np.testing.assert_array_equal(got, ref_q)
+    np.testing.assert_array_equal(lengths, ref_len)
+
+
+def test_pad_batch_i16_rejects_overflow():
+    from audio_classification_tpu.engine.bucketing import pad_batch_i16
+
+    with pytest.raises(ValueError, match="bucket"):
+        pad_batch_i16([np.ones(9, np.float32)], 8, 1)
+
+
 def test_overlong_item_processed_at_full_length():
     # End-to-end: an item longer than every configured bucket still comes
     # back at its native length from a stage call (separate slices to the
