@@ -121,6 +121,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "instead of fused path programs: slower (branches "
                         "cross device->host), but time_sep/time_asr become "
                         "reference-comparable per-stage walls")
+    p.add_argument("--no-device-gather", dest="device_gather",
+                   action="store_false", default=True,
+                   help="Upload every stage batch from host instead of "
+                        "gathering segment windows on device from one "
+                        "packed per-wave audio uplink (the default halves+ "
+                        "host->device bytes)")
     p.add_argument("--quant", default="none", choices=["none", "int8"],
                    help="int8: separators run dynamic-int8 on the s8 MXU "
                         "path (2x the bf16 MXU rate on v5e)")

@@ -131,6 +131,38 @@ def pad_batch_i16(
     return wav, lengths
 
 
+def flat_pack_i16(
+    items: Sequence[np.ndarray], tail: int, grid: int = 1 << 20
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pack whole waveforms into ONE tightly-concatenated int16 buffer.
+
+    The device-gather uplink path: a wave's audio crosses host->device
+    once, back to back with no per-item bucket padding (only a ``tail``
+    of zeros so on-device ``dynamic_slice`` windows of up to ``tail``
+    samples never clamp, plus padding to a multiple of ``grid`` so the
+    arena shape — and every gather program keyed on it — repeats across
+    waves instead of compiling per exact length). Quantization is the
+    same clip(rint(x * 32768)) as ``pad_batch_i16``, applied once per
+    sample, so slicing the packed buffer is bit-identical to quantizing
+    the slice.
+
+    Returns (buf [N], offsets [n] int64, lengths [n] int64).
+    """
+    lengths = np.array([int(x.shape[-1]) for x in items], dtype=np.int64)
+    offsets = np.zeros(len(items), dtype=np.int64)
+    if len(items):
+        np.cumsum(lengths[:-1], out=offsets[1:])
+    total = int(lengths.sum()) + int(tail)
+    n_pad = -(-total // grid) * grid
+    buf = np.zeros(n_pad, dtype=np.int16)
+    for x, off, n in zip(items, offsets, lengths):
+        y = np.asarray(x[..., :n], dtype=np.float32) * 32768.0
+        np.rint(y, out=y)
+        np.clip(y, -32768, 32767, out=y)
+        buf[off : off + n] = y
+    return buf, offsets, lengths
+
+
 def group_by_bucket(
     items: Sequence[np.ndarray], spec: BucketSpec
 ) -> List[Tuple[int, List[int]]]:

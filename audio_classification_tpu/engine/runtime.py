@@ -38,7 +38,8 @@ from ..models.speaker import SpeakerEmbedder, SpeakerEmbedderConfig
 from ..models.vad import VADConfig, VADNet
 from ..ops.fbank import FbankConfig, log_mel_fbank
 from ..ops.resample import resample_poly
-from .bucketing import BucketSpec, group_by_bucket, pad_batch, pad_batch_i16
+from .bucketing import (BucketSpec, flat_pack_i16, group_by_bucket, pad_batch,
+                        pad_batch_i16)
 from .segments import flags_to_segments
 
 G_SAMPLE_RATE = 16000
@@ -323,6 +324,27 @@ class _AotProgram:
         return ent["exe"](*args)
 
 
+class WaveArena:
+    """A wave's audio, device-resident as ONE packed int16 vector.
+
+    Built by StageEngine.upload_arena (see bucketing.flat_pack_i16): the
+    whole wave crosses the host->device link once, tightly concatenated;
+    every later stage batch (OSD mixtures, overlap/clean segment windows)
+    is gathered from it on device. The tunnel's H2D bandwidth is the
+    pipeline's scarcest resource — before this path each segment window
+    re-uploaded audio already in HBM, padded to its bucket (measured >2x
+    the raw audio bytes per pass).
+    """
+
+    __slots__ = ("dev", "offsets", "lengths", "tail")
+
+    def __init__(self, dev, offsets: np.ndarray, lengths: np.ndarray, tail: int):
+        self.dev = dev            # jax.Array [N] int16
+        self.offsets = offsets    # np.int64 [n] start of each item
+        self.lengths = lengths    # np.int64 [n] true length of each item
+        self.tail = tail          # zero samples past the last item
+
+
 class StageEngine:
     """Batched, bucketed stage dispatch over a ModelPack.
 
@@ -570,6 +592,24 @@ class StageEngine:
                 return (packed, est)
             return packed
 
+        def gather_fn(arena_i16, starts, lens, *, seg_len):
+            """[N] packed int16 arena -> [bs, seg_len] padded batch.
+
+            Assembles a stage batch ON DEVICE from windows of a wave's
+            single audio uplink (flat_pack_i16), replacing a second
+            host->device transfer of the same samples. The arena carries a
+            ``tail`` of zeros >= the largest bucket, so dynamic_slice never
+            clamps; samples past each window's true length are masked to 0,
+            which makes the result bit-identical to pad_batch_i16 over the
+            equivalent host slices (quantization is elementwise, so
+            slice-then-quantize == quantize-then-slice).
+            """
+            segs = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(arena_i16, (s,), (seg_len,))
+            )(starts)
+            valid = jnp.arange(seg_len, dtype=jnp.int32)[None, :] < lens[:, None]
+            return jnp.where(valid, segs, jnp.int16(0))
+
         self._programs: Dict[Any, Dict[str, Any]] = {}  # AOT cache + stats
         reg = self._programs
 
@@ -628,7 +668,14 @@ class StageEngine:
             self._resample = AOT("resample", resample_poly,
                                  static_argnames=("orig_sr", "new_sr"),
                                  param_leading=False)
+            # arena gather under a mesh would need a sharded gather program
+            # (the arena is one long replicated vector); mesh engines keep
+            # the per-batch uplink path, whose batches DO shard.
+            self._gather = None
         else:
+            self._gather = AOT("gather", gather_fn,
+                               static_argnames=("seg_len",),
+                               param_leading=False)
             self._osd = AOT("osd", osd_fn)
             self._sep3 = AOT("sep3", partial(sep_fn, sep3_model))
             self._sep2 = AOT("sep2", partial(sep_fn, sep2_model))
@@ -730,6 +777,63 @@ class StageEngine:
                 pending.append((chunk_idx, fn(*args)))
         return pending, len(items)
 
+    def upload_arena(self, wavs: Sequence[np.ndarray]) -> Optional[WaveArena]:
+        """One tight int16 uplink for a wave of waveforms -> WaveArena.
+
+        Returns None when the arena path can't serve this input and the
+        caller must keep the per-batch uplink: mesh engines (the gather
+        program isn't sharded), items longer than the bucket cap (their
+        ad-hoc buckets could out-range the arena tail), or an arena too
+        long for int32 gather offsets.
+        """
+        if self._gather is None:
+            return None
+        tail = self.buckets.lengths[-1]
+        items = [np.asarray(w, np.float32) for w in wavs]
+        if any(w.shape[-1] > tail for w in items):
+            return None
+        total = sum(int(w.shape[-1]) for w in items) + tail
+        if total >= 2**31:
+            return None
+        # small inputs (e.g. a single enrollment target) get a finer shape
+        # grid so a 3 s target doesn't upload a 1M-sample arena
+        grid = 1 << 20 if total > (1 << 20) else 1 << 14
+        buf, offsets, lengths = flat_pack_i16(items, tail, grid)
+        return WaveArena(jnp.asarray(buf), offsets, lengths, tail)
+
+    def _launch_bucketed_arena(self, arena: WaveArena,
+                               spans: Sequence[Tuple[int, int]], fn,
+                               extras: Optional[Sequence] = None):
+        """Arena variant of _launch_bucketed: items are (start, length)
+        windows into arena.dev, assembled on device by the gather program.
+        Same bucketing/batching and handle structure; zero re-uplink of
+        audio (only the int32 start/length rows cross the link).
+        """
+        groups: Dict[int, List[int]] = {}
+        for i, (_s, ln) in enumerate(spans):
+            groups.setdefault(self.buckets.bucket_for(ln), []).append(i)
+        pending: List[Tuple[List[int], Any]] = []
+        for bucket_len, idxs in groups.items():
+            for off in range(0, len(idxs), self.buckets.max_batch):
+                chunk_idx = idxs[off : off + self.buckets.max_batch]
+                bs = self.buckets.batch_size_for(len(chunk_idx))
+                starts = np.zeros(bs, np.int32)
+                lens = np.zeros(bs, np.int32)
+                for j, i in enumerate(chunk_idx):
+                    starts[j], lens[j] = spans[i]
+                lens_dev = jnp.asarray(lens)
+                wav = self._gather(arena.dev, jnp.asarray(starts), lens_dev,
+                                   seg_len=bucket_len)
+                args = [wav, lens_dev]
+                if extras is not None:
+                    ex = np.stack([np.asarray(extras[i]) for i in chunk_idx])
+                    if len(chunk_idx) < bs:
+                        pad_rows = np.zeros((bs - len(chunk_idx),) + ex.shape[1:], ex.dtype)
+                        ex = np.concatenate([ex, pad_rows])
+                    args.append(jnp.asarray(ex))
+                pending.append((chunk_idx, fn(*args)))
+        return pending, len(spans)
+
     @staticmethod
     def _collect_bucketed(handle) -> List[Any]:
         """Block on a _launch_bucketed handle -> per-item results.
@@ -809,24 +913,40 @@ class StageEngine:
             [wavs[i] for i in nonempty],
             lambda w, l: self._osd(self.exec_params["osd"], w, l),
         )
-        return (handle, nonempty, wavs, sr)
+        return (handle, nonempty, [len(w) for w in wavs], sr)
+
+    def launch_osd_arena(self, arena: WaveArena):
+        """OSD over a wave already resident in the arena (16 kHz audio).
+
+        Handle-compatible with launch_osd_batch/collect_osd_batch; the
+        mixture batches are gathered on device from the wave's single
+        uplink instead of re-uploading bucket-padded copies.
+        """
+        n_samp = [int(n) for n in arena.lengths]
+        nonempty = [i for i, n in enumerate(n_samp) if n > 0]
+        handle = self._launch_bucketed_arena(
+            arena,
+            [(int(arena.offsets[i]), n_samp[i]) for i in nonempty],
+            lambda w, l: self._osd(self.exec_params["osd"], w, l),
+        )
+        return (handle, nonempty, n_samp, G_SAMPLE_RATE)
 
     def collect_osd_batch(
         self, osd_handle, threshold: float, win_sec: float, hop_sec: float
     ) -> List[List[Tuple[float, float, bool]]]:
-        handle, nonempty, wavs, sr = osd_handle
+        handle, nonempty, n_samps, sr = osd_handle
         probs_all = self._collect_bucketed(handle)
         cfg = self.pack.preset.osd
-        out: List[List[Tuple[float, float, bool]]] = [[] for _ in wavs]
+        out: List[List[Tuple[float, float, bool]]] = [[] for _ in n_samps]
         pyannet = getattr(self.pack, "osd_pyannet", None)
         for i, probs in zip(nonempty, probs_all):
-            wav = wavs[i]
-            dur = len(wav) / sr
+            n_samp = n_samps[i]
+            dur = n_samp / sr
             if pyannet is not None:
-                n_out = max(int(pyannet.cfg.out_frames(len(wav))), 1)
+                n_out = max(int(pyannet.cfg.out_frames(n_samp)), 1)
                 frame_sec = pyannet.cfg.out_frame_sec
             else:
-                n_out = max(int(np.ceil(self.fbank_cfg.frames_for(len(wav)) / cfg.subsample)), 1)
+                n_out = max(int(np.ceil(self.fbank_cfg.frames_for(n_samp) / cfg.subsample)), 1)
                 frame_sec = cfg.out_frame_sec
             binarize = getattr(self.pack, "osd_binarize", None)
             if pyannet is not None and binarize is not None:
@@ -872,13 +992,14 @@ class StageEngine:
         return np.stack(outs)
 
     def launch_transcribe(self, chunks: Sequence[np.ndarray], language: str = "auto",
-                          use_itn: bool = True):
+                          use_itn: bool = True,
+                          arena: Optional[WaveArena] = None, spans=None):
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
-        return self._launch_bucketed(
-            list(chunks),
-            lambda w, l: self._asr(self.exec_params["asr"], w, l,
-                                   language_id=lang_id, use_itn=use_itn),
-        )
+        fn = lambda w, l: self._asr(self.exec_params["asr"], w, l,
+                                    language_id=lang_id, use_itn=use_itn)
+        if arena is not None and spans is not None:
+            return self._launch_bucketed_arena(arena, spans, fn)
+        return self._launch_bucketed(list(chunks), fn)
 
     def collect_tokens(self, handle) -> List[Tuple[np.ndarray, int]]:
         """Unpack the ASR programs' packed rows -> [(ids, n_tokens)]."""
@@ -1021,14 +1142,16 @@ class StageEngine:
             return []
         return self.collect_clean(self.launch_clean(chunks, target_vecs, language, use_itn))
 
-    def launch_clean(self, chunks, target_vecs, language: str = "auto", use_itn: bool = True):
+    def launch_clean(self, chunks, target_vecs, language: str = "auto",
+                     use_itn: bool = True, arena: Optional[WaveArena] = None,
+                     spans=None):
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
-        return self._launch_bucketed(
-            list(chunks),
-            lambda w, l, tv: self._clean_path(self.exec_params, w, l, tv,
-                                              language_id=lang_id, use_itn=use_itn),
-            extras=[np.asarray(v, np.float32) for v in target_vecs],
-        )
+        fn = lambda w, l, tv: self._clean_path(self.exec_params, w, l, tv,
+                                               language_id=lang_id, use_itn=use_itn)
+        extras = [np.asarray(v, np.float32) for v in target_vecs]
+        if arena is not None and spans is not None:
+            return self._launch_bucketed_arena(arena, spans, fn, extras=extras)
+        return self._launch_bucketed(list(chunks), fn, extras=extras)
 
     def collect_clean(self, handle) -> List[Tuple[float, str]]:
         out = []
@@ -1056,16 +1179,17 @@ class StageEngine:
 
     def launch_overlap(self, chunks, target_vecs, language: str = "auto",
                        use_itn: bool = True, return_branches: bool = False,
-                       backend: str = "convtasnet"):
+                       backend: str = "convtasnet",
+                       arena: Optional[WaveArena] = None, spans=None):
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
-        return self._launch_bucketed(
-            list(chunks),
-            lambda w, l, tv: self._overlap_path(
-                self.exec_params, w, l, tv, language_id=lang_id, use_itn=use_itn,
-                return_branches=return_branches, backend=backend,
-            ),
-            extras=[np.asarray(v, np.float32) for v in target_vecs],
+        fn = lambda w, l, tv: self._overlap_path(
+            self.exec_params, w, l, tv, language_id=lang_id, use_itn=use_itn,
+            return_branches=return_branches, backend=backend,
         )
+        extras = [np.asarray(v, np.float32) for v in target_vecs]
+        if arena is not None and spans is not None:
+            return self._launch_bucketed_arena(arena, spans, fn, extras=extras)
+        return self._launch_bucketed(list(chunks), fn, extras=extras)
 
     def collect_overlap(self, handle, chunks, return_branches: bool = False,
                         backend: str = "convtasnet") -> List[dict]:

@@ -399,6 +399,11 @@ class Overlap3Pipeline:
             text = eng.transcribe([t_np], cfg.language)[0]
             self._time["asr"] += time.time() - t_a
             g_target = dict(vec=vec, np=t_np, abs=str(Path(cfg.target_wav)), text=text)
+            if getattr(cfg, "device_gather", True):
+                # target-span ASR windows gather from this single uplink of
+                # the (shared) enrollment wav instead of re-uploading a
+                # window per segment row
+                g_target["arena"] = eng.upload_arena([t_np])
 
         wave_size = int(getattr(cfg, "wave_mixtures", 0) or 0)
         if wave_size <= 0:
@@ -437,13 +442,25 @@ class Overlap3Pipeline:
                 for mx in need:
                     mx["dur"] = len(mx["mix"]) / G_SAMPLE_RATE
                     mx["sr_item"] = G_SAMPLE_RATE
-            h_osd = eng.launch_osd_batch([mx["mix"] for mx in mixtures], G_SAMPLE_RATE)
-            return mixtures, h_osd
+            # one tight uplink for the wave's audio; OSD batches and (below)
+            # the fused-path segment windows gather from it on device, so
+            # audio crosses the tunnel once (None -> per-batch uplink:
+            # mesh engines, overlong items, or --no-device-gather)
+            arena = None
+            if getattr(cfg, "device_gather", True):
+                arena = eng.upload_arena([mx["mix"] for mx in mixtures])
+            if arena is not None:
+                for k, mx in enumerate(mixtures):
+                    mx["arena_off"] = int(arena.offsets[k])
+                h_osd = eng.launch_osd_arena(arena)
+            else:
+                h_osd = eng.launch_osd_batch([mx["mix"] for mx in mixtures], G_SAMPLE_RATE)
+            return mixtures, h_osd, arena
 
         wave_starts = list(range(0, limit, wave_size))
         prefetched = prepare_wave(wave_starts[0]) if wave_starts else None
         for wi, wave_start in enumerate(wave_starts):
-            mixtures, h_osd = prefetched
+            mixtures, h_osd, arena = prefetched
             if wi + 1 < len(wave_starts):
                 prefetched = prepare_wave(wave_starts[wi + 1])
             for mx in mixtures:
@@ -514,23 +531,45 @@ class Overlap3Pipeline:
                 # cross D2H and each stage dispatches separately)
                 self._run_wave_granular(overlap_rows, clean_rows, tspan_rows)
             else:  # fused paths (default serving configuration)
+                def _mix_spans(rows):
+                    # segment windows into the wave arena (device gather);
+                    # None when any row's mixture missed the arena
+                    if arena is None or any("arena_off" not in mx for mx, _ in rows):
+                        return None
+                    return [(mx["arena_off"] + r["s_i"], len(r["chunk"]))
+                            for mx, r in rows]
+
                 if overlap_rows:
                     h_ov = eng.launch_overlap(
                         [r["chunk"] for _, r in overlap_rows],
                         [mx["target_vec"] for mx, _ in overlap_rows],
                         cfg.language, return_branches=cfg.eval_separation,
                         backend=cfg.sep_backend,
+                        arena=arena, spans=_mix_spans(overlap_rows),
                     )
                 if clean_rows:
                     h_cl = eng.launch_clean(
                         [r["chunk"] for _, r in clean_rows],
                         [mx["target_vec"] for mx, _ in clean_rows],
                         cfg.language,
+                        arena=arena, spans=_mix_spans(clean_rows),
                     )
                 if tspan_rows:
+                    tg_chunks = [mx["target_np"][r["s_i"]:r["e_i"]]
+                                 for mx, r in tspan_rows]
+                    tg_arena = (g_target or {}).get("arena")
+                    tg_spans = None
+                    if tg_arena is not None and all(
+                        mx["target_np"] is g_target["np"] for mx, _ in tspan_rows
+                    ):
+                        # file mode: every row slices the one enrollment wav
+                        T = len(g_target["np"])
+                        tg_spans = [
+                            (min(r["s_i"], T), max(min(r["e_i"], T) - r["s_i"], 0))
+                            for _, r in tspan_rows
+                        ]
                     h_tg = eng.launch_transcribe(
-                        [mx["target_np"][r["s_i"]:r["e_i"]] for mx, r in tspan_rows],
-                        cfg.language,
+                        tg_chunks, cfg.language, arena=tg_arena, spans=tg_spans,
                     )
 
             # collect A (stage times are disjoint wall segments; with the

@@ -104,6 +104,9 @@ class Overlap3Config:
                                       # (fastest; path wall books to time_sep/time_asr).
                                       # False: granular stage programs — time_sep/time_asr
                                       # are then reference-comparable per-stage walls
+    device_gather: bool = True        # upload each wave's audio ONCE as a packed int16
+                                      # arena and gather OSD/segment batches from it on
+                                      # device (halves+ H2D bytes); False: per-batch uplink
     quant: str = "none"               # "int8": separators run dynamic-int8 on the s8
                                       # MXU path (2x bf16 rate; ops/quant)
 

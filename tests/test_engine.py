@@ -159,3 +159,69 @@ def test_engine_vad_probs(engine):
     p = engine.vad_probs(_tone(8000))
     assert p.ndim == 1
     assert ((p >= 0) & (p <= 1)).all()
+
+
+# ---------------------------------------------------------------- arena path
+
+def test_flat_pack_i16_bit_exact_and_layout():
+    from audio_classification_tpu.engine.bucketing import flat_pack_i16, pad_batch_i16
+
+    rng = np.random.default_rng(3)
+    items = [rng.standard_normal(n).astype(np.float32) * s
+             for n, s in ((7, 0.4), (0, 1.0), (12, 1.8), (5, 0.9))]
+    buf, off, ln = flat_pack_i16(items, tail=10, grid=16)
+    assert buf.dtype == np.int16
+    assert buf.shape[0] % 16 == 0 and buf.shape[0] >= sum(len(x) for x in items) + 10
+    assert list(ln) == [7, 0, 12, 5]
+    assert list(off) == [0, 7, 7, 19]
+    for x, o, n in zip(items, off, ln):
+        ref = np.clip(np.rint(np.asarray(x, np.float32) * 32768.0), -32768, 32767)
+        np.testing.assert_array_equal(buf[o:o + n], ref.astype(np.int16))
+    assert buf[24:].sum() == 0  # tail + grid padding stays zero
+
+
+def test_gather_program_matches_host_pad(engine):
+    # the device gather from a packed arena must be bit-identical to the
+    # host pad_batch_i16 path, including the zeroed window tails and a
+    # window whose bucket over-runs its item into the arena tail
+    import jax.numpy as jnp
+
+    from audio_classification_tpu.engine.bucketing import pad_batch_i16
+
+    eng = engine
+    rng = np.random.default_rng(11)
+    wavs = [rng.standard_normal(n).astype(np.float32) for n in (9000, 4000)]
+    arena = eng.upload_arena(wavs)
+    assert arena is not None
+    # windows: mid-item, whole-item, end-of-last-item (bucket overrun into
+    # tail), empty
+    spans = [(1000, 2500), (int(arena.offsets[1]), 4000),
+             (int(arena.offsets[1]) + 3500, 500), (0, 0)]
+    host_slices = [
+        np.concatenate(wavs)[s:s + n] for s, n in spans
+    ]
+    for (s, n), hs in zip(spans, host_slices):
+        bucket = eng.buckets.bucket_for(max(n, 1))
+        got = np.asarray(eng._gather(
+            arena.dev, jnp.asarray(np.array([s], np.int32)),
+            jnp.asarray(np.array([n], np.int32)), seg_len=bucket))
+        ref, _ = pad_batch_i16([hs], bucket, 1)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_osd_arena_matches_osd_batch(engine):
+    eng = engine
+    rng = np.random.default_rng(5)
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.3
+            for n in (16000, 9000, 31999)]
+    a = eng.osd_segments_batch(wavs, 16000, 0.5, 0.5, 0.1)
+    arena = eng.upload_arena(wavs)
+    b = eng.collect_osd_batch(eng.launch_osd_arena(arena), 0.5, 0.5, 0.1)
+    assert a == b
+
+
+def test_upload_arena_rejects_overlong_items(engine):
+    # items past the bucket cap must fall back to the per-batch uplink
+    # (their ad-hoc buckets could out-range the arena tail)
+    cap = engine.buckets.lengths[-1]
+    assert engine.upload_arena([np.zeros(cap + 1, np.float32)]) is None

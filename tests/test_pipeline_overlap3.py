@@ -206,3 +206,21 @@ def test_granular_books_time_sep(fixture_dir):
     assert m["time_sep_sec"] > 0 and m["time_asr_sec"] > 0
     # overlap records carry per-branch SV scores + a chosen stream
     assert all(isinstance(r["stream"], int) for r in res.segments)
+
+
+def test_device_gather_matches_host_uplink(fixture_dir, file_mode_result):
+    """--no-device-gather: the per-batch host uplink path must match the
+    arena path EXACTLY — the on-device gather feeds the same stage
+    programs bit-identical int16 batches (slice-then-quantize ==
+    quantize-then-slice), so records agree to the bit, not a tolerance."""
+    arena_result, _ = file_mode_result  # default: device_gather=True
+    cfg = _base_cfg(fixture_dir, device_gather=False)
+    res = Overlap3Pipeline(cfg).run()
+    assert len(res.segments) == len(arena_result.segments)
+    for a, b in zip(res.segments, arena_result.segments):
+        assert a["kind"] == b["kind"]
+        assert a["text"] == b["text"]
+        assert a["stream"] == b["stream"]
+        assert a["sv_score"] == b["sv_score"]
+        assert a["target_src_text"] == b["target_src_text"]
+    assert res.metrics["segments_total"] == arena_result.metrics["segments_total"]
