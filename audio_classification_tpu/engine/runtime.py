@@ -592,7 +592,7 @@ class StageEngine:
                 return (packed, est)
             return packed
 
-        def gather_fn(arena_i16, starts, lens, *, seg_len):
+        def gather_fn(arena_i16, starts, lens, seg_len):
             """[N] packed int16 arena -> [bs, seg_len] padded batch.
 
             Assembles a stage batch ON DEVICE from windows of a wave's
@@ -668,10 +668,18 @@ class StageEngine:
             self._resample = AOT("resample", resample_poly,
                                  static_argnames=("orig_sr", "new_sr"),
                                  param_leading=False)
-            # arena gather under a mesh would need a sharded gather program
-            # (the arena is one long replicated vector); mesh engines keep
-            # the per-batch uplink path, whose batches DO shard.
-            self._gather = None
+            # arena gather, sharded: the packed arena replicates across the
+            # mesh (one logical uplink; WaveArena.dev is device_put on the
+            # replicated sharding) and the start/length rows shard over
+            # "data", so each chip dynamic-slices only its own batch rows
+            # out of its local replica — the gathered batch comes out
+            # already on the stage programs' data sharding, no resharding.
+            self._gather = AOT(
+                "gather", gather_fn, static_argnames=("seg_len",),
+                param_leading=False,
+                jit_kwargs=dict(
+                    in_shardings=(self._rep, self._dsh, self._dsh),
+                    out_shardings=self._dsh))
         else:
             self._gather = AOT("gather", gather_fn,
                                static_argnames=("seg_len",),
@@ -781,13 +789,12 @@ class StageEngine:
         """One tight int16 uplink for a wave of waveforms -> WaveArena.
 
         Returns None when the arena path can't serve this input and the
-        caller must keep the per-batch uplink: mesh engines (the gather
-        program isn't sharded), items longer than the bucket cap (their
-        ad-hoc buckets could out-range the arena tail), or an arena too
-        long for int32 gather offsets.
+        caller must keep the per-batch uplink: items longer than the bucket
+        cap (their ad-hoc buckets could out-range the arena tail), or an
+        arena too long for int32 gather offsets. Mesh engines serve it too:
+        the arena replicates across the mesh and the sharded gather program
+        assembles each chip's batch rows from its local replica.
         """
-        if self._gather is None:
-            return None
         tail = self.buckets.lengths[-1]
         items = [np.asarray(w, np.float32) for w in wavs]
         if any(w.shape[-1] > tail for w in items):
@@ -799,7 +806,14 @@ class StageEngine:
         # grid so a 3 s target doesn't upload a 1M-sample arena
         grid = 1 << 20 if total > (1 << 20) else 1 << 14
         buf, offsets, lengths = flat_pack_i16(items, tail, grid)
-        return WaveArena(jnp.asarray(buf), offsets, lengths, tail)
+        if self.mesh is not None:
+            # replicate ONCE at upload; the AOT gather executable requires
+            # placed-or-uncommitted inputs, and re-replicating per dispatch
+            # would pay the broadcast once per batch instead of per wave
+            dev = jax.device_put(buf, self._rep)
+        else:
+            dev = jnp.asarray(buf)
+        return WaveArena(dev, offsets, lengths, tail)
 
     def _launch_bucketed_arena(self, arena: WaveArena,
                                spans: Sequence[Tuple[int, int]], fn,

@@ -445,7 +445,8 @@ class Overlap3Pipeline:
             # one tight uplink for the wave's audio; OSD batches and (below)
             # the fused-path segment windows gather from it on device, so
             # audio crosses the tunnel once (None -> per-batch uplink:
-            # mesh engines, overlong items, or --no-device-gather)
+            # overlong items or --no-device-gather; mesh engines replicate
+            # the arena and gather shards on device)
             arena = None
             if getattr(cfg, "device_gather", True):
                 arena = eng.upload_arena([mx["mix"] for mx in mixtures])

@@ -235,3 +235,30 @@ def test_long_bucket_for_no_warning():
         assert spec.long_bucket_for(70000) == 128000
     with pytest.warns(UserWarning):
         spec.bucket_for(9000)  # segment path still warns
+
+
+def test_mesh_arena_gather(engines):
+    """The device-resident arena path works UNDER A MESH: one replicated
+    uplink per wave, start/length rows sharded over "data", every gathered
+    batch bit-identical to the per-batch uplink path (so the flagship
+    pipeline keeps the single-uplink design with --data-parallel set)."""
+    single, sharded = engines
+    wavs = [_tone(5000), _tone(7000, 880), _tone(3000, 660)]
+    arena = sharded.upload_arena(wavs)
+    assert arena is not None, "mesh engine must serve the arena path"
+
+    # OSD via the arena vs the per-batch path, and vs the single engine
+    h = sharded.launch_osd_arena(arena)
+    segs_arena = sharded.collect_osd_batch(h, 0.5, 0.5, 0.1)
+    segs_batch = sharded.osd_segments_batch(wavs, 16000, 0.5, 0.5, 0.1)
+    segs_single = single.osd_segments_batch(wavs, 16000, 0.5, 0.5, 0.1)
+    assert segs_arena == segs_batch == segs_single
+
+    # fused clean path through arena spans vs host chunks
+    tv = single.embed([_tone(8000)])[0]
+    spans = [(int(arena.offsets[i]), len(w)) for i, w in enumerate(wavs)]
+    out_arena = sharded.collect_clean(
+        sharded.launch_clean(wavs, [tv] * 3, arena=arena, spans=spans))
+    out_batch = sharded.collect_clean(sharded.launch_clean(wavs, [tv] * 3))
+    for (sa, ta), (sb, tb) in zip(out_arena, out_batch):
+        assert abs(sa - sb) < 1e-6 and ta == tb
