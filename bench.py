@@ -43,7 +43,8 @@ Env knobs: ACT_BENCH_PASSES (7), ACT_BENCH_MAX_PASSES (24),
 ACT_BENCH_TARGET_RTF (0.0045), ACT_BENCH_WAIT_BUDGET_S (900),
 ACT_BENCH_DTYPE (bfloat16), ACT_BENCH_MIXTURES (128), ACT_BENCH_DUR_SEC
 (10), ACT_BENCH_MAX_BATCH (64), ACT_BENCH_QUALITY (1), ACT_BENCH_QUALITY_STEPS
-(150), ACT_BENCH_ROOFLINE (0), ACT_BENCH_FAMILIES (0), ACT_BENCH_QUANT
+(150), ACT_BENCH_SERVE (1; multi-session StreamingServer throughput/latency),
+ACT_BENCH_ROOFLINE (0), ACT_BENCH_FAMILIES (0), ACT_BENCH_QUANT
 (none; "int8" serves the whole pipeline through the s8 MXU path),
 ACT_BENCH_BACKEND_WAIT_S (600; bounded retry when the tunnel backend
 fails to initialize at all).
@@ -345,6 +346,59 @@ def roofline_microbench(kind: str, dtype: str):
     return mfu
 
 
+def serve_smoke(eng, cfg, items, n_sessions: int = 16, ticks: int = 8,
+                window_sec: float = 2.0):
+    """Multi-session streaming serving on hardware (ACT_BENCH_SERVE=1,
+    default): N concurrent sessions share the flagship engine through
+    pipelines/serving.StreamingServer — every tick batches one window from
+    each session through the same fused stage programs, so S sessions cost
+    ~one dispatch set per tick (the reference serves one mic per process,
+    streaming_overlap_3src.py). Reports the serving rtf (tick wall /
+    batched audio seconds) and how many real-time streams that sustains.
+    Reuses the warmed engine, so most (bucket, batch) programs are already
+    compiled; runs one warm tick before measuring."""
+    import dataclasses as _dc
+
+    from audio_classification_tpu.pipelines.serving import StreamingServer
+
+    sr = 16000
+    scfg = _dc.replace(cfg, sv_threshold=0.6)
+    srv = StreamingServer(scfg, engine=eng, autostart=False)
+    tvec = eng.embed([items[0][1][0][: sr * 2]])[0]
+    sids = [srv.open_session(target_vec=tvec) for _ in range(n_sessions)]
+    win = int(window_sec * sr)
+
+    def feed(tick):
+        for k, sid in enumerate(sids):
+            wav = items[(tick * n_sessions + k) % len(items)][0]
+            off = (tick * 1777) % max(len(wav) - win, 1)
+            srv.add_audio(sid, wav[off : off + win])
+
+    feed(0)
+    srv.step()  # warm: compiles any serving-only (bucket, batch) shapes
+    srv.tick_latencies.clear()
+    srv.tick_batch_sizes.clear()
+    t0 = time.perf_counter()
+    for tick in range(1, ticks + 1):
+        feed(tick)
+        srv.step()
+    wall = time.perf_counter() - t0
+    st = srv.stats()
+    audio_per_tick = n_sessions * window_sec
+    serve_rtf = st["tick_latency_mean_sec"] / audio_per_tick
+    # a session stays real-time while its window period covers a tick
+    rt_streams = int(n_sessions * window_sec / max(st["tick_latency_p95_sec"], 1e-9))
+    log(f"bench: serving sessions={n_sessions} window={window_sec}s "
+        f"ticks={st['ticks']} tick_mean={st['tick_latency_mean_sec']}s "
+        f"p95={st['tick_latency_p95_sec']}s serve_rtf={serve_rtf:.4f} "
+        f"rt_streams~{rt_streams} dropped={st['chunks_dropped']} "
+        f"wall={wall:.2f}s")
+    return {"serve_sessions": n_sessions,
+            "serve_tick_p95_s": st["tick_latency_p95_sec"],
+            "serve_rtf": round(serve_rtf, 4),
+            "serve_rt_streams": rt_streams}
+
+
 def quality_smoke(steps: int):
     """Train a tiny Conv-TasNet-2 IN-FRAMEWORK on device (PIT SI-SDR) and
     score held-out synthetic mixtures — a real quality metric next to rtf
@@ -578,6 +632,13 @@ def main():
     log(f"bench: rtf min={rtf:.4f} median={float(np.median(rtfs)):.4f} "
         f"passes={rtfs} mfu_best={float(max(mfus))*100:.2f}%")
 
+    serve = None
+    if os.environ.get("ACT_BENCH_SERVE", "1") != "0":
+        try:
+            serve = serve_smoke(eng, cfg, items)
+        except Exception as e:  # never let the serving add-on kill the capture
+            log(f"bench: serving smoke failed: {type(e).__name__}: {e}")
+
     quality = None
     if os.environ.get("ACT_BENCH_QUALITY", "1") != "0":
         try:
@@ -608,6 +669,7 @@ def main():
         "wait_budget_left_s": round(max(wait_budget[0], 0.0), 1),
         "quality_si_sdri_db": round(quality, 2) if quality is not None else None,
         "longform_rtf_60s": round(longform_rtf, 4) if longform_rtf is not None else None,
+        **(serve or {}),
         "dtype": dtype,
         "quant": os.environ.get("ACT_BENCH_QUANT", "none"),
         "device": kind,

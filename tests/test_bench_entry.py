@@ -76,3 +76,25 @@ def test_bench_backend_retry_succeeds_on_healthy_backend(monkeypatch, capsys):
     bench._wait_for_backend(budget_s=60.0)
     # a healthy first probe is silent
     assert "giving up" not in capsys.readouterr().err
+
+
+def test_bench_serve_smoke_tiny():
+    """serve_smoke drives the real StreamingServer over a tiny engine and
+    returns the serving fields bench.py merges into its JSON artifact."""
+    import numpy as np
+
+    from audio_classification_tpu.engine import BucketSpec, ModelPack, StageEngine, tiny_preset
+    from audio_classification_tpu.engine.bucketing import default_buckets
+    from audio_classification_tpu.utils.config import Overlap3Config
+
+    bench = _load("bench.py", "bench_mod_serve")
+    items = bench.make_mixtures(4, 3.0, 16000, seed=0)
+    pack = ModelPack(tiny_preset(), seed=0)
+    eng = StageEngine(pack, BucketSpec(lengths=default_buckets(16000, 0.5, 8.0),
+                                       max_batch=8))
+    cfg = Overlap3Config(preset="tiny", seed=0, max_batch=8)
+    out = bench.serve_smoke(eng, cfg, items, n_sessions=3, ticks=2,
+                            window_sec=2.0)
+    assert out["serve_sessions"] == 3
+    assert out["serve_rtf"] > 0 and np.isfinite(out["serve_rtf"])
+    assert out["serve_rt_streams"] >= 0 and out["serve_tick_p95_s"] > 0
