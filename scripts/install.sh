@@ -15,3 +15,6 @@ python -m pytest tests/test_wav.py -q
 
 echo "[install] done. Model weights load via --checkpoint-dir (orbax) or"
 echo "          --sep-checkpoint (torch ConvTasNet import)."
+echo "[install] optional: 'pip install -e .' installs the package + act-*"
+echo "          console scripts (pyproject.toml); running from the repo"
+echo "          root works without it."
