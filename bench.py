@@ -368,32 +368,45 @@ def serve_smoke(eng, cfg, items, n_sessions: int = 16, ticks: int = 8,
     sids = [srv.open_session(target_vec=tvec) for _ in range(n_sessions)]
     win = int(window_sec * sr)
 
+    # ticks are fed on a fixed CYCLE of audio windows: each tick's OSD
+    # segmentation yields data-dependent segment lengths, so novel audio
+    # keeps producing fresh (bucket, batch) stage shapes whose 20-40 s XLA
+    # compiles would dominate a measured tick. Warming one full cycle
+    # compiles every shape the measured cycles can produce (same audio ->
+    # same segments -> same shapes), which is also how a real deployment
+    # behaves once its shape set saturates.
+    cycle = 4
+
     def feed(tick):
+        step_i = tick % cycle
         for k, sid in enumerate(sids):
-            wav = items[(tick * n_sessions + k) % len(items)][0]
-            off = (tick * 1777) % max(len(wav) - win, 1)
+            wav = items[(step_i * n_sessions + k) % len(items)][0]
+            off = (step_i * 1777) % max(len(wav) - win, 1)
             srv.add_audio(sid, wav[off : off + win])
 
-    feed(0)
-    srv.step()  # warm: compiles any serving-only (bucket, batch) shapes
+    for tick in range(cycle):  # warm: compile every cycle shape
+        feed(tick)
+        srv.step()
     srv.tick_latencies.clear()
     srv.tick_batch_sizes.clear()
     t0 = time.perf_counter()
-    for tick in range(1, ticks + 1):
+    for tick in range(cycle, cycle + ticks):
         feed(tick)
         srv.step()
     wall = time.perf_counter() - t0
     st = srv.stats()
     audio_per_tick = n_sessions * window_sec
     serve_rtf = st["tick_latency_mean_sec"] / audio_per_tick
+    tick_min = float(min(srv.tick_latencies))
     # a session stays real-time while its window period covers a tick
     rt_streams = int(n_sessions * window_sec / max(st["tick_latency_p95_sec"], 1e-9))
     log(f"bench: serving sessions={n_sessions} window={window_sec}s "
-        f"ticks={st['ticks']} tick_mean={st['tick_latency_mean_sec']}s "
-        f"p95={st['tick_latency_p95_sec']}s serve_rtf={serve_rtf:.4f} "
-        f"rt_streams~{rt_streams} dropped={st['chunks_dropped']} "
-        f"wall={wall:.2f}s")
+        f"ticks={st['ticks']} (after {cycle} warm) tick_min={tick_min:.3f}s "
+        f"mean={st['tick_latency_mean_sec']}s p95={st['tick_latency_p95_sec']}s "
+        f"serve_rtf={serve_rtf:.4f} rt_streams~{rt_streams} "
+        f"dropped={st['chunks_dropped']} wall={wall:.2f}s")
     return {"serve_sessions": n_sessions,
+            "serve_tick_min_s": round(tick_min, 3),
             "serve_tick_p95_s": st["tick_latency_p95_sec"],
             "serve_rtf": round(serve_rtf, 4),
             "serve_rt_streams": rt_streams}
