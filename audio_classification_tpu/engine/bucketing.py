@@ -99,6 +99,20 @@ def pad_batch(
     return wav, lengths
 
 
+def quantize_i16(x: np.ndarray) -> np.ndarray:
+    """clip(rint(x * 32768)) -> int16 — THE audio uplink quantization.
+
+    Single definition so the arena path's bit-exactness contract
+    (slice-then-quantize == quantize-then-slice, tested by
+    test_device_gather_matches_host_uplink) cannot drift between
+    ``pad_batch_i16``, ``flat_pack_i16`` and the engine's direct uplinks.
+    """
+    y = np.asarray(x, dtype=np.float32) * 32768.0
+    np.rint(y, out=y)
+    np.clip(y, -32768, 32767, out=y)
+    return y.astype(np.int16)  # integral floats in range: exact conversion
+
+
 def pad_batch_i16(
     items: Sequence[np.ndarray], bucket_len: int, batch_size: int
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -123,10 +137,7 @@ def pad_batch_i16(
                 f"item {i} has {n} samples > bucket {bucket_len}; pick the "
                 "bucket with BucketSpec.bucket_for to avoid truncating audio"
             )
-        y = np.asarray(x[..., :n], dtype=np.float32) * 32768.0
-        np.rint(y, out=y)
-        np.clip(y, -32768, 32767, out=y)
-        wav[i, :n] = y  # integral floats in int16 range: exact conversion
+        wav[i, :n] = quantize_i16(x[..., :n])
         lengths[i] = n
     return wav, lengths
 
@@ -156,10 +167,7 @@ def flat_pack_i16(
     n_pad = -(-total // grid) * grid
     buf = np.zeros(n_pad, dtype=np.int16)
     for x, off, n in zip(items, offsets, lengths):
-        y = np.asarray(x[..., :n], dtype=np.float32) * 32768.0
-        np.rint(y, out=y)
-        np.clip(y, -32768, 32767, out=y)
-        buf[off : off + n] = y
+        buf[off : off + n] = quantize_i16(x[..., :n])
     return buf, offsets, lengths
 
 

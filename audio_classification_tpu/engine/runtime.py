@@ -39,7 +39,7 @@ from ..models.vad import VADConfig, VADNet
 from ..ops.fbank import FbankConfig, log_mel_fbank
 from ..ops.resample import resample_poly
 from .bucketing import (BucketSpec, flat_pack_i16, group_by_bucket, pad_batch,
-                        pad_batch_i16)
+                        pad_batch_i16, quantize_i16)
 from .segments import flags_to_segments
 
 G_SAMPLE_RATE = 16000
@@ -760,7 +760,18 @@ class StageEngine:
 
     @staticmethod
     def _quantize_i16(wav: np.ndarray) -> np.ndarray:
-        return np.clip(np.rint(wav * 32768.0), -32768, 32767).astype(np.int16)
+        return quantize_i16(wav)
+
+    @staticmethod
+    def _pad_extras(extras: Sequence, chunk_idx: Sequence[int], bs: int):
+        """Stack per-item extras for a chunk, zero-padded to batch size —
+        shared by the host-uplink and arena launch paths so their batch
+        assembly cannot drift apart."""
+        ex = np.stack([np.asarray(extras[i]) for i in chunk_idx])
+        if len(chunk_idx) < bs:
+            pad_rows = np.zeros((bs - len(chunk_idx),) + ex.shape[1:], ex.dtype)
+            ex = np.concatenate([ex, pad_rows])
+        return jnp.asarray(ex)
 
     def _launch_bucketed(self, items: Sequence[np.ndarray], fn, extras: Optional[Sequence] = None):
         """Launch every bucket batch asynchronously -> pending handle.
@@ -777,11 +788,7 @@ class StageEngine:
                 wav, lengths = pad_batch_i16([items[i] for i in chunk_idx], bucket_len, bs)
                 args = [jnp.asarray(wav), jnp.asarray(lengths)]
                 if extras is not None:
-                    ex = np.stack([np.asarray(extras[i]) for i in chunk_idx])
-                    if len(chunk_idx) < bs:
-                        pad_rows = np.zeros((bs - len(chunk_idx),) + ex.shape[1:], ex.dtype)
-                        ex = np.concatenate([ex, pad_rows])
-                    args.append(jnp.asarray(ex))
+                    args.append(self._pad_extras(extras, chunk_idx, bs))
                 pending.append((chunk_idx, fn(*args)))
         return pending, len(items)
 
@@ -795,10 +802,16 @@ class StageEngine:
         the arena replicates across the mesh and the sharded gather program
         assembles each chip's batch rows from its local replica.
         """
-        tail = self.buckets.lengths[-1]
         items = [np.asarray(w, np.float32) for w in wavs]
-        if any(w.shape[-1] > tail for w in items):
+        if not items:
             return None
+        if any(w.shape[-1] > self.buckets.lengths[-1] for w in items):
+            return None
+        # every gather span lies inside one item, so the widest window any
+        # stage will slice is bucket_for(longest item) — a tail that long
+        # keeps dynamic_slice in bounds without uplinking the fattest
+        # declared bucket (64 s = 2 MB of int16 zeros per wave by default)
+        tail = self.buckets.bucket_for(max(int(w.shape[-1]) for w in items))
         total = sum(int(w.shape[-1]) for w in items) + tail
         if total >= 2**31:
             return None
@@ -840,11 +853,7 @@ class StageEngine:
                                    seg_len=bucket_len)
                 args = [wav, lens_dev]
                 if extras is not None:
-                    ex = np.stack([np.asarray(extras[i]) for i in chunk_idx])
-                    if len(chunk_idx) < bs:
-                        pad_rows = np.zeros((bs - len(chunk_idx),) + ex.shape[1:], ex.dtype)
-                        ex = np.concatenate([ex, pad_rows])
-                    args.append(jnp.asarray(ex))
+                    args.append(self._pad_extras(extras, chunk_idx, bs))
                 pending.append((chunk_idx, fn(*args)))
         return pending, len(spans)
 

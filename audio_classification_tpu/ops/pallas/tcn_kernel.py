@@ -58,9 +58,16 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 _EPS = 1e-8  # GlobalLayerNorm.eps (models/common.py:27)
 
-# VMEM budget for the persistent scratch + streamed weights + transient
-# tiles; v5e has ~16 MB/core. Conservative so XLA's own buffers still fit.
-_VMEM_BUDGET = 13 * 2**20
+# Mosaic's default scoped-VMEM limit is 16 MB; the hardware has far more
+# (v5e: 128 MB/core), so the kernel raises its own limit via
+# CompilerParams(vmem_limit_bytes=_VMEM_LIMIT). _VMEM_BUDGET is the
+# planner's admission bound — _vmem_estimate conservatively counts the
+# persistent scratch, double-buffered in/out fp-blocks and streamed
+# weights (measured: the compiler's scoped allocation for the flagship
+# f=10000/tile=512 shape is 16.51 MB; the estimate gives 22.6 MB), so an
+# 8 MB gap to the limit absorbs estimate error + compiler internals.
+_VMEM_LIMIT = 64 * 2**20
+_VMEM_BUDGET = 56 * 2**20
 
 
 class _TcnCfg(NamedTuple):
@@ -272,11 +279,18 @@ def _masker_fwd_call(cfg: _TcnCfg, x, f_len, st):
             pltpu.VMEM((cfg.tile, cfg.h), jnp.float32),          # tap
         ],
     )
+    kwargs = {}
+    if not cfg.interpret:
+        # Mosaic's default scoped-VMEM limit (16 MB) rejects fp >= ~10k
+        # frame shapes the planner admits; the hardware has 128 MB/core
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)
     return pl.pallas_call(
         functools.partial(_kernel, cfg=cfg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, cfg.fp, cfg.c), dt),
         interpret=cfg.interpret,
+        **kwargs,
     )(f_len.astype(jnp.int32), x, st["w_in"], st["w_dw"], st["vecs"],
       st["w_res"], st["w_skip"], st["cvecs"])
 
@@ -364,12 +378,16 @@ def _plan_tile(f: int, c: int, h: int, margin: int, itemsize: int) -> Optional[i
     ACT_FUSED_TCN_TILE as a hard override. None = nothing fits."""
     env = os.environ.get("ACT_FUSED_TCN_TILE", "").strip()
     a = _sublane(itemsize)
+    # tile must exceed margin: pass C stores tile-margin rows per step, and
+    # a zero-row vector store fails Mosaic lowering (observed on hardware:
+    # "Invalid type" MLIRError at tile == margin == 128)
+    floor = max(margin + a, a)
     if env:
-        tile = _round_up(max(int(env), margin), a)
+        tile = _round_up(max(int(env), floor), a)
         ok = _vmem_estimate(f, c, h, tile, margin, itemsize) <= _VMEM_BUDGET
         return tile if ok else None
     for tile in (512, 256, 128):
-        if tile < max(margin, a):
+        if tile < floor:
             break
         if _vmem_estimate(f, c, h, tile, margin, itemsize) <= _VMEM_BUDGET:
             return tile
@@ -394,7 +412,7 @@ def fused_tcn_masker(x, f_len, st, *, n_per_repeat: int,
         tile = _plan_tile(f, c, h, margin, itemsize)
         if tile is None:  # callers gate on fused_tcn_enabled; belt+braces
             return tcn_masker_reference(x, f_len, st, n_per_repeat=n_per_repeat)
-    tile = _round_up(max(tile, margin), a)
+    tile = _round_up(max(tile, margin + a), a)
     fp = _round_up(max(f, tile), tile)
     xp = jnp.pad(x, ((0, 0), (0, fp - f), (0, 0)))
     cfg = _TcnCfg(n_total=nb, n_per_repeat=n_per_repeat, c=c, h=h, tile=tile,
@@ -410,7 +428,10 @@ def _vmem_estimate(f: int, c: int, h: int, tile: int, margin: int,
     weights = 2 * (c * h + 3 * h + 2 * h * c) * itemsize + 2 * (8 * h + 2 * c) * 4
     transients = 3 * (tile + 2 * margin) * h * 4
     tap = tile * h * 4
-    return scratch * itemsize + weights + transients + tap
+    # the full-length x in-block and out-block live in VMEM too (grid
+    # advances over batch, so count both revolving buffers each)
+    io_blocks = 4 * fp * c * itemsize
+    return scratch * itemsize + weights + transients + tap + io_blocks
 
 
 def fused_tcn_enabled(n_frames: int, bottleneck: int, hidden: int,

@@ -8,6 +8,7 @@ NamedSharding annotations — no hand-written NCCL analog.
 """
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -74,7 +75,15 @@ def _hybrid_device_grid(devs, slices: int, per_slice: int, model_axis: int):
             devices=devs,
         )  # -> [slices * per_slice/model, model]
         return grid
-    except Exception:
+    except Exception as e:
+        # expected on virtual/CPU device lists (no coords — the test mesh);
+        # on a REAL accelerator job a silent fallback could put "in-slice"
+        # DP rows across DCN, so say which layout is actually in effect
+        if getattr(devs[0], "platform", "cpu") != "cpu":
+            warnings.warn(
+                f"create_hybrid_device_mesh failed ({type(e).__name__}: {e}); "
+                "falling back to an order-preserving reshape — correct only "
+                "if jax.devices() enumerates slice-major", stacklevel=2)
         arr = np.asarray(devs).reshape(slices, per_slice // model_axis, model_axis)
         return arr.reshape(slices * (per_slice // model_axis), model_axis)
 

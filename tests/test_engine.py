@@ -225,3 +225,15 @@ def test_upload_arena_rejects_overlong_items(engine):
     # (their ad-hoc buckets could out-range the arena tail)
     cap = engine.buckets.lengths[-1]
     assert engine.upload_arena([np.zeros(cap + 1, np.float32)]) is None
+
+
+def test_upload_arena_tail_sized_to_items(engine):
+    # short waves must not drag the fattest declared bucket (64 s) of
+    # zeros through the uplink: the tail is bucket_for(longest item)
+    wavs = [np.zeros(n, np.float32) for n in (9000, 4000)]
+    arena = engine.upload_arena(wavs)
+    assert arena.tail == engine.buckets.bucket_for(9000) == 16000
+    total = sum(w.shape[-1] for w in wavs) + arena.tail
+    grid = 1 << 14
+    assert arena.dev.shape[-1] == -(-total // grid) * grid
+    assert engine.upload_arena([]) is None

@@ -171,6 +171,37 @@ def test_enabled_gating(monkeypatch):
     assert not fused_tcn_enabled(3_000_000, 128, 512, 3, 8, jnp.float32)
 
 
+def test_planner_tile_exceeds_margin(monkeypatch):
+    # tile == margin makes pass C store zero rows per step — a hardware
+    # Mosaic lowering failure (observed: MLIRError "Invalid type" at
+    # tile == margin == 128). The planner floor is margin + sublane.
+    from audio_classification_tpu.ops.pallas.tcn_kernel import (
+        _plan_tile, _round_up, _sublane)
+
+    monkeypatch.delenv("ACT_FUSED_TCN_TILE", raising=False)
+    itemsize = 2  # bf16: margin for 8 dilations rounds to 128
+    margin = _round_up(2 ** 7, _sublane(itemsize))
+    for f in (4000, 10000, 16000, 20000):
+        tile = _plan_tile(f, 128, 512, margin, itemsize)
+        assert tile is None or tile > margin, (f, tile)
+    # env override clamps up too
+    monkeypatch.setenv("ACT_FUSED_TCN_TILE", "128")
+    t = _plan_tile(4000, 128, 512, margin, itemsize)
+    assert t is None or t > margin
+
+
+def test_vmem_plan_admits_serving_buckets():
+    # hardware-verified admission band (probed on a real v5e): 10/16/20 s
+    # flagship shapes compile and match the dense reference with the
+    # raised Mosaic vmem limit; 40 s overflows the budget -> dense path
+    from audio_classification_tpu.ops.pallas.tcn_kernel import _plan_tile
+
+    assert _plan_tile(10000, 128, 512, 128, 2) == 512
+    assert _plan_tile(16000, 128, 512, 128, 2) == 512
+    assert _plan_tile(20000, 128, 512, 128, 2) == 512
+    assert _plan_tile(40000, 128, 512, 128, 2) is None
+
+
 def test_int8_quant_stays_dense(_force_fused):
     # the fused path has no s8 MXU story; quant="int8" must use the dense
     # loop (gate in ConvTasNet._use_fused_tcn)
