@@ -373,9 +373,16 @@ def _sublane(itemsize: int) -> int:
 
 
 def _plan_tile(f: int, c: int, h: int, margin: int, itemsize: int) -> Optional[int]:
-    """Largest tile in {512, 256, 128, ...} whose VMEM plan fits (larger
-    tiles amortize the 2*margin halo recompute of passes B/C). Honors
-    ACT_FUSED_TCN_TILE as a hard override. None = nothing fits."""
+    """Cheapest tile in {2048, 1024, 512, 256, 128} whose VMEM plan fits.
+
+    Cost model: passes B/C touch ``round_up(f, tile) * (tile + 2*margin) /
+    tile`` rows — larger tiles amortize the halo recompute but pad short
+    inputs up to a full tile. Calibrated on a v5e at the flagship
+    f=10000/b=8 bf16 shape (35.2 ms/launch at tile=512, 29.3 at 1024,
+    28.8 at 2048): the row model predicts the 512->1024 step exactly and
+    overpredicts tile=2048 by ~10% (longer MXU ops run more efficiently),
+    hence the 0.91 discount. Honors ACT_FUSED_TCN_TILE as a hard
+    override. None = nothing fits."""
     env = os.environ.get("ACT_FUSED_TCN_TILE", "").strip()
     a = _sublane(itemsize)
     # tile must exceed margin: pass C stores tile-margin rows per step, and
@@ -386,12 +393,17 @@ def _plan_tile(f: int, c: int, h: int, margin: int, itemsize: int) -> Optional[i
         tile = _round_up(max(int(env), floor), a)
         ok = _vmem_estimate(f, c, h, tile, margin, itemsize) <= _VMEM_BUDGET
         return tile if ok else None
-    for tile in (512, 256, 128):
+    best, best_cost = None, None
+    for tile in (2048, 1024, 512, 256, 128):
         if tile < floor:
-            break
-        if _vmem_estimate(f, c, h, tile, margin, itemsize) <= _VMEM_BUDGET:
-            return tile
-    return None
+            continue
+        if _vmem_estimate(f, c, h, tile, margin, itemsize) > _VMEM_BUDGET:
+            continue
+        fp = _round_up(max(f, tile), tile)
+        cost = fp * (tile + 2 * margin) / tile * (0.91 if tile >= 2048 else 1.0)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = tile, cost
+    return best
 
 
 def fused_tcn_masker(x, f_len, st, *, n_per_repeat: int,

@@ -196,10 +196,12 @@ def test_vmem_plan_admits_serving_buckets():
     # raised Mosaic vmem limit; 40 s overflows the budget -> dense path
     from audio_classification_tpu.ops.pallas.tcn_kernel import _plan_tile
 
-    assert _plan_tile(10000, 128, 512, 128, 2) == 512
-    assert _plan_tile(16000, 128, 512, 128, 2) == 512
-    assert _plan_tile(20000, 128, 512, 128, 2) == 512
+    assert _plan_tile(10000, 128, 512, 128, 2) == 2048
+    assert _plan_tile(16000, 128, 512, 128, 2) == 2048
+    assert _plan_tile(20000, 128, 512, 128, 2) == 2048
     assert _plan_tile(40000, 128, 512, 128, 2) is None
+    # short segments must not pad up to a full huge tile: fp stays at 1024
+    assert _plan_tile(1000, 128, 512, 128, 2) == 1024
 
 
 def test_int8_quant_stays_dense(_force_fused):
