@@ -27,6 +27,13 @@ HBM traffic per block collapses to the stacked weights (~0.4 MB) — the
 the pointwise in_conv in each pass (the masker becomes MXU-bound, which
 is the point).
 
+Probed-and-rejected: caching h1 in a VMEM scratch so passes B/C skip the
+in_conv recompute is SLOWER on hardware (v5e, f=10000/b=8 bf16,
+tile=2048: 31.3 ms cached vs 28.4 ms uncached; at tile=512: 38.7 vs
+35.2) — the [Fp, H] scratch store + two halo reloads cost more VMEM
+bandwidth than the MXU recompute costs time. The kernel is
+VMEM-bandwidth-bound, not MXU-bound; recompute wins. Don't re-add it.
+
 Numerics mirror the dense modules op-for-op (models/common.py): matmuls
 accumulate f32 and round to the activation dtype exactly where lax.conv
 does, gLN statistics are f32 with the mask bounding both mean and count,
