@@ -513,7 +513,14 @@ def main():
             min_overlap_dur=0.4,
             max_batch=max_batch,
             max_segment_sec=16.0,
-            wave_mixtures=2 * max_batch,
+            # one wave per max_batch: with 128 mixtures that is two waves,
+            # so the second wave's ~20 MB arena uplink (measured ~0.4 s
+            # through the tunnel at ~51 MB/s) overlaps the first wave's
+            # device phases via the cross-wave prefetch. Measured: osd
+            # collect wall 1.13 s -> 0.79 s, rtf min 0.0014 -> 0.0013.
+            # Halving again (wave=32) fragments the ASR batches and
+            # regresses to 0.0020.
+            wave_mixtures=int(os.environ.get("ACT_BENCH_WAVE", max_batch)),
             enable_metrics=False,
             compute_dtype=dtype,
             quant=os.environ.get("ACT_BENCH_QUANT", "none"),
