@@ -299,7 +299,17 @@ def roofline_microbench(kind: str, dtype: str):
     fn = jax.jit(lambda p, m, k: model.apply(p, m, k))
     lowered = fn.lower(params, mix, mask)
     compiled = lowered.compile()
-    cost = compiled.cost_analysis()
+    # FLOP oracle from a dense-compiled twin: XLA cost_analysis reports ~0
+    # FLOPs for custom calls, so with the fused Pallas masker on, the
+    # timed executable's own analysis undercounts ~14x (the whole TCN).
+    # The dense twin runs identical math op-for-op, so its count is the
+    # true FLOP volume of the fused program too.
+    import dataclasses as _dc0
+
+    dense_exec = jax.jit(
+        lambda p, m, k: ConvTasNet(_dc0.replace(cfg, fused_tcn="off")).apply(p, m, k)
+    ).lower(params, mix, mask).compile()
+    cost = dense_exec.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else (cost or {})
     flops = float(cost.get("flops", 0.0) or 0.0)
 
@@ -340,9 +350,11 @@ def roofline_microbench(kind: str, dtype: str):
     sync(out)
     dtq = time.perf_counter() - t0
     mfu_q = flops * iters / (dtq * 2 * peak)  # vs the s8 peak
+    # note: quant="int8" forces the DENSE masker (no s8 story in the fused
+    # kernel), so this compares s8-dense against the bf16 FUSED path
     log(f"bench: microbench sep3 INT8 batch={b} iters={iters} "
-        f"wall={dtq:.2f}s MFU={mfu_q*100:.2f}% (of 2x-bf16 s8 peak) "
-        f"rtf={dtq/(iters*audio_s):.5f} speedup_vs_{dtype}={dt/dtq:.2f}x")
+        f"wall={dtq:.2f}s MFU={mfu_q*100:.2f}% (of 2x-bf16 s8 peak; dense "
+        f"masker) rtf={dtq/(iters*audio_s):.5f} speedup_vs_{dtype}={dt/dtq:.2f}x")
     return mfu
 
 
