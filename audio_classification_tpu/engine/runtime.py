@@ -345,6 +345,37 @@ class WaveArena:
         self.tail = tail          # zero samples past the last item
 
 
+class _LazyBranchRows:
+    """Device-resident separated branches for one overlap row.
+
+    Indexing pulls exactly one branch waveform (``[T]`` f32) across the
+    link; nothing is transferred if no branch is read. When several
+    branches are needed, collect ``ref(bi)`` handles and hand them to
+    StageEngine.pull_branch_rows — one batched transfer instead of a
+    ~30 ms tunnel round-trip per access. Produced by
+    StageEngine.collect_overlap(lazy_branches=True) for the serving and
+    streaming tick loops, which read only branches whose SV score clears
+    the threshold.
+    """
+
+    __slots__ = ("_dev", "_j", "_n")
+
+    def __init__(self, dev, j: int, n: int):
+        self._dev = dev   # jax.Array [B, n_src, T_bucket]
+        self._j = j       # this row's index in the bucket batch
+        self._n = n       # true chunk length in samples
+
+    def __len__(self) -> int:
+        return int(self._dev.shape[1])
+
+    def __getitem__(self, bi: int) -> np.ndarray:
+        return np.asarray(self._dev[self._j, bi, : self._n])
+
+    def ref(self, bi: int) -> tuple:
+        """Handle for a batched pull (see StageEngine.pull_branch_rows)."""
+        return (self._dev, self._j, int(bi), self._n)
+
+
 class StageEngine:
     """Batched, bucketed stage dispatch over a ModelPack.
 
@@ -858,19 +889,25 @@ class StageEngine:
         return pending, len(spans)
 
     @staticmethod
-    def _collect_bucketed(handle) -> List[Any]:
+    def _collect_bucketed(handle, device_elems: Tuple[int, ...] = ()) -> List[Any]:
         """Block on a _launch_bucketed handle -> per-item results.
 
         One D2H transfer per batch, sliced on host (per-item device reads
-        would pay the latency B times).
+        would pay the latency B times). Tuple elements listed in
+        ``device_elems`` are NOT pulled: the per-item result holds
+        ``(device_array, j)`` — the batched device output plus the item's
+        row — so the caller pulls individual rows lazily (or never; see
+        collect_overlap(lazy_branches=True)).
         """
         pending, n = handle
         out: List[Any] = [None] * n
         for chunk_idx, res in pending:
             if isinstance(res, tuple):
-                host = tuple(np.asarray(r) for r in res)
+                host = tuple(r if e in device_elems else np.asarray(r)
+                             for e, r in enumerate(res))
                 for j, i in enumerate(chunk_idx):
-                    out[i] = tuple(h[j] for h in host)
+                    out[i] = tuple((h, j) if e in device_elems else h[j]
+                                   for e, h in enumerate(host))
             else:
                 host = np.asarray(res)
                 for j, i in enumerate(chunk_idx):
@@ -1186,11 +1223,12 @@ class StageEngine:
     def process_overlap(
         self, chunks: Sequence[np.ndarray], target_vecs: Sequence[np.ndarray],
         language: str = "auto", use_itn: bool = True, return_branches: bool = False,
-        backend: str = "convtasnet",
+        backend: str = "convtasnet", lazy_branches: bool = False,
     ) -> List[dict]:
         """Fused overlap path: 3-src separation + per-branch SV + best-branch
         ASR in ONE device program; branches stay in HBM unless
-        ``return_branches`` (needed only for host-side separation eval).
+        ``return_branches`` (needed only for host-side separation eval —
+        with ``lazy_branches`` they stay in HBM until a branch is indexed).
 
         -> [{"scores": [S], "best": int, "text": str[, "branches": [S, T]]}]
         """
@@ -1198,7 +1236,8 @@ class StageEngine:
             return []
         handle = self.launch_overlap(chunks, target_vecs, language, use_itn,
                                      return_branches, backend)
-        return self.collect_overlap(handle, chunks, return_branches, backend)
+        return self.collect_overlap(handle, chunks, return_branches, backend,
+                                    lazy_branches=lazy_branches)
 
     def launch_overlap(self, chunks, target_vecs, language: str = "auto",
                        use_itn: bool = True, return_branches: bool = False,
@@ -1215,10 +1254,19 @@ class StageEngine:
         return self._launch_bucketed(list(chunks), fn, extras=extras)
 
     def collect_overlap(self, handle, chunks, return_branches: bool = False,
-                        backend: str = "convtasnet") -> List[dict]:
+                        backend: str = "convtasnet",
+                        lazy_branches: bool = False) -> List[dict]:
+        """lazy_branches: the packed score/token row still comes down in
+        one batched D2H, but the separated branch waveforms STAY ON DEVICE
+        — rec["branches"][bi] pulls that single branch row on access.
+        Serving/streaming consumers only read non-best branches whose SV
+        score clears the threshold (rare), so the eager pull of every
+        branch (3 x chunk f32 per row, ~6 MB per 16-session serving tick
+        through the tunnel) disappears from the tick wall."""
         s = (self.pack.preset.mossformer.n_src if backend == "mossformer"
              else self.pack.preset.sep3.n_src)
-        outs = self._collect_bucketed(handle)
+        outs = self._collect_bucketed(
+            handle, device_elems=(1,) if (return_branches and lazy_branches) else ())
         results = []
         for chunk, out in zip(chunks, outs):
             if return_branches:
@@ -1235,9 +1283,39 @@ class StageEngine:
                 "text": self.pack.tokens.decode(ids[:n]),
             }
             if est is not None:
-                rec["branches"] = est[:, : chunk.shape[-1]]
+                if lazy_branches:
+                    dev, j = est
+                    rec["branches"] = _LazyBranchRows(dev, j, chunk.shape[-1])
+                else:
+                    rec["branches"] = est[:, : chunk.shape[-1]]
             results.append(rec)
         return results
+
+    @staticmethod
+    def pull_branch_rows(refs: Sequence[tuple]) -> List[np.ndarray]:
+        """Batched D2H of selected separated branches.
+
+        ``refs``: _LazyBranchRows.ref(bi) handles, possibly spanning
+        several bucket batches. Rows are gathered on device per batched
+        array and pulled in ONE transfer each — under a tunnel whose
+        fixed round-trip is ~30 ms, per-branch pulls dominate a serving
+        tick as soon as a handful of branches clear the SV threshold
+        (measured: 16-session tick 0.38 s -> 1.3 s with per-access pulls).
+        """
+        groups: Dict[int, List[int]] = {}
+        devs: Dict[int, Any] = {}
+        for i, (dev, _j, _bi, _n) in enumerate(refs):
+            groups.setdefault(id(dev), []).append(i)
+            devs[id(dev)] = dev
+        out: List[Optional[np.ndarray]] = [None] * len(refs)
+        for key, idxs in groups.items():
+            dev = devs[key]
+            js = jnp.asarray([refs[i][1] for i in idxs], jnp.int32)
+            bis = jnp.asarray([refs[i][2] for i in idxs], jnp.int32)
+            sel = np.asarray(dev[js, bis, :])  # [K, T_bucket] in one pull
+            for row, i in enumerate(idxs):
+                out[i] = sel[row, : refs[i][3]]
+        return out  # type: ignore[return-value]
 
     def vad_probs(self, wav: np.ndarray) -> np.ndarray:
         return self.vad_probs_batch([wav])[0]

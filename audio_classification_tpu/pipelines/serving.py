@@ -328,11 +328,11 @@ class StreamingServer:
                 if score >= thr:
                     emitted.append(dict(row=row, stream=None, sv_score=float(score),
                                         text=text))
-        extra_wavs: List[np.ndarray] = []
+        extra_refs: List[tuple] = []
         extras: List[dict] = []
         for row, rec in zip(ov_rows, eng.collect_overlap(
                 h_ov, [r["chunk"] for r in ov_rows], return_branches=True,
-                backend=backend)):
+                backend=backend, lazy_branches=True)):
             for bi, sc in enumerate(np.asarray(rec["scores"])):
                 if sc < thr:
                     continue
@@ -340,9 +340,12 @@ class StreamingServer:
                     emitted.append(dict(row=row, stream=bi, sv_score=float(sc),
                                         text=rec["text"]))
                 else:   # non-best branches over threshold: batched transcribe
-                    extra_wavs.append(rec["branches"][bi])
+                    extra_refs.append(rec["branches"].ref(bi))
                     extras.append(dict(row=row, stream=bi, sv_score=float(sc)))
-        if extra_wavs:
+        if extra_refs:
+            # branches stayed on device through collect; selected rows come
+            # down in one batched pull, then one batched transcribe
+            extra_wavs = eng.pull_branch_rows(extra_refs)
             for ex, text in zip(extras, eng.transcribe(extra_wavs, lang)):
                 emitted.append(dict(text=text, **ex))
         asr_elapsed = time.time() - t_a

@@ -183,11 +183,11 @@ class StreamingOverlap3Pipeline:
                  end=segment.start_time + r["b"] / sr)
             for r in overlap_rows
         ] + [dict(kind="full_separation", start=segment.start_time, end=segment.end_time)]
-        extra_branch_wavs: List[np.ndarray] = []
+        extra_branch_refs: List[tuple] = []
         extra_meta: List[dict] = []
         for rec, meta, chunk in zip(
             eng.process_overlap(ov_inputs, [tv] * len(ov_inputs), lang,
-                                return_branches=True,
+                                return_branches=True, lazy_branches=True,
                                 backend=getattr(args, "sep_backend", "convtasnet")),
             ov_meta, ov_inputs,
         ):
@@ -200,11 +200,14 @@ class StreamingOverlap3Pipeline:
                                         text=rec["text"], samples=len(chunk),
                                         start=meta["start"], end=meta["end"]))
                 else:
-                    extra_branch_wavs.append(rec["branches"][bi])
+                    extra_branch_refs.append(rec["branches"].ref(bi))
                     extra_meta.append(dict(kind=meta["kind"], stream=bi, sv_score=float(sc),
                                            samples=len(chunk),
                                            start=meta["start"], end=meta["end"]))
-        if extra_branch_wavs:
+        if extra_branch_refs:
+            # one batched pull of just the selected branches (device-resident
+            # through collect), then one batched transcribe
+            extra_branch_wavs = eng.pull_branch_rows(extra_branch_refs)
             for meta, text in zip(extra_meta, eng.transcribe(extra_branch_wavs, lang)):
                 results.append(dict(text=text, **meta))
 

@@ -51,6 +51,37 @@ def test_overlap_path_branches_roundtrip(engine):
     np.testing.assert_allclose(fused[0]["branches"], granular, atol=5e-3)
 
 
+def test_lazy_branches_match_eager(engine):
+    # lazy_branches keeps separated waveforms on device; indexing a branch
+    # must pull exactly the eager value (serving/streaming read only rare
+    # non-best above-threshold branches this way)
+    chunks = [_tone(5000), _tone(6000, 700)]
+    target = engine.embed([_tone(8000)])[0]
+    eager = engine.process_overlap(chunks, [target, target], return_branches=True)
+    lazy = engine.process_overlap(chunks, [target, target], return_branches=True,
+                                  lazy_branches=True)
+    for er, lr, chunk in zip(eager, lazy, chunks):
+        assert len(lr["branches"]) == er["branches"].shape[0]
+        np.testing.assert_array_equal(np.asarray(er["scores"]),
+                                      np.asarray(lr["scores"]))
+        assert er["text"] == lr["text"] and er["best"] == lr["best"]
+        for bi in range(len(lr["branches"])):
+            got = lr["branches"][bi]
+            assert got.shape == (chunk.shape[-1],)
+            np.testing.assert_array_equal(got, np.asarray(er["branches"][bi]))
+    # batched pull across rows/branches (what serving/streaming use)
+    refs, expect = [], []
+    for er, lr, chunk in zip(eager, lazy, chunks):
+        for bi in (0, 2):
+            refs.append(lr["branches"].ref(bi))
+            expect.append(np.asarray(er["branches"][bi]))
+    from audio_classification_tpu.engine import StageEngine
+    pulled = StageEngine.pull_branch_rows(refs)
+    assert len(pulled) == len(expect)
+    for got, exp in zip(pulled, expect):
+        np.testing.assert_array_equal(got, exp)
+
+
 def test_empty_inputs(engine):
     assert engine.process_clean([], []) == []
     assert engine.process_overlap([], []) == []
