@@ -1310,8 +1310,14 @@ class StageEngine:
         out: List[Optional[np.ndarray]] = [None] * len(refs)
         for key, idxs in groups.items():
             dev = devs[key]
-            js = jnp.asarray([refs[i][1] for i in idxs], jnp.int32)
-            bis = jnp.asarray([refs[i][2] for i in idxs], jnp.int32)
+            # round the gather row count up to a power of two (repeat the
+            # last index): the gather program's shape signature otherwise
+            # varies with how many branches cleared the threshold this
+            # tick, compiling a fresh XLA program per distinct K
+            k = 1 << (len(idxs) - 1).bit_length()
+            pad = [idxs[-1]] * (k - len(idxs))
+            js = jnp.asarray([refs[i][1] for i in idxs + pad], jnp.int32)
+            bis = jnp.asarray([refs[i][2] for i in idxs + pad], jnp.int32)
             sel = np.asarray(dev[js, bis, :])  # [K, T_bucket] in one pull
             for row, i in enumerate(idxs):
                 out[i] = sel[row, : refs[i][3]]

@@ -278,12 +278,18 @@ class StreamingServer:
         min_ov = float(getattr(args, "min_overlap_dur", 0.4))
         backend = getattr(args, "sep_backend", "convtasnet")
 
-        chunks = []
-        for s, item in work:
-            audio = item["audio"]
+        # resample non-16k sessions in one bucketed batch per source rate:
+        # per-chunk eng.resample would pay one device dispatch (~90 ms
+        # through the tunnel) per session per tick
+        chunks = [np.asarray(item["audio"], np.float32) for _s, item in work]
+        by_sr: Dict[int, List[int]] = {}
+        for i, (_s, item) in enumerate(work):
             if item["sr"] != G_SAMPLE_RATE:
-                audio = eng.resample(audio, item["sr"], G_SAMPLE_RATE)
-            chunks.append(audio)
+                by_sr.setdefault(int(item["sr"]), []).append(i)
+        for src_sr, idxs in by_sr.items():
+            for i, w in zip(idxs, eng.resample_batch(
+                    [chunks[i] for i in idxs], src_sr, G_SAMPLE_RATE)):
+                chunks[i] = w
 
         # OSD across every session's chunk in one batched launch
         seg_lists = eng.osd_segments_batch(

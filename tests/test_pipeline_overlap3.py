@@ -98,6 +98,25 @@ def test_metric_fields_match_reference(file_mode_result):
     assert expected.issubset(result.metrics.keys())
 
 
+def test_file_mode_non16k_inputs(fixture_dir, tmp_path):
+    """8 kHz input wavs resample at load (one bucketed batch per source
+    rate, not one device dispatch per file) and the pipeline runs on the
+    16 kHz result — durations and coverage must survive the rate change."""
+    mix8 = (_tone(3.0, 440, sr=8000)
+            + np.concatenate([np.zeros(8000, np.float32),
+                              _tone(2.0, 880, sr=8000)]))
+    p8 = tmp_path / "mix8k.wav"
+    write_wav(p8, mix8, 8000)
+    cfg = _base_cfg(fixture_dir, input_wavs=[str(p8)])
+    result = Overlap3Pipeline(cfg).run()
+    assert result.processed_mixtures == 1
+    m = result.metrics
+    assert m["total_audio_sec"] == pytest.approx(3.0, abs=0.01)
+    assert m["segments_matched"] == (m["segments_seen_clean"]
+                                     + m["segments_seen_overlap"])
+    assert result.segments
+
+
 def test_sv_gate_blocks_everything(fixture_dir):
     # impossible threshold: every segment missed, no records
     cfg = _base_cfg(fixture_dir, sv_threshold=2.0)

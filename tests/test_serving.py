@@ -131,6 +131,27 @@ def test_backpressure_drops_oldest(server, fixtures):
     server.close_session(sid)
 
 
+def test_mixed_rate_sessions(server, fixtures):
+    """8 kHz callers resample inside the tick (one bucketed batch per
+    source rate); records must equal feeding the pre-resampled 16 kHz
+    audio directly."""
+    eng = server.engine
+    t8 = np.arange(int(2.0 * 8000)) / 8000
+    mix8 = (0.3 * np.sin(2 * np.pi * 440 * t8)
+            + 0.3 * np.sin(2 * np.pi * 880 * t8)).astype(np.float32)
+    mix16 = eng.resample(mix8, 8000, SR)
+    sid8 = server.open_session(target_wav=fixtures["targets"][0])
+    sid16 = server.open_session(target_wav=fixtures["targets"][0])
+    server.add_audio(sid8, mix8, sample_rate=8000)
+    server.add_audio(sid16, mix16)
+    assert server.step() == 2          # both rates in ONE batched tick
+    got8 = sorted(_sig(r) for r in server.get_results(sid8))
+    got16 = sorted(_sig(r) for r in server.get_results(sid16))
+    assert got8 and got8 == got16
+    server.close_session(sid8)
+    server.close_session(sid16)
+
+
 def test_session_lifecycle(server, fixtures):
     sid = server.open_session(target_wav=fixtures["targets"][0])
     server.close_session(sid)
