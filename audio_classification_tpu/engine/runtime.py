@@ -641,6 +641,20 @@ class StageEngine:
             valid = jnp.arange(seg_len, dtype=jnp.int32)[None, :] < lens[:, None]
             return jnp.where(valid, segs, jnp.int16(0))
 
+        def branch_q_fn(est, js, bis, lens):
+            """Assemble an ASR uplink batch from DEVICE-RESIDENT separated
+            branches: gather rows (js, bis) out of an overlap batch's est
+            [B, S, T] and quantize with the audio uplink convention
+            (bucketing.quantize_i16: clip(rint(x*32768)) -> int16, padding
+            masked to 0) — bit-identical to pulling each branch to host
+            and re-uploading it through pad_batch_i16, without the audio
+            ever crossing the link (transcribe_branches)."""
+            rows = est[js, bis, :].astype(jnp.float32)
+            valid = (jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :]
+                     < lens[:, None])
+            q = jnp.clip(jnp.round(rows * 32768.0), -32768.0, 32767.0)
+            return jnp.where(valid, q, 0.0).astype(jnp.int16)
+
         self._programs: Dict[Any, Dict[str, Any]] = {}  # AOT cache + stats
         reg = self._programs
 
@@ -711,7 +725,13 @@ class StageEngine:
                 jit_kwargs=dict(
                     in_shardings=(self._rep, self._dsh, self._dsh),
                     out_shardings=self._dsh))
+            # extras ASR falls back to pull+transcribe under a mesh: the
+            # AOT executables pin input shardings, and a branch batch
+            # gathered across the data axis would need its own resharding
+            # story for a path mesh serving rarely hits
+            self._branch_q = None
         else:
+            self._branch_q = AOT("branch_q", branch_q_fn, param_leading=False)
             self._gather = AOT("gather", gather_fn,
                                static_argnames=("seg_len",),
                                param_leading=False)
@@ -1321,6 +1341,55 @@ class StageEngine:
             sel = np.asarray(dev[js, bis, :])  # [K, T_bucket] in one pull
             for row, i in enumerate(idxs):
                 out[i] = sel[row, : refs[i][3]]
+        return out  # type: ignore[return-value]
+
+    def transcribe_branches(self, refs: Sequence[tuple], language: str = "auto",
+                            use_itn: bool = True) -> List[str]:
+        """ASR over device-resident separated branches, audio never
+        crossing the link.
+
+        ``refs``: _LazyBranchRows.ref(bi) handles. The host path
+        (pull_branch_rows -> transcribe) moves every selected branch down
+        as f32 and back up as int16 — two tunnel crossings per serving
+        tick. Here a small gather+quantize program (branch_q_fn) builds
+        the [bs, bucket] int16 batch ON DEVICE, bit-identical to the host
+        assembly, and feeds the already-compiled ASR stage executable
+        (same shape signature as host-fed batches, so no new big
+        compiles); only packed token rows come down. Mesh engines fall
+        back to the host path (AOT shardings; see _branch_q note).
+        """
+        if not len(refs):
+            return []
+        if self._branch_q is None:
+            return self.transcribe(self.pull_branch_rows(refs), language, use_itn)
+        lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
+        groups: Dict[int, List[int]] = {}
+        devs: Dict[int, Any] = {}
+        for i, (dev, _j, _bi, _n) in enumerate(refs):
+            groups.setdefault(id(dev), []).append(i)
+            devs[id(dev)] = dev
+        out: List[Optional[str]] = [None] * len(refs)
+        pending = []   # launch every batch, then collect (async dispatch)
+        for key, idxs in groups.items():
+            dev = devs[key]
+            for off in range(0, len(idxs), self.buckets.max_batch):
+                part = idxs[off : off + self.buckets.max_batch]
+                bs = self.buckets.batch_size_for(len(part))
+                sel = part + [part[-1]] * (bs - len(part))
+                js = jnp.asarray([refs[i][1] for i in sel], jnp.int32)
+                bis = jnp.asarray([refs[i][2] for i in sel], jnp.int32)
+                lens = np.zeros((bs,), np.int32)
+                lens[: len(part)] = [refs[i][3] for i in part]
+                lens_dev = jnp.asarray(lens)
+                q = self._branch_q(dev, js, bis, lens_dev)
+                pending.append((part, self._asr(
+                    self.exec_params["asr"], q, lens_dev,
+                    language_id=lang_id, use_itn=use_itn)))
+        for part, res in pending:
+            host = np.asarray(res)
+            for row, i in enumerate(part):
+                ids, n = host[row, :-1], int(host[row, -1])
+                out[i] = self.pack.tokens.decode(ids[:n])
         return out  # type: ignore[return-value]
 
     def vad_probs(self, wav: np.ndarray) -> np.ndarray:

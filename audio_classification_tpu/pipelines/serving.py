@@ -291,9 +291,24 @@ class StreamingServer:
                     [chunks[i] for i in idxs], src_sr, G_SAMPLE_RATE)):
                 chunks[i] = w
 
-        # OSD across every session's chunk in one batched launch
-        seg_lists = eng.osd_segments_batch(
-            chunks, G_SAMPLE_RATE, getattr(args, "osd_thr", 0.5),
+        # OSD across every session's chunk in one batched launch — and the
+        # unconditional whole-chunk separation rows (reference:
+        # streaming_overlap3_core.py:179-210) don't depend on OSD output,
+        # so their fused program launches BEFORE the OSD collect: the big
+        # separation uplink+dispatch overlaps OSD's device time instead of
+        # waiting out the segment round-trip on an idle host
+        h_osd = eng.launch_osd_batch(chunks, G_SAMPLE_RATE)
+        # sep/SV/ASR wall from here: with the launch overlap it also covers
+        # the OSD collect it hides behind the separation dispatch
+        t_a = time.time()
+        full_rows = [dict(s=s, item=item, chunk=audio, kind="full_separation",
+                          start=item["start"], end=item["end"])
+                     for (s, item), audio in zip(work, chunks)]
+        h_full = eng.launch_overlap([r["chunk"] for r in full_rows],
+                                    [r["s"].target_vec for r in full_rows],
+                                    lang, return_branches=True, backend=backend)
+        seg_lists = eng.collect_osd_batch(
+            h_osd, getattr(args, "osd_thr", 0.5),
             getattr(args, "osd_win", 0.5), getattr(args, "osd_hop", 0.1))
 
         clean_rows: List[dict] = []
@@ -314,19 +329,15 @@ class StreamingServer:
                 else:
                     row["kind"] = "clean"
                     clean_rows.append(row)
-            # the unconditional whole-chunk separation row (reference:
-            # streaming_overlap3_core.py:179-210)
-            ov_rows.append(dict(s=s, item=item, chunk=audio, kind="full_separation",
-                                start=item["start"], end=item["end"]))
 
-        # back-to-back fused launches (clean + overlap), then collect
-        t_a = time.time()
+        # back-to-back fused launches for the OSD-derived rows, then collect
         h_cl = eng.launch_clean([r["chunk"] for r in clean_rows],
                                 [r["s"].target_vec for r in clean_rows],
                                 lang) if clean_rows else None
-        h_ov = eng.launch_overlap([r["chunk"] for r in ov_rows],
-                                  [r["s"].target_vec for r in ov_rows],
-                                  lang, return_branches=True, backend=backend)
+        h_ov = (eng.launch_overlap([r["chunk"] for r in ov_rows],
+                                   [r["s"].target_vec for r in ov_rows],
+                                   lang, return_branches=True, backend=backend)
+                if ov_rows else None)
 
         emitted: List[dict] = []
         if h_cl is not None:
@@ -336,23 +347,26 @@ class StreamingServer:
                                         text=text))
         extra_refs: List[tuple] = []
         extras: List[dict] = []
-        for row, rec in zip(ov_rows, eng.collect_overlap(
-                h_ov, [r["chunk"] for r in ov_rows], return_branches=True,
-                backend=backend, lazy_branches=True)):
-            for bi, sc in enumerate(np.asarray(rec["scores"])):
-                if sc < thr:
-                    continue
-                if bi == rec["best"]:
-                    emitted.append(dict(row=row, stream=bi, sv_score=float(sc),
-                                        text=rec["text"]))
-                else:   # non-best branches over threshold: batched transcribe
-                    extra_refs.append(rec["branches"].ref(bi))
-                    extras.append(dict(row=row, stream=bi, sv_score=float(sc)))
+        for handle, rows in ((h_ov, ov_rows), (h_full, full_rows)):
+            if handle is None:
+                continue
+            for row, rec in zip(rows, eng.collect_overlap(
+                    handle, [r["chunk"] for r in rows], return_branches=True,
+                    backend=backend, lazy_branches=True)):
+                for bi, sc in enumerate(np.asarray(rec["scores"])):
+                    if sc < thr:
+                        continue
+                    if bi == rec["best"]:
+                        emitted.append(dict(row=row, stream=bi, sv_score=float(sc),
+                                            text=rec["text"]))
+                    else:   # non-best branches over threshold: batched transcribe
+                        extra_refs.append(rec["branches"].ref(bi))
+                        extras.append(dict(row=row, stream=bi, sv_score=float(sc)))
         if extra_refs:
-            # branches stayed on device through collect; selected rows come
-            # down in one batched pull, then one batched transcribe
-            extra_wavs = eng.pull_branch_rows(extra_refs)
-            for ex, text in zip(extras, eng.transcribe(extra_wavs, lang)):
+            # extras ASR runs straight off the device-resident branches:
+            # an on-device gather+quantize feeds the compiled ASR stage
+            # program, so the branch audio never crosses the link
+            for ex, text in zip(extras, eng.transcribe_branches(extra_refs, lang)):
                 emitted.append(dict(text=text, **ex))
         asr_elapsed = time.time() - t_a
 

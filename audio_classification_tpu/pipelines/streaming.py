@@ -138,12 +138,24 @@ class StreamingOverlap3Pipeline:
             audio = eng.resample(audio, sr, G_SAMPLE_RATE)
             sr = G_SAMPLE_RATE
 
-        osd_segments = eng.osd_segments(audio, sr, args.osd_thr, args.osd_win, args.osd_hop)
+        tv = self.enrolled_vec_norm
+        lang = getattr(args, "language", "auto")
+        backend = getattr(args, "sep_backend", "convtasnet")
+
+        # the unconditional full-chunk separation (reference:
+        # streaming_overlap3_core:179-210) doesn't depend on OSD output, so
+        # its fused launch goes out right behind the OSD dispatch — the
+        # separation uplink/compute overlaps the OSD round-trip instead of
+        # waiting for it on an idle host
+        h_osd = eng.launch_osd_batch([audio], sr)
+        h_full = eng.launch_overlap([audio], [tv], lang, return_branches=True,
+                                    backend=backend)
+        osd_segments = eng.collect_osd_batch(
+            h_osd, args.osd_thr, args.osd_win, args.osd_hop)[0]
         if not osd_segments:
             osd_segments = [(0.0, len(audio) / sr, False)]
 
-        # collect work: clean chunks, overlap chunks, + the unconditional
-        # full-chunk separation (reference: streaming_overlap3_core:179-210)
+        # collect work: clean chunks + overlap chunks from the OSD segments
         clean_items: List[dict] = []
         overlap_rows: List[dict] = []
         for start, end, is_overlap in osd_segments:
@@ -156,59 +168,70 @@ class StreamingOverlap3Pipeline:
             else:
                 clean_items.append(dict(a=a, b=b, chunk=sub))
 
-        tv = self.enrolled_vec_norm
-        lang = getattr(args, "language", "auto")
         results: List[dict] = []
         t_a = time.time()
 
-        # fused clean path: embed + SV + ASR in one program per bucket
-        if clean_items:
-            for c, (score, text) in zip(
-                clean_items, eng.process_clean([c["chunk"] for c in clean_items],
-                                               [tv] * len(clean_items), lang)
-            ):
+        # back-to-back fused launches for the OSD-derived rows, collects
+        # after both are in flight
+        h_cl = (eng.launch_clean([c["chunk"] for c in clean_items],
+                                 [tv] * len(clean_items), lang)
+                if clean_items else None)
+        h_ov = (eng.launch_overlap([r["chunk"] for r in overlap_rows],
+                                   [tv] * len(overlap_rows), lang,
+                                   return_branches=True, backend=backend)
+                if overlap_rows else None)
+
+        if h_cl is not None:
+            for c, (score, text) in zip(clean_items, eng.collect_clean(h_cl)):
                 if score >= args.sv_threshold:
                     results.append(dict(kind="clean", stream=None, sv_score=float(score),
                                         text=text, samples=len(c["chunk"]),
                                         start=segment.start_time + c["a"] / sr,
                                         end=segment.start_time + c["b"] / sr))
 
-        # overlap spans + the whole chunk go through the fused overlap path;
         # the streaming contract emits EVERY branch clearing the threshold
         # (reference behavior), so non-best branches above threshold fall
         # back to a granular branch fetch + transcribe
-        ov_inputs = [r["chunk"] for r in overlap_rows] + [audio]
         ov_meta = [
             dict(kind="overlap", start=segment.start_time + r["a"] / sr,
                  end=segment.start_time + r["b"] / sr)
             for r in overlap_rows
-        ] + [dict(kind="full_separation", start=segment.start_time, end=segment.end_time)]
+        ]
+        full_meta = [dict(kind="full_separation", start=segment.start_time,
+                          end=segment.end_time)]
         extra_branch_refs: List[tuple] = []
         extra_meta: List[dict] = []
-        for rec, meta, chunk in zip(
-            eng.process_overlap(ov_inputs, [tv] * len(ov_inputs), lang,
-                                return_branches=True, lazy_branches=True,
-                                backend=getattr(args, "sep_backend", "convtasnet")),
-            ov_meta, ov_inputs,
+        for handle, metas, inputs in (
+            (h_ov, ov_meta, [r["chunk"] for r in overlap_rows]),
+            (h_full, full_meta, [audio]),
         ):
-            scores = np.asarray(rec["scores"])
-            for bi, sc in enumerate(scores):
-                if sc < args.sv_threshold:
-                    continue
-                if bi == rec["best"]:
-                    results.append(dict(kind=meta["kind"], stream=bi, sv_score=float(sc),
-                                        text=rec["text"], samples=len(chunk),
-                                        start=meta["start"], end=meta["end"]))
-                else:
-                    extra_branch_refs.append(rec["branches"].ref(bi))
-                    extra_meta.append(dict(kind=meta["kind"], stream=bi, sv_score=float(sc),
-                                           samples=len(chunk),
-                                           start=meta["start"], end=meta["end"]))
+            if handle is None:
+                continue
+            for rec, meta, chunk in zip(
+                eng.collect_overlap(handle, inputs, return_branches=True,
+                                    backend=backend, lazy_branches=True),
+                metas, inputs,
+            ):
+                scores = np.asarray(rec["scores"])
+                for bi, sc in enumerate(scores):
+                    if sc < args.sv_threshold:
+                        continue
+                    if bi == rec["best"]:
+                        results.append(dict(kind=meta["kind"], stream=bi,
+                                            sv_score=float(sc),
+                                            text=rec["text"], samples=len(chunk),
+                                            start=meta["start"], end=meta["end"]))
+                    else:
+                        extra_branch_refs.append(rec["branches"].ref(bi))
+                        extra_meta.append(dict(kind=meta["kind"], stream=bi,
+                                               sv_score=float(sc),
+                                               samples=len(chunk),
+                                               start=meta["start"], end=meta["end"]))
         if extra_branch_refs:
-            # one batched pull of just the selected branches (device-resident
-            # through collect), then one batched transcribe
-            extra_branch_wavs = eng.pull_branch_rows(extra_branch_refs)
-            for meta, text in zip(extra_meta, eng.transcribe(extra_branch_wavs, lang)):
+            # extras ASR straight off the device-resident branches (one
+            # on-device gather+quantize into the compiled ASR program)
+            for meta, text in zip(extra_meta,
+                                   eng.transcribe_branches(extra_branch_refs, lang)):
                 results.append(dict(text=text, **meta))
 
         asr_elapsed = time.time() - t_a

@@ -82,6 +82,23 @@ def test_lazy_branches_match_eager(engine):
         np.testing.assert_array_equal(got, exp)
 
 
+def test_transcribe_branches_matches_host_path(engine):
+    # the device-resident extras path (on-device gather+quantize into the
+    # ASR stage program) must decode exactly what pulling the branch to
+    # host and re-uploading it through transcribe() decodes
+    chunks = [_tone(5000), _tone(6000, 700), _tone(4096, 500)]
+    target = engine.embed([_tone(8000)])[0]
+    lazy = engine.process_overlap(chunks, [target] * 3, return_branches=True,
+                                  lazy_branches=True)
+    refs = [rec["branches"].ref(bi) for rec in lazy for bi in (0, 1, 2)]
+    from audio_classification_tpu.engine import StageEngine
+    host_wavs = StageEngine.pull_branch_rows(refs)
+    host_texts = engine.transcribe(host_wavs)
+    dev_texts = engine.transcribe_branches(refs)
+    assert dev_texts == host_texts
+    assert engine.transcribe_branches([]) == []
+
+
 def test_empty_inputs(engine):
     assert engine.process_clean([], []) == []
     assert engine.process_overlap([], []) == []
