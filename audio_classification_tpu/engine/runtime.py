@@ -16,6 +16,7 @@ come back.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -336,13 +337,19 @@ class WaveArena:
     the raw audio bytes per pass).
     """
 
-    __slots__ = ("dev", "offsets", "lengths", "tail")
+    __slots__ = ("dev", "offsets", "lengths", "tail", "parts")
 
-    def __init__(self, dev, offsets: np.ndarray, lengths: np.ndarray, tail: int):
+    def __init__(self, dev, offsets: np.ndarray, lengths: np.ndarray, tail: int,
+                 parts: Optional[list] = None):
         self.dev = dev            # jax.Array [N] int16
         self.offsets = offsets    # np.int64 [n] start of each item
         self.lengths = lengths    # np.int64 [n] true length of each item
         self.tail = tail          # zero samples past the last item
+        # chunked uplink (upload_arena): per-part WaveArenas whose device
+        # buffers were uplinked separately and concatenated into ``dev``.
+        # OSD launches gather from the parts so its compute overlaps the
+        # later parts' transfers; segment stages gather from ``dev``.
+        self.parts = parts
 
 
 class _LazyBranchRows:
@@ -641,6 +648,20 @@ class StageEngine:
             valid = jnp.arange(seg_len, dtype=jnp.int32)[None, :] < lens[:, None]
             return jnp.where(valid, segs, jnp.int16(0))
 
+        def arena_concat_fn(*bufs):
+            """Stitch per-part arena uplinks into the wave arena ON DEVICE
+            (upload_arena chunking): one HBM copy instead of re-uplinking
+            the audio, so segment-stage gathers keep one unfragmented
+            arena while OSD overlaps the per-part transfers. Pads the
+            combined buffer back to the coarse shape grid so the segment
+            gather program's shape vocabulary stays as small as with
+            single-shot uploads (parts use a finer grid to keep zero
+            padding off the uplink)."""
+            total = sum(b.shape[0] for b in bufs)
+            pad = -total % (1 << 20)
+            tail = (jnp.zeros((pad,), bufs[0].dtype),) if pad else ()
+            return jnp.concatenate(bufs + tail, axis=0)
+
         def branch_q_fn(est, js, bis, lens):
             """Assemble an ASR uplink batch from DEVICE-RESIDENT separated
             branches: gather rows (js, bis) out of an overlap batch's est
@@ -730,8 +751,11 @@ class StageEngine:
             # gathered across the data axis would need its own resharding
             # story for a path mesh serving rarely hits
             self._branch_q = None
+            self._arena_concat = None
         else:
             self._branch_q = AOT("branch_q", branch_q_fn, param_leading=False)
+            self._arena_concat = AOT("arena_concat", arena_concat_fn,
+                                     param_leading=False)
             self._gather = AOT("gather", gather_fn,
                                static_argnames=("seg_len",),
                                param_leading=False)
@@ -869,6 +893,47 @@ class StageEngine:
         # small inputs (e.g. a single enrollment target) get a finer shape
         # grid so a 3 s target doesn't upload a 1M-sample arena
         grid = 1 << 20 if total > (1 << 20) else 1 << 14
+
+        # chunked uplink: split a large wave into ~part_mb sub-arenas so
+        # the chip's OSD compute on part i overlaps the DMA of parts
+        # i+1.. — uploaded single-shot, the whole transfer serializes
+        # ahead of the first OSD batch (measured as the dominant stage
+        # wall at 128x10 s mixtures). The parts are stitched into ONE
+        # arena by a device-side concat, so segment-stage gathers stay
+        # unfragmented. Mesh engines keep the single-shot upload (the
+        # replicated placement + AOT gather shardings are per-buffer).
+        part_mb = float(os.environ.get("ACT_ARENA_PART_MB", "4"))
+        n_parts = (int(total * 2 // (part_mb * 2**20)) if part_mb > 0 else 0)
+        n_parts = min(n_parts, len(items), 8)
+        if self.mesh is None and n_parts >= 2:
+            bounds = np.linspace(0, len(items), n_parts + 1).astype(int)
+            parts: List[WaveArena] = []
+            bufs = []
+            base = 0
+            off_all: List[np.ndarray] = []
+            len_all: List[np.ndarray] = []
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                group = items[a:b]
+                # every part carries its own tail: OSD gathers slice
+                # bucket-wide windows out of the PART buffer too
+                p_tail = self.buckets.bucket_for(
+                    max(int(w.shape[-1]) for w in group))
+                # finer per-part grid: grid padding is real zeros on the
+                # uplink; the concat re-pads the COMBINED buffer to the
+                # coarse grid so downstream gather shapes don't multiply
+                buf, offs, lens = flat_pack_i16(group, p_tail,
+                                                min(grid, 1 << 18))
+                dev_p = jnp.asarray(buf)  # async H2D per part
+                parts.append(WaveArena(dev_p, offs, lens, p_tail))
+                bufs.append(dev_p)
+                off_all.append(offs + base)
+                len_all.append(lens)
+                base += buf.shape[0]
+            dev = self._arena_concat(*bufs)
+            return WaveArena(dev, np.concatenate(off_all),
+                             np.concatenate(len_all), parts[-1].tail,
+                             parts=parts)
+
         buf, offsets, lengths = flat_pack_i16(items, tail, grid)
         if self.mesh is not None:
             # replicate ONCE at upload; the AOT gather executable requires
@@ -1000,14 +1065,33 @@ class StageEngine:
 
         Handle-compatible with launch_osd_batch/collect_osd_batch; the
         mixture batches are gathered on device from the wave's single
-        uplink instead of re-uploading bucket-padded copies.
+        uplink instead of re-uploading bucket-padded copies. A chunked
+        arena (upload_arena parts) launches one gather+OSD set per PART
+        buffer, so part i's OSD compute overlaps part i+1's transfer.
         """
+        fn = lambda w, l: self._osd(self.exec_params["osd"], w, l)
+        if arena.parts:
+            pending: List[Tuple[List[int], Any]] = []
+            nonempty: List[int] = []
+            n_samp_all: List[int] = []
+            span_base = 0
+            for part in arena.parts:
+                n_samp = [int(n) for n in part.lengths]
+                ne = [i for i, n in enumerate(n_samp) if n > 0]
+                part_pending, part_n = self._launch_bucketed_arena(
+                    part, [(int(part.offsets[i]), n_samp[i]) for i in ne], fn)
+                for chunk_idx, res in part_pending:
+                    pending.append(([span_base + j for j in chunk_idx], res))
+                span_base += part_n
+                nonempty.extend(len(n_samp_all) + i for i in ne)
+                n_samp_all.extend(n_samp)
+            return ((pending, span_base), nonempty, n_samp_all, G_SAMPLE_RATE)
         n_samp = [int(n) for n in arena.lengths]
         nonempty = [i for i, n in enumerate(n_samp) if n > 0]
         handle = self._launch_bucketed_arena(
             arena,
             [(int(arena.offsets[i]), n_samp[i]) for i in nonempty],
-            lambda w, l: self._osd(self.exec_params["osd"], w, l),
+            fn,
         )
         return (handle, nonempty, n_samp, G_SAMPLE_RATE)
 

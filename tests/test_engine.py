@@ -220,6 +220,41 @@ def test_osd_arena_matches_osd_batch(engine):
     assert a == b
 
 
+def test_chunked_arena_matches_single_shot(engine, monkeypatch):
+    """A part-chunked uplink (upload_arena splitting the wave into
+    sub-arenas stitched by a device concat) must be invisible: same OSD
+    segments, and every combined-arena gather bit-identical to the
+    single-shot arena's."""
+    import jax.numpy as jnp
+
+    eng = engine
+    rng = np.random.default_rng(7)
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.3
+            for n in (16000, 9000, 31999, 7000, 12000, 5000)]
+    single = eng.upload_arena(wavs)
+    assert single.parts is None
+    # ~one item per part: force the chunked path regardless of size
+    monkeypatch.setenv("ACT_ARENA_PART_MB", "0.01")
+    chunked = eng.upload_arena(wavs)
+    assert chunked.parts and len(chunked.parts) >= 2
+    np.testing.assert_array_equal(chunked.lengths, single.lengths)
+    # per-item gathers from the combined arena == single-shot arena
+    for i, w in enumerate(wavs):
+        n = int(chunked.lengths[i])
+        bucket = eng.buckets.bucket_for(n)
+        got = np.asarray(eng._gather(
+            chunked.dev, jnp.asarray(np.array([int(chunked.offsets[i])], np.int32)),
+            jnp.asarray(np.array([n], np.int32)), seg_len=bucket))
+        ref = np.asarray(eng._gather(
+            single.dev, jnp.asarray(np.array([int(single.offsets[i])], np.int32)),
+            jnp.asarray(np.array([n], np.int32)), seg_len=bucket))
+        np.testing.assert_array_equal(got, ref)
+    # part-aware OSD launch == batch OSD over the raw wavs
+    a = eng.osd_segments_batch(wavs, 16000, 0.5, 0.5, 0.1)
+    b = eng.collect_osd_batch(eng.launch_osd_arena(chunked), 0.5, 0.5, 0.1)
+    assert a == b
+
+
 def test_upload_arena_rejects_overlong_items(engine):
     # items past the bucket cap must fall back to the per-batch uplink
     # (their ad-hoc buckets could out-range the arena tail)
