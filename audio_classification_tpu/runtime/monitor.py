@@ -36,75 +36,18 @@ def _device_mem_mb() -> Dict[str, float]:
         return {}
 
 
-class CPUMonitor:
-    """Process CPU sampler with core-normalized aggregate
-    (reference: evaluate_with_sources.py:447-511): raw cpu_percent samples,
-    stop() returns avg/peak normalized by logical core count plus raw."""
-
-    def __init__(self, interval: float = 0.5):
-        self.interval = max(0.1, interval)
-        self._stop = threading.Event()
-        self._thread: Optional[threading.Thread] = None
-        self.samples: List[float] = []
-        self.proc = psutil.Process(os.getpid()) if psutil else None
-        self.started = self.proc is not None
-        if self.proc:
-            self.proc.cpu_percent(interval=None)
-
-    def start(self):
-        if not self.started:
-            return
-
-        def _loop():
-            while not self._stop.wait(self.interval):
-                try:
-                    self.samples.append(self.proc.cpu_percent(interval=None))
-                except Exception:
-                    break
-
-        self._thread = threading.Thread(target=_loop, daemon=True)
-        self._thread.start()
-
-    def stop(self) -> Dict[str, Any]:
-        import numpy as np
-
-        if not self.started:
-            return {"enabled": False, "reason": "psutil_unavailable"}
-        self._stop.set()
-        if self._thread:
-            self._thread.join(timeout=2)
-        if not self.samples:
-            return {"enabled": True, "count": 0}
-        raw_avg = float(np.mean(self.samples))
-        raw_peak = float(np.max(self.samples))
-        cores = (psutil.cpu_count(logical=True) if psutil else 1) or 1
-        return {
-            "enabled": True,
-            "count": len(self.samples),
-            "interval_sec": self.interval,
-            "cpu_logical_cores": cores,
-            "cpu_avg_percent": round(min(100.0, raw_avg / cores), 2),
-            "cpu_peak_percent": round(min(100.0, raw_peak / cores), 2),
-            "cpu_avg_percent_raw": round(raw_avg, 2),
-            "cpu_peak_percent_raw": round(raw_peak, 2),
-            "normalized": True,
-        }
-
-
 class ResourceMonitor:
     def __init__(self, interval: float = 0.5):
-        self.interval = max(0.1, interval)
+        self.interval = interval if interval > 0.1 else 0.1
         self.samples: List[dict] = []
-        self._stop = threading.Event()
-        self._thread: Optional[threading.Thread] = None
+        self._halt = threading.Event()
+        self._worker: Optional[threading.Thread] = None
         self._proc = psutil.Process(os.getpid()) if psutil else None
 
     def _loop(self):
         if self._proc:
-            self._proc.cpu_percent(interval=None)
-        while not self._stop.wait(self.interval):
-            if not self._proc:
-                break
+            self._proc.cpu_percent(interval=None)  # prime the delta window
+        while self._proc and not self._halt.wait(self.interval):
             try:
                 rec = {
                     "cpu": self._proc.cpu_percent(interval=None),
@@ -118,15 +61,13 @@ class ResourceMonitor:
     def start(self):
         if self._proc is None:
             return
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
 
     def stop(self):
-        if self._proc is None:
-            return
-        self._stop.set()
-        if self._thread:
-            self._thread.join(timeout=2)
+        self._halt.set()
+        if self._worker is not None:
+            self._worker.join(2.0)
 
     def aggregate(self) -> Dict[str, Any]:
         if not self.samples:
@@ -144,3 +85,32 @@ class ResourceMonitor:
             "gpu_mem_allocated_peak_mb": round(max(alloc), 2) if alloc else None,
             "gpu_mem_reserved_peak_mb": round(max(res), 2) if res else None,
         }
+
+
+class CPUMonitor:
+    """Core-normalized CPU aggregate, reported under the artifact keys the
+    reference's evaluator emits (evaluate_with_sources.py:447-511 — key
+    names only; the sampling itself is delegated to ResourceMonitor above,
+    whose per-sample dicts already carry process cpu_percent)."""
+
+    def __init__(self, interval: float = 0.5):
+        self._mon = ResourceMonitor(interval)
+        self.interval = self._mon.interval
+
+    def start(self) -> None:
+        self._mon.start()
+
+    def stop(self) -> Dict[str, Any]:
+        self._mon.stop()
+        if self._mon._proc is None:
+            return {"enabled": False, "reason": "psutil_unavailable"}
+        cpu = [s["cpu"] for s in self._mon.samples if "cpu" in s]
+        report: Dict[str, Any] = {"enabled": True, "count": len(cpu)}
+        if not cpu:
+            return report
+        cores = max(1, (psutil.cpu_count(logical=True) or 1) if psutil else 1)
+        for label, value in (("avg", mean(cpu)), ("peak", max(cpu))):
+            report[f"cpu_{label}_percent"] = round(min(100.0, value / cores), 2)
+            report[f"cpu_{label}_percent_raw"] = round(value, 2)
+        report.update(interval_sec=self.interval, cpu_logical_cores=cores, normalized=True)
+        return report
