@@ -78,6 +78,19 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-segment-sec", type=float, default=16.0)
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="Shard per-chunk stage batches over N chips "
+                        "(0 = single device)")
+    p.add_argument("--model-parallel", type=int, default=0,
+                   help="TP: shard the separators' TCN hidden dim over M "
+                        "chips (mesh = data x model; 0 = off)")
+    p.add_argument("--slices", type=int, default=1,
+                   help="Multi-slice deployments: the data axis spans "
+                        "slices x per-slice chips with the DCN factor "
+                        "outermost; TP never crosses a slice")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 halves MXU cost; norm statistics stay f32")
     return p.parse_args(argv)
 
 

@@ -888,11 +888,13 @@ class StageEngine:
         # declared bucket (64 s = 2 MB of int16 zeros per wave by default)
         tail = self.buckets.bucket_for(max(int(w.shape[-1]) for w in items))
         total = sum(int(w.shape[-1]) for w in items) + tail
-        if total >= 2**31:
-            return None
         # small inputs (e.g. a single enrollment target) get a finer shape
         # grid so a 3 s target doesn't upload a 1M-sample arena
         grid = 1 << 20 if total > (1 << 20) else 1 << 14
+        # gather offsets are int32: the guard must bound the buffer the
+        # gathers actually index — the grid-padded size, not the tight sum
+        if -(-total // grid) * grid >= 2**31:
+            return None
 
         # chunked uplink: split a large wave into ~part_mb sub-arenas so
         # the chip's OSD compute on part i overlaps the DMA of parts
@@ -907,6 +909,23 @@ class StageEngine:
         n_parts = min(n_parts, len(items), 8)
         if self.mesh is None and n_parts >= 2:
             bounds = np.linspace(0, len(items), n_parts + 1).astype(int)
+            # per-part tails + per-part grid padding inflate the COMBINED
+            # buffer past the tight `total` the guard above bounded; re-check
+            # the size the stitched arena will actually have (part sizes on
+            # their finer grid, then arena_concat_fn's 1 MiB re-pad) and keep
+            # the single-shot path if int32 gather offsets could overflow
+            part_grid = min(grid, 1 << 18)
+            combined = 0
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                group = items[a:b]
+                p_total = (sum(int(w.shape[-1]) for w in group)
+                           + self.buckets.bucket_for(
+                               max(int(w.shape[-1]) for w in group)))
+                combined += -(-p_total // part_grid) * part_grid
+            combined += -combined % (1 << 20)
+            if combined >= 2**31:
+                n_parts = 0
+        if self.mesh is None and n_parts >= 2:
             parts: List[WaveArena] = []
             bufs = []
             base = 0

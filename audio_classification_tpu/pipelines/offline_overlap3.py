@@ -484,6 +484,11 @@ class Overlap3Pipeline:
             t_o = time.time()
             osd_lists = eng.collect_osd_batch(h_osd, cfg.osd_thr, cfg.osd_win, cfg.osd_hop)
             self._time["osd"] += time.time() - t_o
+            if arena is not None and arena.parts:
+                # OSD was the only consumer of the per-part uplink buffers;
+                # dropping them halves the wave's HBM residency (the stitched
+                # arena.dev serves every later segment gather)
+                arena.parts = None
 
             # ---- host: exclusivity + segment rows; target selection
             for mx, osd_segs in zip(mixtures, osd_lists):

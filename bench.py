@@ -410,18 +410,66 @@ def serve_smoke(eng, cfg, items, n_sessions: int = 16, ticks: int = 8,
     audio_per_tick = n_sessions * window_sec
     serve_rtf = st["tick_latency_mean_sec"] / audio_per_tick
     tick_min = float(min(srv.tick_latencies))
-    # a session stays real-time while its window period covers a tick
-    rt_streams = int(n_sessions * window_sec / max(st["tick_latency_p95_sec"], 1e-9))
+    # linear estimate from the 16-session tick — a LOWER-BOUND-LATENCY
+    # EXTRAPOLATION (assumes tick latency independent of session count);
+    # the measured capacity check below replaces it as the headline
+    rt_streams_extrap = int(
+        n_sessions * window_sec / max(st["tick_latency_p95_sec"], 1e-9))
     log(f"bench: serving sessions={n_sessions} window={window_sec}s "
         f"ticks={st['ticks']} (after {cycle} warm) tick_min={tick_min:.3f}s "
         f"mean={st['tick_latency_mean_sec']}s p95={st['tick_latency_p95_sec']}s "
-        f"serve_rtf={serve_rtf:.4f} rt_streams~{rt_streams} "
+        f"serve_rtf={serve_rtf:.4f} rt_streams_extrapolated~{rt_streams_extrap} "
         f"dropped={st['chunks_dropped']} wall={wall:.2f}s")
-    return {"serve_sessions": n_sessions,
-            "serve_tick_min_s": round(tick_min, 3),
-            "serve_tick_p95_s": st["tick_latency_p95_sec"],
-            "serve_rtf": round(serve_rtf, 4),
-            "serve_rt_streams": rt_streams}
+    out = {"serve_sessions": n_sessions,
+           "serve_tick_min_s": round(tick_min, 3),
+           "serve_tick_p95_s": st["tick_latency_p95_sec"],
+           "serve_rtf": round(serve_rtf, 4),
+           "serve_rt_streams_extrapolated": rt_streams_extrap,
+           # overwritten by the capacity measurement below when it runs
+           "serve_rt_streams": rt_streams_extrap,
+           # the serving surface is mesh-capable (serve_streams
+           # --data-parallel/--model-parallel); record what THIS engine ran
+           "serve_mesh": dict(eng.mesh.shape) if eng.mesh is not None else None}
+
+    # ---- measured capacity: run ticks AT (a cap of) the extrapolated
+    # session count instead of reporting the extrapolation as sustained —
+    # fused batches grow with sessions, so per-tick latency rises and the
+    # linear estimate overstates capacity (round-3 advisor finding). A
+    # session set of N stays real-time iff the tick wall stays under the
+    # window period; the sustained-stream headline is re-derived from the
+    # tick p95 measured at N.
+    cap = int(os.environ.get("ACT_BENCH_SERVE_CAP", "96"))
+    n_meas = min(max(rt_streams_extrap, n_sessions), cap)
+    if n_meas > n_sessions and os.environ.get("ACT_BENCH_SERVE_MEASURE", "1") == "1":
+        sids.extend(srv.open_session(target_vec=tvec)
+                    for _ in range(n_meas - n_sessions))
+        for tick in range(cycle):   # warm the larger batch shapes
+            feed(tick)
+            srv.step()
+        srv.tick_latencies.clear()
+        srv.tick_batch_sizes.clear()
+        for tick in range(cycle, cycle + ticks):
+            feed(tick)
+            srv.step()
+        p95_n = float(np.percentile(np.asarray(srv.tick_latencies), 95))
+        sustained = p95_n <= window_sec
+        # below the window: N streams measured-sustained (headroom uncounted
+        # — we don't extrapolate up again); above: scale down from the
+        # AT-CAPACITY tick, the honest local slope
+        rt_measured = n_meas if sustained else int(n_meas * window_sec / p95_n)
+        log(f"bench: serving capacity measured at {n_meas} sessions: "
+            f"tick_p95={p95_n:.3f}s vs window={window_sec}s -> "
+            f"{'SUSTAINED' if sustained else 'NOT sustained'}; "
+            f"rt_streams_measured={rt_measured} "
+            f"(extrapolation from 16 said {rt_streams_extrap})")
+        out.update({
+            "serve_sessions_measured": n_meas,
+            "serve_tick_p95_at_capacity_s": round(p95_n, 3),
+            "serve_rtf_at_capacity": round(p95_n / (n_meas * window_sec), 4),
+            "serve_capacity_sustained": sustained,
+            "serve_rt_streams": rt_measured,
+        })
+    return out
 
 
 def quality_smoke(steps: int):

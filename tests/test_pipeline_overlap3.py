@@ -227,6 +227,61 @@ def test_granular_books_time_sep(fixture_dir):
     assert all(isinstance(r["stream"], int) for r in res.segments)
 
 
+def test_mesh_pipeline_record_parity(fixture_dir, tmp_path):
+    """The flagship pipeline runs END TO END on the virtual 8-device mesh
+    (--data-parallel 4 --model-parallel 2): fused paths, device arena,
+    target-span ASR and the separation eval all execute over the sharded
+    engine, and records / sep-detail rows / non-timing metrics match the
+    single-device run (reference semantics: overlap3_core.py:492-840).
+
+    osd_thr=0 flags every frame as overlap; min_overlap_dur sits between
+    the two input durations so the 3.0 s mixture takes the overlap path
+    and the 1.5 s one the clean path — BOTH fused programs run sharded
+    in one pipeline pass."""
+    short = _tone(1.5, 550)
+    write_wav(tmp_path / "short.wav", short, SR)
+    refs_csv = tmp_path / "refs.csv"
+    refs_csv.write_text(
+        "mix,ref1,ref2\n"
+        f"{fixture_dir / 'mix.wav'},{fixture_dir / 'ref1.wav'},"
+        f"{fixture_dir / 'ref2.wav'}\n")
+    kw = dict(
+        input_wavs=[str(fixture_dir / "mix.wav"), str(tmp_path / "short.wav")],
+        osd_thr=0.0,
+        min_overlap_dur=2.0,
+        eval_separation=True,
+        refs_csv=str(refs_csv),
+    )
+    base = Overlap3Pipeline(_base_cfg(fixture_dir, **kw)).run()
+    mesh = Overlap3Pipeline(
+        _base_cfg(fixture_dir, data_parallel=4, model_parallel=2, **kw)).run()
+
+    kinds = {r["kind"] for r in base.segments}
+    assert kinds == {"clean", "overlap"}, kinds
+    assert len(mesh.segments) == len(base.segments) >= 2
+    for a, b in zip(mesh.segments, base.segments):
+        for k in ("wav", "start", "end", "kind", "stream", "target_src",
+                  "target_src_text", "text"):
+            assert a[k] == b[k], k
+        if b["sv_score"] is not None:
+            assert abs(a["sv_score"] - b["sv_score"]) < 5e-3
+
+    # PIT separation eval ran over mesh-separated branches
+    assert len(mesh.sep_details_rows) == len(base.sep_details_rows) >= 1
+    for ra, rb in zip(mesh.sep_details_rows, base.sep_details_rows):
+        assert ra[0] == rb[0] and ra[3] == rb[3]          # wav, k_refs
+        assert abs(float(ra[4]) - float(rb[4])) < 0.1     # si_sdr (dB)
+        assert abs(float(ra[5]) - float(rb[5])) < 0.1     # si_sdri (dB)
+
+    timing = {k for k in base.metrics if k.startswith(("time_", "rtf_"))}
+    for k in set(base.metrics) - timing:
+        va, vb = mesh.metrics[k], base.metrics[k]
+        if isinstance(vb, float) and k.startswith("sep_"):
+            assert va == pytest.approx(vb, abs=0.1), k
+        else:
+            assert va == vb, k
+
+
 def test_device_gather_matches_host_uplink(fixture_dir, file_mode_result):
     """--no-device-gather: the per-batch host uplink path must match the
     arena path EXACTLY — the on-device gather feeds the same stage

@@ -166,6 +166,46 @@ def test_session_lifecycle(server, fixtures):
     server.close_session(sid2)
 
 
+def test_mesh_server_matches_single(server, fixtures):
+    """The serving surface runs on the mesh: a --data-parallel 4
+    --model-parallel 2 server (same seed, so same weights) must emit the
+    same per-session records as the single-device server — every tick's
+    cross-session batch shards over "data", the separators TP-shard over
+    "model", and sv_threshold=-1 forces the non-best-branch extras path
+    (device-resident branch pulls) through the mesh fallback too."""
+    msrv = StreamingServer(_args(data_parallel=4, model_parallel=2),
+                           autostart=False)
+
+    def _key(r):
+        return (round(r["start"], 3), r["kind"],
+                -1 if r["stream"] is None else r["stream"])
+
+    try:
+        assert msrv.engine.mesh is not None
+        assert dict(msrv.engine.mesh.shape) == {"data": 4, "model": 2}
+        sids_m = [msrv.open_session(target_wav=t) for t in fixtures["targets"]]
+        sids_s = [server.open_session(target_wav=t) for t in fixtures["targets"]]
+        for sid_m, sid_s, mix in zip(sids_m, sids_s, fixtures["mixes"]):
+            msrv.add_audio(sid_m, mix)
+            server.add_audio(sid_s, mix)
+        assert msrv.step() == 2    # both sessions in ONE sharded tick
+        assert server.step() == 2
+        for sid_m, sid_s in zip(sids_m, sids_s):
+            got_m = sorted(msrv.get_results(sid_m), key=_key)
+            got_s = sorted(server.get_results(sid_s), key=_key)
+            assert len(got_m) == len(got_s) >= 1
+            for a, b in zip(got_m, got_s):
+                assert (a["kind"], a["stream"], a["text"]) == \
+                    (b["kind"], b["stream"], b["text"])
+                assert abs(a["sv_score"] - b["sv_score"]) < 5e-3
+        for sid in sids_m:
+            msrv.close_session(sid)
+        for sid in sids_s:
+            server.close_session(sid)
+    finally:
+        msrv.close()
+
+
 def test_autostart_worker_end_to_end(fixtures):
     """The background tick thread drives the same path asynchronously."""
     srv = StreamingServer(_args(), autostart=True)
