@@ -37,7 +37,10 @@ class ConvTasNetConfig:
     mask_act: str = "relu"
     sample_rate: int = 16000
     quant: str = "none"       # "int8": pointwise convs + encoder/decoder on
-                              # the s8 MXU path (ops/quant), 2x bf16 rate
+                              # the s8 MXU path (ops/quant), 2x bf16 rate;
+                              # when the fused masker runs, its TCN weights
+                              # stream as s8 + scales (weight-only quant,
+                              # dequantized in-kernel)
     fused_tcn: str = "auto"   # "auto": run the whole masker as one Pallas
                               # kernel (ops/pallas/tcn_kernel) when the TPU
                               # backend + dims + VMEM plan allow; "off":
@@ -85,7 +88,7 @@ class ConvTasNet(nn.Module):
 
     def _use_fused_tcn(self, n_frames: int, dtype) -> bool:
         c = self.cfg
-        if c.fused_tcn == "off" or c.quant != "none" or self.is_initializing():
+        if c.fused_tcn == "off" or self.is_initializing():
             return False
         from ..ops.pallas.tcn_kernel import fused_tcn_enabled
         return fused_tcn_enabled(n_frames, c.bottleneck, c.hidden,
@@ -129,7 +132,13 @@ class ConvTasNet(nn.Module):
                 self.variables["params"][f"tcn_{r}_{xb}"]
                 for r in range(c.n_repeats) for xb in range(c.n_blocks)
             ]
-            st = stack_tcn_params(blocks, h.dtype)
+            # quant="int8": the masker's weights stream as s8 + per-channel
+            # scales, dequantized inside the kernel (weight-only quant —
+            # the VMEM-resident activations keep the float path's
+            # precision, so the fused kernel's speed survives int8 serving
+            # instead of falling back to the dense loop)
+            st = stack_tcn_params(blocks, h.dtype,
+                                  weight_quant=(c.quant == "int8"))
             fl = (f_len if frame_mask is not None
                   else jnp.full((b,), n_frames, jnp.int32))
             skips = fused_tcn_masker(h, fl, st, n_per_repeat=c.n_blocks)

@@ -86,13 +86,16 @@ class _TcnCfg(NamedTuple):
     margin: int       # max dilation (static halo size)
     fp: int           # padded frame count (tile multiple)
     interpret: bool
+    wq: bool = False  # s8 weight stream: int8 weights + per-out-channel
+                      # scales (vecs rows 8/9, cvecs rows 2/3), dequantized
+                      # to the activation dtype at block entry
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def stack_tcn_params(blocks: list, dtype) -> dict:
+def stack_tcn_params(blocks: list, dtype, weight_quant: bool = False) -> dict:
     """Stack per-block TCNBlock param trees for the kernel.
 
     ``blocks``: the flax param subtree of each block in repeat-major order
@@ -101,28 +104,59 @@ def stack_tcn_params(blocks: list, dtype) -> dict:
     to the activation dtype (exactly what the dense Conv1d does); the
     norm/bias/PReLU vector bundle stays f32 and is cast at the same op
     the dense modules cast.
+
+    ``weight_quant``: s8 WEIGHT STREAM — weight matrices are quantized
+    symmetric per OUT channel to int8 (ops/quant convention) and their
+    f32 scales ride in the vector bundles (vecs rows 8/9 over H, cvecs
+    rows 2/3 over C); the kernel dequantizes to the activation dtype at
+    block entry. Weight-only quantization: activations keep the float
+    path's precision, so accuracy sits between full-float and the dense
+    s8 dynamic-activation path. Inference-only (the custom_vjp backward
+    rejects int8 stacks). Runs under jit — quantize+stack fuse into the
+    surrounding program like the dense path's quantize_weight.
     """
     h = blocks[0]["in_conv"]["kernel"].shape[-1]
 
     def row(x):  # -> [H] f32
         return jnp.broadcast_to(jnp.asarray(x, jnp.float32).reshape(-1), (h,))
 
-    w_in = jnp.stack([b["in_conv"]["kernel"][0] for b in blocks]).astype(dtype)
-    w_dw = jnp.stack([b["dw_conv"]["kernel"][:, 0, :] for b in blocks]).astype(dtype)
-    w_res = jnp.stack([b["res_conv"]["kernel"][0] for b in blocks]).astype(dtype)
-    w_skip = jnp.stack([b["skip_conv"]["kernel"][0] for b in blocks]).astype(dtype)
-    vecs = jnp.stack([
-        jnp.stack([
-            row(b["in_conv"]["bias"]),
-            row(b["prelu1"]["alpha"]),
-            row(b["norm1"]["gamma"]),
-            row(b["norm1"]["beta"]),
-            row(b["dw_conv"]["bias"]),
-            row(b["prelu2"]["alpha"]),
-            row(b["norm2"]["gamma"]),
-            row(b["norm2"]["beta"]),
-        ]) for b in blocks
-    ])  # [NB, 8, H] f32
+    w_in = jnp.stack([b["in_conv"]["kernel"][0] for b in blocks])
+    w_dw = jnp.stack([b["dw_conv"]["kernel"][:, 0, :] for b in blocks])
+    w_res = jnp.stack([b["res_conv"]["kernel"][0] for b in blocks])
+    w_skip = jnp.stack([b["skip_conv"]["kernel"][0] for b in blocks])
+    scales = {}
+    if weight_quant:
+        from ..quant import quantize_weight
+
+        def q(w):  # [NB, X, OUT] -> int8 values + [NB, OUT] scales
+            # quantize per BLOCK (quantize_weight reduces over every
+            # non-channel axis, and one block's outliers must not flatten
+            # another block's grid)
+            qs, ss = [], []
+            for i in range(w.shape[0]):
+                qi, si = quantize_weight(w[i].astype(jnp.float32), channel_axis=-1)
+                qs.append(qi)
+                ss.append(si.reshape(-1))
+            return jnp.stack(qs), jnp.stack(ss)
+
+        w_in, scales["in"] = q(w_in)
+        w_dw, scales["dw"] = q(w_dw)
+        w_res, scales["res"] = q(w_res)
+        w_skip, scales["skip"] = q(w_skip)
+    else:
+        w_in, w_dw = w_in.astype(dtype), w_dw.astype(dtype)
+        w_res, w_skip = w_res.astype(dtype), w_skip.astype(dtype)
+    vec_rows = [
+        lambda b: row(b["in_conv"]["bias"]),
+        lambda b: row(b["prelu1"]["alpha"]),
+        lambda b: row(b["norm1"]["gamma"]),
+        lambda b: row(b["norm1"]["beta"]),
+        lambda b: row(b["dw_conv"]["bias"]),
+        lambda b: row(b["prelu2"]["alpha"]),
+        lambda b: row(b["norm2"]["gamma"]),
+        lambda b: row(b["norm2"]["beta"]),
+    ]
+    vecs = jnp.stack([jnp.stack([f(b) for f in vec_rows]) for b in blocks])
     c = blocks[0]["res_conv"]["kernel"].shape[-1]
     cvecs = jnp.stack([
         jnp.stack([
@@ -130,6 +164,11 @@ def stack_tcn_params(blocks: list, dtype) -> dict:
             jnp.broadcast_to(jnp.asarray(b["skip_conv"]["bias"], jnp.float32), (c,)),
         ]) for b in blocks
     ])  # [NB, 2, C] f32
+    if weight_quant:
+        vecs = jnp.concatenate(
+            [vecs, scales["in"][:, None, :], scales["dw"][:, None, :]], axis=1)
+        cvecs = jnp.concatenate(
+            [cvecs, scales["res"][:, None, :], scales["skip"][:, None, :]], axis=1)
     return {"w_in": w_in, "w_dw": w_dw, "w_res": w_res, "w_skip": w_skip,
             "vecs": vecs, "cvecs": cvecs}
 
@@ -156,11 +195,21 @@ def _kernel(f_len_ref, x_ref, w_in_ref, w_dw_ref, vecs_ref, w_res_ref,
         x_in[pl.ds(m, fp)] = x_ref[0]
         skips[:] = jnp.zeros_like(skips)
 
-    w_in = w_in_ref[0]                       # [C, H] dt
+    w_in = w_in_ref[0]                       # [C, H] dt (or int8 under wq)
     w_dw = w_dw_ref[0]                       # [3, H] dt
     w_res = w_res_ref[0]                     # [H, C] dt
     w_skip = w_skip_ref[0]                   # [H, C] dt
-    vecs = vecs_ref[0]                       # [8, H] f32
+    vecs = vecs_ref[0]                       # [8 (10 under wq), H] f32
+    if cfg.wq:
+        # s8 weight stream: dequantize to the activation dtype at block
+        # entry (per-out-channel symmetric scales from stack_tcn_params).
+        # Once per (batch, block) grid step — the per-tile passes below
+        # read the dequantized copies from registers/VMEM as before.
+        cv = cvecs_ref[0]
+        w_in = (w_in.astype(jnp.float32) * vecs[8][None, :]).astype(dt)
+        w_dw = (w_dw.astype(jnp.float32) * vecs[9][None, :]).astype(dt)
+        w_res = (w_res.astype(jnp.float32) * cv[2][None, :]).astype(dt)
+        w_skip = (w_skip.astype(jnp.float32) * cv[3][None, :]).astype(dt)
     b_in = vecs[0].astype(dt)
     a1 = vecs[1].astype(dt)
     gamma1, beta1 = vecs[2], vecs[3]
@@ -264,6 +313,8 @@ def _masker_fwd_call(cfg: _TcnCfg, x, f_len, st):
     b = x.shape[0]
     mem = pl.ANY if cfg.interpret else pltpu.VMEM
     dt = x.dtype
+    n_vec = 10 if cfg.wq else 8   # +2 scale rows under the s8 weight stream
+    n_cvec = 4 if cfg.wq else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, cfg.n_total),
@@ -271,10 +322,10 @@ def _masker_fwd_call(cfg: _TcnCfg, x, f_len, st):
             pl.BlockSpec((1, cfg.fp, cfg.c), lambda b_, k, fl: (b_, 0, 0), memory_space=mem),
             pl.BlockSpec((1, cfg.c, cfg.h), lambda b_, k, fl: (k, 0, 0), memory_space=mem),
             pl.BlockSpec((1, 3, cfg.h), lambda b_, k, fl: (k, 0, 0), memory_space=mem),
-            pl.BlockSpec((1, 8, cfg.h), lambda b_, k, fl: (k, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, n_vec, cfg.h), lambda b_, k, fl: (k, 0, 0), memory_space=mem),
             pl.BlockSpec((1, cfg.h, cfg.c), lambda b_, k, fl: (k, 0, 0), memory_space=mem),
             pl.BlockSpec((1, cfg.h, cfg.c), lambda b_, k, fl: (k, 0, 0), memory_space=mem),
-            pl.BlockSpec((1, 2, cfg.c), lambda b_, k, fl: (k, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, n_cvec, cfg.c), lambda b_, k, fl: (k, 0, 0), memory_space=mem),
         ],
         out_specs=pl.BlockSpec((1, cfg.fp, cfg.c), lambda b_, k, fl: (b_, 0, 0),
                                memory_space=mem),
@@ -302,13 +353,31 @@ def _masker_fwd_call(cfg: _TcnCfg, x, f_len, st):
       st["w_res"], st["w_skip"], st["cvecs"])
 
 
+def dequant_stack(st: dict, dtype) -> dict:
+    """s8 weight-stream stack -> float stack (the exact grid the kernel's
+    in-kernel dequant applies: per-block per-out-channel scales from the
+    vector bundles, rounded to the activation dtype)."""
+    vecs, cvecs = st["vecs"], st["cvecs"]
+    return {
+        "w_in": (st["w_in"].astype(jnp.float32) * vecs[:, 8][:, None, :]).astype(dtype),
+        "w_dw": (st["w_dw"].astype(jnp.float32) * vecs[:, 9][:, None, :]).astype(dtype),
+        "w_res": (st["w_res"].astype(jnp.float32) * cvecs[:, 2][:, None, :]).astype(dtype),
+        "w_skip": (st["w_skip"].astype(jnp.float32) * cvecs[:, 3][:, None, :]).astype(dtype),
+        "vecs": vecs[:, :8], "cvecs": cvecs[:, :2],
+    }
+
+
 def tcn_masker_reference(x, f_len, st, *, n_per_repeat: int):
     """Pure-XLA replica of the dense TCN loop on the stacked weights.
 
     Op-for-op the dense modules (models/convtasnet.TCNBlock) including the
     masked-gLN variance formula; the custom_vjp backward differentiates
-    THIS, so fused-forward training gets exact dense gradients.
+    THIS, so fused-forward training gets exact dense gradients. An s8
+    weight-stream stack is dequantized up front (weight-only quant — the
+    rest of the math is the float path).
     """
+    if st["w_in"].dtype == jnp.int8:
+        st = dequant_stack(st, x.dtype)
     nb = st["w_in"].shape[0]
     f = x.shape[1]
     dt = x.dtype
@@ -360,6 +429,10 @@ def _masker_core_fwd(cfg, x, f_len, st):
 
 
 def _masker_core_bwd(cfg, resid, g):
+    if cfg.wq:
+        raise NotImplementedError(
+            "the s8 weight-stream masker is inference-only: train with "
+            "quant='none' (the trainer does), then serve quantized")
     x, f_len, st = resid
     _, vjp = jax.vjp(
         lambda xx, ss: tcn_masker_reference(
@@ -434,8 +507,9 @@ def fused_tcn_masker(x, f_len, st, *, n_per_repeat: int,
     tile = _round_up(max(tile, margin + a), a)
     fp = _round_up(max(f, tile), tile)
     xp = jnp.pad(x, ((0, 0), (0, fp - f), (0, 0)))
+    wq = st["w_in"].dtype == jnp.int8   # s8 weight stream (stack_tcn_params)
     cfg = _TcnCfg(n_total=nb, n_per_repeat=n_per_repeat, c=c, h=h, tile=tile,
-                  margin=margin, fp=fp, interpret=bool(interpret))
+                  margin=margin, fp=fp, interpret=bool(interpret), wq=bool(wq))
     out = _masker_core(cfg, xp, f_len, st)
     return out[:, :f, :]
 

@@ -1,0 +1,443 @@
+"""Quality gate: train every stage in-framework, run the flagship pipeline,
+emit a committed quality artifact.
+
+The reference's deliverable is correct speech output — its run log records a
+93.1% overlap-segment target hit rate and +13.54 dB PIT SI-SDRi
+(reference: todo.md:4-11) — so this framework carries an executable quality
+gate next to its speed benchmarks: a synthetic world with real linguistic
+content and speaker identity, all four stages trained IN-FRAMEWORK on it
+(3-src Conv-TasNet PIT, OSD frame-BCE, speaker AAM-softmax, SenseVoice-CTC),
+then the flagship ``Overlap3Pipeline`` end-to-end with REAL sv gating at a
+dev-calibrated threshold. Metrics come out of the same accumulators the
+reference's pipeline reports (overlap3_core.py:842-927).
+
+The world (examples/full_system_demo.py renders the same construction as a
+narrated demo):
+- a speaker is an octave band (base 500*2^spk Hz);
+- letters a-h are eighth-octave offsets within the speaker's band;
+- an utterance voices a word as one 250 ms tone per letter.
+Separation splits disjoint bands, speaker-ID reads the band, ASR reads the
+within-band offsets, OSD detects multiple active bands — every stage's task
+is well-posed, so a healthy pipeline scores high and any regression in
+training, conversion, gating, or decode drags a number down.
+
+CER accounting: segments are cut on the OSD hop grid, not on letter
+boundaries, so a whole-scene concatenation charges the recognizer for
+boundary slivers it never saw. The primary ``cer_mean`` is therefore
+PER-RECORD: each emitted text is scored against the letters of the target's
+word whose 250 ms slots lie (>=50%) inside that record's span — the honest
+"did the pipeline transcribe what the target actually said here" metric.
+The whole-scene concatenation is still reported as ``cer_concat_mean``.
+
+Gates (write_quality_json sets ``quality_ok``):
+  target_hit_rate_segments >= 0.9   and   cer_mean <= 0.2
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+SR = 16000
+ALPHABET = "abcdefgh"
+TONE_MS = 250
+N_SPK = 4
+
+
+def say(rng, spk: int, word: str, gain=0.25) -> np.ndarray:
+    """Speaker = octave band (base 500*2^spk Hz); letter = eighth-octave
+    offset within the band (freq = base * 2^(idx/8), so bands stay
+    disjoint)."""
+    seg = int(SR * TONE_MS / 1000)
+    base = 500.0 * (2 ** spk) * rng.uniform(0.995, 1.005)
+    out = []
+    for ch in word:
+        f = base * (2 ** (ALPHABET.index(ch) / 8.0))
+        t = np.arange(seg) / SR
+        sig = np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+        out.append(gain * sig)
+    return np.concatenate(out).astype(np.float32)
+
+
+def rand_word(rng, lo=3, hi=6) -> str:
+    return "".join(rng.choice(list(ALPHABET)) for _ in range(rng.integers(lo, hi + 1)))
+
+
+def span_truth(word: str, start: float, end: float, min_frac: float = 0.5) -> str:
+    """Letters of ``word`` whose 250 ms slot overlaps [start, end) by at
+    least ``min_frac`` of the slot — the per-record transcript truth."""
+    tone = TONE_MS / 1000.0
+    out = []
+    for i, ch in enumerate(word):
+        a, b = i * tone, (i + 1) * tone
+        if min(end, b) - max(start, a) >= min_frac * tone:
+            out.append(ch)
+    return "".join(out)
+
+
+def train_world_pack(steps_scale: float = 1.0, seed: int = 0,
+                     log=print) -> tuple:
+    """Train all four stages on the synthetic world -> (engine, tokens,
+    stage losses dict). Step counts scale with ``steps_scale`` (the plumbing
+    test runs at ~0.01; the committed artifact at 1.0)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from ..engine import BucketSpec, ModelPack, StageEngine
+    from ..engine.bucketing import default_buckets
+    from ..engine.runtime import EnginePreset
+    from ..models.asr.ctc import ctc_loss
+    from ..models.asr.paraformer import ParaformerConfig
+    from ..models.asr.sensevoice import (SenseVoiceConfig, SenseVoiceEncoder,
+                                         sensevoice_frontend)
+    from ..models.asr.tokens import TokenTable
+    from ..models.asr.transducer import TransducerConfig
+    from ..models.asr.whisper_style import WhisperStyleConfig
+    from ..models.convtasnet import ConvTasNetConfig
+    from ..models.mossformer import MossFormerConfig
+    from ..models.osd import OSDConfig, OSDNet
+    from ..models.speaker import SpeakerEmbedder, SpeakerEmbedderConfig
+    from ..models.vad import VADConfig
+    from ..ops import FbankConfig, log_mel_fbank
+    from ..parallel.mesh import make_mesh
+    from ..train.losses import aam_softmax_loss, frame_bce_loss
+    from ..train.trainer import ModuleTrainer, SeparatorTrainer
+
+    def n_steps(base: int) -> int:
+        return max(1, int(round(base * steps_scale)))
+
+    mesh = make_mesh(len(jax.devices()), model_axis=1)
+
+    def bs(n: int) -> int:
+        """Snap a batch size up to the data-axis size (the trainers shard
+        batches over the mesh — 8 virtual devices in the CI smoke)."""
+        d = mesh.shape["data"]
+        return max(d, -(-n // d) * d)
+    fb = FbankConfig()
+    fbank_batch = jax.jit(lambda w: log_mel_fbank(w, fb))
+    tokens = TokenTable.char_table(ALPHABET)
+    rng = np.random.default_rng(seed)
+    losses: Dict[str, float] = {}
+
+    sep_cfg = ConvTasNetConfig(n_src=3, enc_dim=128, enc_kernel=16, bottleneck=64,
+                               hidden=128, n_blocks=4, n_repeats=2)
+    osd_cfg = OSDConfig(dim=96, heads=4, layers=2)
+    spk_cfg = SpeakerEmbedderConfig(channels=(16, 32, 64), embed_dim=64)
+    asr_cfg = SenseVoiceConfig(vocab_size=tokens.vocab_size, dim=96, heads=4,
+                               layers=2, conv_kernel=7)
+
+    # ------------------------------------------------------- 1. separator
+    log("[1/4] training 3-src separator (PIT SI-SDR)")
+    sep_trainer = SeparatorTrainer(sep_cfg, mesh=mesh, lr=5e-4, seed=seed)
+    t_len = SR
+    for step in range(1, n_steps(400) + 1):
+        b_sep = bs(8)
+        refs = np.stack([
+            np.stack([say(rng, rng.integers(N_SPK), rand_word(rng, 4, 4))[:t_len]
+                      for _ in range(3)])
+            for _ in range(b_sep)
+        ])
+        refs = np.pad(refs, ((0, 0), (0, 0), (0, max(0, t_len - refs.shape[-1]))))[:, :, :t_len]
+        loss = sep_trainer.train_step(refs.sum(1), refs,
+                                      np.ones((b_sep, t_len), np.float32))
+        if step % 200 == 0:
+            log(f"  sep step {step} loss {loss:.2f}")
+    losses["sep_final_loss"] = float(loss)
+
+    # ------------------------------------------------------------- 2. OSD
+    log("[2/4] training OSD (frame BCE)")
+    osd_model = OSDNet(osd_cfg)
+    dur = 3.0
+    t3 = int(dur * SR)
+
+    def osd_batch(n):
+        wavs = np.zeros((n, t3), np.float32)
+        marks = []
+        for i in range(n):
+            s1 = say(rng, rng.integers(N_SPK), rand_word(rng, 12, 12))[:t3]
+            wavs[i, : s1.size] = s1
+            a = rng.uniform(0.4, 1.4)
+            s2 = say(rng, rng.integers(N_SPK), rand_word(rng, 6, 6))
+            ia = int(a * SR)
+            ib = min(ia + s2.size, t3)
+            wavs[i, ia:ib] += s2[: ib - ia]
+            marks.append((a, ib / SR))
+        feats = fbank_batch(jnp.asarray(wavs))
+        n_out = int(np.ceil(feats.shape[1] / osd_cfg.subsample))
+        centers = (np.arange(n_out) + 0.5) * osd_cfg.out_frame_sec
+        labels = np.zeros((n, n_out, 2), np.float32)
+        labels[:, :, 0] = 1.0
+        for i, (a, b) in enumerate(marks):
+            labels[i, :, 1] = (centers >= a) & (centers < b)
+        return {"feats": feats, "labels": jnp.asarray(labels)}
+
+    osd_params = osd_model.init(jax.random.PRNGKey(seed), osd_batch(1)["feats"])
+    osd_trainer = ModuleTrainer(
+        osd_model, osd_params,
+        lambda f, p, b: frame_bce_loss(f(p, b["feats"]), b["labels"],
+                                       jnp.ones(b["labels"].shape[:2])),
+        mesh=mesh, lr=3e-4)
+    for step in range(1, n_steps(250) + 1):
+        loss = osd_trainer.train_step(osd_batch(bs(8)))
+        if step % 125 == 0:
+            log(f"  osd step {step} bce {loss:.4f}")
+    losses["osd_final_loss"] = float(loss)
+
+    # --------------------------------------------------------- 3. speaker
+    log("[3/4] training speaker embedder (AAM)")
+
+    class EmbedderWithHead(nn.Module):
+        @nn.compact
+        def __call__(self, feats):
+            emb = SpeakerEmbedder(spk_cfg, name="embedder")(feats)
+            w = self.param("aam_centers", nn.initializers.normal(1.0),
+                           (N_SPK, spk_cfg.embed_dim))
+            return emb, w
+
+    spk_head = EmbedderWithHead()
+
+    def spk_batch(n):
+        labels = rng.integers(0, N_SPK, size=n)
+        wavs = np.zeros((n, SR), np.float32)
+        for i, s in enumerate(labels):
+            u = say(rng, int(s), rand_word(rng, 4, 4))[:SR]
+            wavs[i, : u.size] = u
+        return {"feats": fbank_batch(jnp.asarray(wavs)), "labels": jnp.asarray(labels)}
+
+    def spk_loss(f, p, b):
+        emb, w = f(p, b["feats"])
+        return aam_softmax_loss(emb, b["labels"], w, margin=0.2, scale=30.0)
+
+    spk_params = spk_head.init(jax.random.PRNGKey(seed), spk_batch(2)["feats"])
+    spk_trainer = ModuleTrainer(spk_head, spk_params, spk_loss, mesh=mesh, lr=3e-4)
+    for step in range(1, n_steps(300) + 1):
+        loss = spk_trainer.train_step(spk_batch(bs(16)))
+        if step % 150 == 0:
+            log(f"  spk step {step} aam {loss:.4f}")
+    losses["spk_final_loss"] = float(loss)
+
+    # ------------------------------------------------------------- 4. ASR
+    # The recognizer gets the deepest budget: the committed gate requires
+    # CER <= 0.2, and the round-3 demo showed 900 steps leaves greedy-CTC
+    # repeat collapse + tail truncation (CER 0.57). Two changes close it:
+    # 2x the step budget, and a training distribution that includes
+    # SUB-WORD WINDOWS (the pipeline transcribes OSD segments, which start
+    # and end mid-word — a model trained only on word-initial audio has
+    # never seen a boundary sliver).
+    log("[4/4] training SenseVoice-CTC")
+    asr_model = SenseVoiceEncoder(asr_cfg)
+    max_word, t_asr = 12, int(12 * SR * TONE_MS / 1000)
+    tone_n = int(SR * TONE_MS / 1000)
+
+    def asr_batch(n):
+        wavs = np.zeros((n, t_asr), np.float32)
+        lens = np.zeros(n, np.int32)
+        labels = np.zeros((n, max_word), np.int32)
+        lab_lens = np.zeros(n, np.int32)
+        for i in range(n):
+            w = rand_word(rng, 3, max_word)
+            audio = say(rng, rng.integers(N_SPK), w)
+            if rng.random() < 0.5:
+                # segment-shaped crop: cut mid-letter on both sides, keep
+                # the >=50%-covered letters as the label (span_truth's rule)
+                a = rng.uniform(0, 0.6 * tone_n / SR) + rng.integers(0, max(len(w) - 2, 1)) * (tone_n / SR)
+                b = min(a + rng.uniform(1.5, 2.8), audio.size / SR)
+                ia, ib = int(a * SR), int(b * SR)
+                if ib - ia > tone_n:
+                    w = span_truth(w, a, b)
+                    audio = audio[ia:ib]
+            if not w:
+                w = "a"
+                audio = say(rng, 0, w)
+            audio = audio + 0.01 * rng.standard_normal(audio.size).astype(np.float32)
+            wavs[i, : audio.size] = audio
+            lens[i] = audio.size
+            ids = tokens.encode(w)
+            labels[i, : len(ids)] = ids
+            lab_lens[i] = len(ids)
+        return dict(wav=jnp.asarray(wavs), lens=jnp.asarray(lens),
+                    labels=jnp.asarray(labels), lab_lens=jnp.asarray(lab_lens))
+
+    b0 = asr_batch(2)
+    feats0, mask0 = sensevoice_frontend(b0["wav"], b0["lens"], asr_cfg)
+    asr_params = asr_model.init(jax.random.PRNGKey(seed), feats0, mask0)
+
+    def asr_loss(f, p, b):
+        feats, mask = sensevoice_frontend(b["wav"], b["lens"], asr_cfg)
+        logits = f(p, feats, mask)[:, asr_cfg.num_prompt:]
+        return ctc_loss(logits, mask.astype(jnp.float32), b["labels"], b["lab_lens"],
+                        blank_id=tokens.blank_id)
+
+    asr_trainer = ModuleTrainer(asr_model, asr_params, asr_loss, mesh=mesh, lr=5e-4)
+    for step in range(1, n_steps(1800) + 1):
+        loss = asr_trainer.train_step(asr_batch(bs(12)))
+        if step % 300 == 0:
+            log(f"  asr step {step} ctc {loss:.3f}")
+    losses["asr_final_loss"] = float(loss)
+
+    # ------------------------------------------- assemble the model pack
+    preset = EnginePreset(
+        name="demo", osd=osd_cfg, sep3=sep_cfg,
+        sep2=ConvTasNetConfig(n_src=2, enc_dim=64, enc_kernel=16, bottleneck=32,
+                              hidden=64, n_blocks=2, n_repeats=1),
+        mossformer=MossFormerConfig(n_src=2, enc_dim=64, dim=48, qk_dim=32, layers=2),
+        spk=spk_cfg, asr=asr_cfg,
+        transducer=TransducerConfig(vocab_size=tokens.vocab_size, dim=32, heads=2,
+                                    layers=1, pred_dim=32, joiner_dim=32, conv_kernel=3),
+        paraformer=ParaformerConfig(vocab_size=tokens.vocab_size, dim=32, heads=2,
+                                    enc_layers=1, dec_layers=1, conv_kernel=3, max_tokens=16),
+        whisper=WhisperStyleConfig(vocab_size=tokens.vocab_size, dim=32, heads=2,
+                                   enc_layers=1, dec_layers=1, max_decode_len=16),
+        vad=VADConfig(dim=16, layers=2),
+    )
+    pack = ModelPack(preset, seed=seed, tokens=tokens)
+    pack.load_params("sep3", sep_trainer.state.params)
+    pack.load_params("osd", osd_trainer.state.params)
+    spk_vars = spk_trainer.state.params
+    spk_packed = {"params": spk_vars["params"]["embedder"]}
+    if "batch_stats" in spk_vars:
+        spk_packed["batch_stats"] = spk_vars["batch_stats"]["embedder"]
+    pack.load_params("spk", spk_packed)
+    pack.load_params("asr", asr_trainer.state.params)
+    engine = StageEngine(pack, BucketSpec(lengths=default_buckets(SR, 0.5, 8.0),
+                                          max_batch=8))
+    return engine, tokens, losses
+
+
+def run_quality_gate(steps_scale: float = 1.0, n_scenes: int = 6,
+                     seed: int = 0, eval_seed: int = 424242,
+                     log=print) -> Dict:
+    """Train the world pack, calibrate sv_threshold on dev scenes, run the
+    flagship pipeline on held-out scenes -> metrics dict (the reference's
+    field names + per-record CER)."""
+    import tempfile
+
+    from ..audio_io import write_wav
+    from ..metrics import cer
+    from ..utils.config import Overlap3Config
+    from .offline_overlap3 import Overlap3Pipeline
+
+    t0 = time.time()
+    engine, tokens, losses = train_world_pack(steps_scale, seed, log=log)
+    t_train = time.time() - t0
+
+    # ------------------------------ calibrate sv_threshold on dev scenes
+    # (standard practice: pick the operating point from a small dev set;
+    # the reference hard-codes 0.6 for its particular checkpoint)
+    eval_rng = np.random.default_rng(eval_seed)
+    target_spk = 0
+    enroll_wav = say(eval_rng, target_spk, rand_word(eval_rng, 6, 6))
+    enroll_vec = engine.embed([enroll_wav])[0]
+    tgt_scores, other_scores = [], []
+    for _ in range(3):
+        w_t = rand_word(eval_rng, 6, 6)
+        tgt = say(eval_rng, target_spk, w_t)
+        intr = say(eval_rng, int(eval_rng.integers(1, N_SPK)), rand_word(eval_rng, 6, 6))
+        n = min(tgt.size, intr.size)
+        rec = engine.process_overlap([tgt[:n] + intr[:n]], [enroll_vec])[0]
+        s = sorted(np.asarray(rec["scores"]), reverse=True)
+        tgt_scores.append(s[0])
+        other_scores.append(s[1])
+    sv_thr = float((np.mean(tgt_scores) + np.mean(other_scores)) / 2)
+    log(f"calibrated sv_threshold={sv_thr:.3f} "
+        f"(target-branch {np.mean(tgt_scores):.3f}, "
+        f"best-other {np.mean(other_scores):.3f})")
+
+    dur = 3.0
+    t3 = int(dur * SR)
+    with tempfile.TemporaryDirectory() as td:
+        tdp = Path(td)
+        paths, truths, ref_rows = [], {}, []
+        for i in range(n_scenes):
+            w_t = rand_word(eval_rng, 6, 6) + rand_word(eval_rng, 6, 6)
+            tgt = say(eval_rng, target_spk, w_t)[:t3]
+            scene = np.zeros(t3, np.float32)
+            scene[: tgt.size] += tgt
+            intr_spk = int(eval_rng.integers(1, N_SPK))
+            w_i = rand_word(eval_rng, 5, 5)
+            intr = say(eval_rng, intr_spk, w_i)
+            a = int(0.9 * SR)
+            b = min(a + intr.size, t3)
+            intr_full = np.zeros(t3, np.float32)
+            intr_full[a:b] = intr[: b - a]
+            scene += intr_full
+            mp = tdp / f"scene_{i}.wav"
+            write_wav(mp, scene, SR)
+            paths.append(str(mp))
+            truths[str(mp)] = w_t
+            r1 = tdp / f"tref_{i}.wav"
+            r2 = tdp / f"iref_{i}.wav"
+            tgt_full = np.zeros(t3, np.float32)
+            tgt_full[: tgt.size] = tgt
+            write_wav(r1, tgt_full, SR)
+            write_wav(r2, intr_full, SR)
+            ref_rows.append(f"{mp},{r1},{r2}")
+        (tdp / "refs.csv").write_text("mix,ref1,ref2\n" + "\n".join(ref_rows))
+        write_wav(tdp / "target.wav", enroll_wav, SR)
+
+        cfg = Overlap3Config(
+            input_wavs=paths, target_wav=str(tdp / "target.wav"),
+            refs_csv=str(tdp / "refs.csv"),
+            sv_threshold=sv_thr,       # REAL gating at the calibrated point
+            osd_thr=0.5, min_overlap_dur=0.3, max_segment_sec=8.0,
+            eval_separation=True, seed=seed, preset="tiny",
+        )
+        t1 = time.time()
+        result = Overlap3Pipeline(cfg, engine=engine).run()
+        t_pipe = time.time() - t1
+
+        m = dict(result.metrics)
+        # per-record CER: emitted text vs the letters the target actually
+        # voiced (>=50% of the slot) inside the record's span
+        span_cers: List[float] = []
+        by_wav: Dict[str, List[str]] = {}
+        for rec in sorted(result.segments, key=lambda r: (r["wav"], r["start"])):
+            truth = span_truth(truths[rec["wav"]], rec["start"], rec["end"])
+            if truth:
+                span_cers.append(cer(truth, rec["text"]))
+            by_wav.setdefault(rec["wav"], []).append(rec["text"])
+        concat_cers = [cer(truths[w], "".join(ts)) for w, ts in by_wav.items()]
+
+    m.update({
+        "cer_mean": round(float(np.mean(span_cers)), 4) if span_cers else None,
+        "cer_records": len(span_cers),
+        "cer_concat_mean": round(float(np.mean(concat_cers)), 4) if concat_cers else None,
+        "sv_threshold_calibrated": round(sv_thr, 4),
+        "n_scenes": n_scenes,
+        "steps_scale": steps_scale,
+        "train_wall_sec": round(t_train, 1),
+        "pipeline_wall_sec": round(t_pipe, 1),
+        **{k: round(v, 4) for k, v in losses.items()},
+    })
+    log("\n==== quality gate metrics ====")
+    log(f"target_hit_rate_segments={m['target_hit_rate_segments']}")
+    log(f"sep_sisdr_mean={m['sep_sisdr_mean']} sep_sisdri_mean={m['sep_sisdri_mean']}")
+    log(f"cer_mean={m['cer_mean']} (per-record, {m['cer_records']} records) "
+        f"cer_concat_mean={m['cer_concat_mean']}")
+    return m
+
+
+def write_quality_json(m: Dict, out_path: str, hit_gate: float = 0.9,
+                       cer_gate: float = 0.2) -> Dict:
+    """Evaluate the gates, stamp the artifact, write JSON -> artifact."""
+    import jax
+
+    hit = m.get("target_hit_rate_segments")
+    c = m.get("cer_mean")
+    artifact = {
+        "kind": "quality_gate",
+        "world": "synthetic octave-band speakers / eighth-octave letters",
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "gates": {"target_hit_rate_segments": f">={hit_gate}",
+                  "cer_mean": f"<={cer_gate}"},
+        "quality_ok": bool(hit is not None and hit >= hit_gate
+                           and c is not None and c <= cer_gate),
+        **m,
+    }
+    Path(out_path).write_text(json.dumps(artifact, indent=1))
+    return artifact

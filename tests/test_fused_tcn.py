@@ -204,10 +204,73 @@ def test_vmem_plan_admits_serving_buckets():
     assert _plan_tile(1000, 128, 512, 128, 2) == 1024
 
 
-def test_int8_quant_stays_dense(_force_fused):
-    # the fused path has no s8 MXU story; quant="int8" must use the dense
-    # loop (gate in ConvTasNet._use_fused_tcn)
+def test_s8_weight_stream_matches_dequant_reference():
+    """stack_tcn_params(weight_quant=True) streams int8 weights + scales;
+    the kernel's in-kernel dequant must match the dense reference run on
+    the SAME dequantized weights (weight-only quant: activations keep the
+    float path exactly)."""
+    from audio_classification_tpu.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(7)
+    blocks = _blocks(rng)
+    st_q = stack_tcn_params(blocks, jnp.float32, weight_quant=True)
+    assert st_q["w_in"].dtype == jnp.int8
+    assert st_q["vecs"].shape[1] == 10 and st_q["cvecs"].shape[1] == 4
+
+    # host-side dequant of the SAME per-block per-out-channel grid
+    def deq(blks):
+        out = []
+        for b in blks:
+            b = jax.tree.map(lambda x: x, b)  # copy
+            for name in ("in_conv", "dw_conv", "res_conv", "skip_conv"):
+                k = b[name]["kernel"]
+                q, s = quantize_weight(jnp.asarray(k, jnp.float32), channel_axis=-1)
+                b[name] = dict(b[name], kernel=(q.astype(jnp.float32) * s).astype(k.dtype))
+            out.append(b)
+        return out
+
+    st_deq = stack_tcn_params(deq(blocks), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 150, C)).astype(np.float32))
+    f_len = jnp.array([150, 97], jnp.int32)
+    ref = np.asarray(tcn_masker_reference(x, f_len, st_deq, n_per_repeat=NB_PER))
+    out = np.asarray(fused_tcn_masker(x, f_len, st_q, n_per_repeat=NB_PER,
+                                      tile=64, interpret=True))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_int8_quant_uses_fused_weight_stream(_force_fused):
+    """quant="int8" no longer falls back to the dense loop: the fused
+    masker runs with the s8 weight stream. Output stays close to the float
+    model (8-bit weight rounding only) and padded-vs-solo exactness holds
+    (weight scales are activation-independent)."""
     cfg = ConvTasNetConfig(n_src=2, enc_dim=128, enc_kernel=16, bottleneck=C,
                            hidden=H, n_blocks=NB_PER, n_repeats=1, quant="int8")
     m = ConvTasNet(cfg)
-    assert not m._use_fused_tcn(1000, jnp.float32)
+
+    m_float = ConvTasNet(dataclasses.replace(cfg, quant="none", fused_tcn="off"))
+    rng = np.random.default_rng(3)
+    mix = jnp.asarray(rng.normal(size=(2, 4000)).astype(np.float32))
+    mask = jnp.asarray(np.arange(4000)[None, :] < np.array([4000, 2513])[:, None])
+    params = jax.jit(m_float.init)(jax.random.PRNGKey(0), mix, mask)
+    # quant no longer vetoes the fused masker (bound module: is_initializing
+    # needs a scope)
+    assert m.bind(params)._use_fused_tcn(1000, jnp.float32)
+    yq = np.asarray(m.apply(params, mix, mask))
+    yf = np.asarray(m_float.apply(params, mix, mask))
+    assert np.isfinite(yq).all()
+    # int8 everywhere (encoder/decoder s8 MXU + s8 masker weights): loose
+    # but non-vacuous bound vs float
+    assert np.abs(yq - yf).max() / np.abs(yf).max() < 0.5
+
+    solo = np.asarray(m.apply(params, mix[1:2, :2513], jnp.ones((1, 2513), bool)))
+    assert np.abs(yq[1, :, :2513] - solo[0]).max() / (np.abs(solo).max() + 1e-9) < 1e-5
+
+
+def test_s8_weight_stream_is_inference_only():
+    rng = np.random.default_rng(9)
+    st_q = stack_tcn_params(_blocks(rng), jnp.float32, weight_quant=True)
+    x = jnp.asarray(rng.normal(size=(1, 128, C)).astype(np.float32))
+    f_len = jnp.array([128], jnp.int32)
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(lambda xx: jnp.sum(fused_tcn_masker(
+            xx, f_len, st_q, n_per_repeat=NB_PER, tile=64, interpret=True)))(x)
