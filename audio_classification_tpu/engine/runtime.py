@@ -311,8 +311,10 @@ class _AotProgram:
                 cost = compiled.cost_analysis()
                 if isinstance(cost, (list, tuple)):
                     cost = cost[0] if cost else {}
-                flops = float(cost.get("flops", 0.0) or 0.0)
-                bytes_acc = float(cost.get("bytes accessed", 0.0) or 0.0)
+                # XLA emits small NEGATIVE sentinels (e.g. -4) for programs
+                # it won't cost (pure data movement): clamp, don't propagate
+                flops = max(float(cost.get("flops", 0.0) or 0.0), 0.0)
+                bytes_acc = max(float(cost.get("bytes accessed", 0.0) or 0.0), 0.0)
             except Exception:
                 pass
             # lower_s is host trace/lower time (paid every process); a small

@@ -44,8 +44,12 @@ ACT_BENCH_TARGET_RTF (0.0045), ACT_BENCH_WAIT_BUDGET_S (900),
 ACT_BENCH_DTYPE (bfloat16), ACT_BENCH_MIXTURES (128), ACT_BENCH_DUR_SEC
 (10), ACT_BENCH_MAX_BATCH (64), ACT_BENCH_QUALITY (1), ACT_BENCH_QUALITY_STEPS
 (150), ACT_BENCH_SERVE (1; multi-session StreamingServer throughput/latency),
-ACT_BENCH_ROOFLINE (0), ACT_BENCH_FAMILIES (0), ACT_BENCH_QUANT
-(none; "int8" serves the whole pipeline through the s8 MXU path),
+ACT_BENCH_ROOFLINE (0), ACT_BENCH_FAMILIES (0), ACT_BENCH_SERVE_MEASURE
+(1; measure serving capacity AT the extrapolated session count),
+ACT_BENCH_SERVE_CAP (96; session ceiling for that measurement),
+ACT_BENCH_QUANT
+(none; "int8" serves the whole pipeline through the s8 MXU path incl.
+the fused masker's s8 weight stream),
 ACT_BENCH_BACKEND_WAIT_S (600; bounded retry when the tunnel backend
 fails to initialize at all).
 """
@@ -274,6 +278,64 @@ def roofline_report(eng, kind: str):
             f"bytes={a['bytes']:.3g} AI={ai:.1f} flop/B "
             f"({bound}-bound; attainable MFU <= {attain*100:.1f}% "
             f"at ridge {ridge:.0f})")
+
+
+def _calls_snapshot(eng):
+    return {(p["name"], p["shapes"], p["static"]): p["calls"]
+            for p in eng.program_stats()}
+
+
+def dispatch_budget_report(eng, kind: str, before, pass_m):
+    """Measured dispatch budget for ONE pass: per-stage launch counts,
+    XLA flop/byte totals, the HBM/MXU floor time each stage needs with
+    ZERO dispatch overhead, and the implied per-launch tunnel overhead.
+
+    This is the table that bounds the pipeline-MFU question: every stage
+    is HBM-bound (roofline above), so sum(floor) is the compute wall a
+    local-attached chip would see; the measured wall minus that floor,
+    divided by launch count, is the per-launch dispatch+transfer cost of
+    THIS tunnel — and  flops / (floor * peak)  is the MFU the same pass
+    projects to without the tunnel.
+    """
+    peak = PEAK_BF16_FLOPS.get(kind, 197e12)
+    bw = HBM_BYTES_PER_S.get(kind, 819e9)
+    agg = {}
+    for p in eng.program_stats():
+        key = (p["name"], p["shapes"], p["static"])
+        d = p["calls"] - before.get(key, 0)
+        if d <= 0:
+            continue
+        a = agg.setdefault(p["name"], dict(launches=0, flops=0.0, bytes=0.0))
+        a["launches"] += d
+        a["flops"] += p["flops"] * d
+        a["bytes"] += p["bytes"] * d
+    budget = {}
+    for name, a in sorted(agg.items()):
+        floor_ms = max(a["bytes"] / bw, a["flops"] / peak) * 1e3
+        budget[name] = {"launches": a["launches"],
+                        "flops": round(a["flops"], 1),
+                        "bytes": round(a["bytes"], 1),
+                        "floor_ms": round(floor_ms, 2)}
+        log(f"bench: budget stage={name:<12} launches={a['launches']:>3} "
+            f"flops={a['flops']:.3g} bytes={a['bytes']:.3g} "
+            f"floor={floor_ms:7.2f}ms")
+    compute_s = pass_m["time_compute_total_sec"]
+    launches = sum(b["launches"] for b in budget.values())
+    floor_s = sum(b["floor_ms"] for b in budget.values()) / 1e3
+    flops = sum(a["flops"] for a in agg.values())
+    over_ms = ((compute_s - floor_s) / launches * 1e3) if launches else 0.0
+    mfu_local = flops / (floor_s * peak) if floor_s else 0.0
+    log(f"bench: budget TOTAL launches={launches} floor={floor_s*1e3:.0f}ms "
+        f"vs measured compute={compute_s*1e3:.0f}ms -> dispatch+transfer "
+        f"overhead {over_ms:.1f}ms/launch (tunnel-bound); local-attached "
+        f"projection MFU={mfu_local*100:.1f}% (stage walls: "
+        f"osd={pass_m['time_osd_sec']}s sep={pass_m['time_sep_sec']}s "
+        f"asr={pass_m['time_asr_sec']}s)")
+    return {"dispatch_budget": budget,
+            "dispatch_launches": launches,
+            "dispatch_floor_ms": round(floor_s * 1e3, 1),
+            "dispatch_overhead_ms_per_launch": round(over_ms, 2),
+            "mfu_local_projected_pct": round(mfu_local * 100, 2)}
 
 
 def roofline_microbench(kind: str, dtype: str):
@@ -656,11 +718,16 @@ def main():
                     f"{len(rtfs)} passes")
                 break
             flops0 = eng.executed_flops()
+            calls_before = _calls_snapshot(eng)
             pipeline = Overlap3Pipeline(Overlap3Config(**{**cfg.__dict__}), engine=eng)
             t0 = time.time()
             result = pipeline.run()
             wall = time.time() - t0
             m = result.metrics
+            last_pass = (calls_before,
+                         {k: m[k] for k in ("time_osd_sec", "time_sep_sec",
+                                            "time_asr_sec",
+                                            "time_compute_total_sec")})
             window_flops = eng.executed_flops() - flops0
             compute_s = m["time_compute_total_sec"]
             mfu = window_flops / (compute_s * peak) if compute_s else 0.0
@@ -711,6 +778,11 @@ def main():
     rtf = float(min(rtfs))
     log(f"bench: rtf min={rtf:.4f} median={float(np.median(rtfs)):.4f} "
         f"passes={rtfs} mfu_best={float(max(mfus))*100:.2f}%")
+    budget = {}
+    try:
+        budget = dispatch_budget_report(eng, kind, *last_pass)
+    except Exception as e:  # never let the report kill the capture
+        log(f"bench: dispatch budget report failed: {type(e).__name__}: {e}")
 
     serve = None
     if os.environ.get("ACT_BENCH_SERVE", "1") != "0":
@@ -746,6 +818,7 @@ def main():
         "compile_s": cs["compile_total_s"],
         "cache_hits": cache_hits,
         "mfu_best_pct": round(float(max(mfus)) * 100, 2),
+        **budget,
         "wait_budget_left_s": round(max(wait_budget[0], 0.0), 1),
         "quality_si_sdri_db": round(quality, 2) if quality is not None else None,
         "longform_rtf_60s": round(longform_rtf, 4) if longform_rtf is not None else None,

@@ -123,6 +123,7 @@ def test_transducer_beam_padded_vs_solo():
     assert int(n_b[1]) == int(n_s[0])
 
 
+@pytest.mark.slow
 def test_engine_beam_decoding_method(tmp_path):
     """decoding_method="modified_beam_search" routes the transducer stage to
     beam_decode (reference: src/model.py:47-99 passes the flag to

@@ -4,6 +4,8 @@ import json
 import subprocess
 import sys
 
+import pytest
+
 
 def _load(path, name):
     spec = importlib.util.spec_from_file_location(name, path)
@@ -34,6 +36,7 @@ def test_graft_entry_shapes():
     assert mix.shape == (2, 32000) and mask.shape == (2, 32000)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_subprocess():
     # run in a subprocess so the virtual-device env applies cleanly
     code = (
@@ -93,8 +96,18 @@ def test_bench_serve_smoke_tiny():
     eng = StageEngine(pack, BucketSpec(lengths=default_buckets(16000, 0.5, 8.0),
                                        max_batch=8))
     cfg = Overlap3Config(preset="tiny", seed=0, max_batch=8)
-    out = bench.serve_smoke(eng, cfg, items, n_sessions=3, ticks=2,
-                            window_sec=2.0)
+    import os
+
+    os.environ["ACT_BENCH_SERVE_CAP"] = "4"  # keep the capacity pass tiny
+    try:
+        out = bench.serve_smoke(eng, cfg, items, n_sessions=3, ticks=2,
+                                window_sec=2.0)
+    finally:
+        os.environ.pop("ACT_BENCH_SERVE_CAP", None)
     assert out["serve_sessions"] == 3
     assert out["serve_rtf"] > 0 and np.isfinite(out["serve_rtf"])
     assert out["serve_rt_streams"] >= 0 and out["serve_tick_p95_s"] > 0
+    assert out["serve_rt_streams_extrapolated"] >= 0
+    if "serve_sessions_measured" in out:  # capacity pass ran (extrap > 3)
+        assert out["serve_sessions_measured"] == 4
+        assert isinstance(out["serve_capacity_sustained"], bool)

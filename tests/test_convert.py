@@ -150,6 +150,7 @@ def test_torch_convtasnet_import_roundtrip(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_torch_convtasnet_forward_numeric_parity(tmp_path):
     """VERDICT round-1 item 5: run a REAL torch Conv-TasNet forward with
     asteroid's structure/naming and assert the imported JAX model matches
@@ -249,6 +250,7 @@ def test_torch_convtasnet_forward_numeric_parity(tmp_path):
     np.testing.assert_allclose(got, want[..., :t], atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_torch_mossformer_import_numeric_parity(tmp_path):
     """VERDICT round-2 item 4: a REAL torch forward mirroring the published
     ModelScope/ClearVoice MossFormer structure+naming (conv encoder -> GAU

@@ -17,6 +17,8 @@ from audio_classification_tpu.models.asr.sensevoice import (
 from audio_classification_tpu.models.asr.tokens import TokenTable
 from audio_classification_tpu.models.convert.onnx_export import export_sensevoice
 
+pytestmark = pytest.mark.slow  # deep-verification tier (see pyproject)
+
 STUDENT = ["--dim", "32", "--heads", "2", "--layers", "1",
            "--conv-kernel", "3", "--batch", "2", "--log-every", "100",
            "--max-seconds", "1.2"]

@@ -9,6 +9,8 @@ from audio_classification_tpu.cli.distill_osd import (
     teacher_labels,
 )
 
+pytestmark = pytest.mark.slow  # deep-verification tier (see pyproject)
+
 
 def test_energy_labels_mark_overlap_window():
     rng = np.random.default_rng(0)

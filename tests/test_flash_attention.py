@@ -128,6 +128,7 @@ def test_flash_stats_normalize_matches_dense():
     np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ring_attention_flash_block(monkeypatch):
     """Ring attention with its per-shard blocks forced through the Pallas
     streaming kernel (interpret on CPU) == the dense single-device oracle,
@@ -218,6 +219,7 @@ def test_gau_gradients_match_dense():
         assert np.abs(np.asarray(a) - np.asarray(b_)).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_gau_module_flash_parity(monkeypatch):
     """MossFormer's GAUBlock flash branch == its dense branch, same params."""
     from audio_classification_tpu.models.mossformer import GAUBlock, MossFormerConfig

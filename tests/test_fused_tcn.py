@@ -73,6 +73,7 @@ def test_kernel_tile_not_dividing_frames():
         assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5, (f, tile)
 
 
+@pytest.mark.slow
 def test_gradients_match_dense():
     rng = np.random.default_rng(1)
     st = stack_tcn_params(_blocks(rng), jnp.float32)
@@ -133,6 +134,7 @@ def test_full_model_fused_bf16(_force_fused):
     assert np.abs(yd - yf).max() / np.abs(yd).max() < 0.1
 
 
+@pytest.mark.slow
 def test_fused_training_step(_force_fused):
     # gradients flow through the flax-wired fused path (custom_vjp bwd)
     m_fused, m_dense = _model_pair()

@@ -482,6 +482,7 @@ def _whisper_oracle(spec, cfg, feats, tokens):
     return _ln(y, *spec["dec_ln"]) @ spec["emb"].T
 
 
+@pytest.mark.slow
 def test_whisper_onnx_import_matches_numpy_oracle(tmp_path):
     import jax
 
@@ -702,6 +703,7 @@ def _cif_np(h, alpha, max_tokens, threshold=1.0):
     return out, count
 
 
+@pytest.mark.slow
 def test_paraformer_onnx_import_matches_numpy_oracle(tmp_path):
     import jax
 
@@ -772,6 +774,7 @@ def test_paraformer_onnx_import_matches_numpy_oracle(tmp_path):
 
 # --------------------------------------------------------------- transducer
 
+@pytest.mark.slow
 def test_transducer_onnx_import_matches_numpy_oracle(tmp_path):
     import jax
 

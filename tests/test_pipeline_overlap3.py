@@ -202,6 +202,7 @@ def test_granular_paths_match_fused(fixture_dir, file_mode_result):
     assert m["rtf_total"] > 0
 
 
+@pytest.mark.slow
 def test_int8_quant_pipeline_runs(fixture_dir):
     """--quant int8: the separators run on the s8 MXU path end to end;
     records keep the schema and the all-overlap threshold forces the
@@ -227,6 +228,7 @@ def test_granular_books_time_sep(fixture_dir):
     assert all(isinstance(r["stream"], int) for r in res.segments)
 
 
+@pytest.mark.slow
 def test_mesh_pipeline_record_parity(fixture_dir, tmp_path):
     """The flagship pipeline runs END TO END on the virtual 8-device mesh
     (--data-parallel 4 --model-parallel 2): fused paths, device arena,

@@ -134,6 +134,7 @@ def _save_ckpt(tmp_path, sd, nested: bool):
     return str(path)
 
 
+@pytest.mark.slow
 def test_torch_forward_parity(tmp_path):
     from audio_classification_tpu.models.convert.torch_import import load_pyannet_torch
 
@@ -194,6 +195,7 @@ def test_padded_vs_solo():
     assert np.all(out[1, n2:] == 0.0)
 
 
+@pytest.mark.slow
 def test_out_frames_matches_forward():
     model = PyanNet(TINY)
     params = init_pyannet_params(TINY, seed=5)

@@ -10,6 +10,8 @@ Properties under test:
 """
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -95,6 +97,7 @@ def test_convtasnet_int8_close_to_float():
     assert cos > 0.98, cos
 
 
+@pytest.mark.slow
 def test_convtasnet_int8_padded_equals_solo():
     """The masked quantization scales keep the repo's padded-vs-solo
     exactness invariant on the int8 path."""
@@ -142,6 +145,7 @@ def test_denseq_none_matches_nn_dense_exactly():
                                   np.asarray(Got().apply(p_got, x)))
 
 
+@pytest.mark.slow
 def test_sensevoice_int8_same_params_close_logits():
     """The quantized encoder consumes the float param tree unchanged and
     stays close to the float logits (dynamic 127-level grids through a
@@ -163,6 +167,7 @@ def test_sensevoice_int8_same_params_close_logits():
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_sensevoice_int8_padded_equals_solo():
     """Masked per-sample scales keep padded-vs-solo exactness through the
     quantized attention/FFN projections."""
@@ -186,6 +191,7 @@ def test_sensevoice_int8_padded_equals_solo():
     np.testing.assert_array_equal(padded[:, :n_valid], solo[:, :n_valid])
 
 
+@pytest.mark.slow
 def test_whisper_encoder_int8_same_params_close_memory():
     """The whisper-style encoder's int8 path consumes the float param tree
     unchanged (DenseQ keeps the flax-auto Dense_0/Dense_1 paths) and stays
@@ -208,6 +214,7 @@ def test_whisper_encoder_int8_same_params_close_memory():
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_whisper_encoder_int8_padded_equals_solo():
     """Masked per-sample scales keep padded-vs-solo exactness through the
     quantized whisper encoder (frame mask covers the conv-subsampled axis)."""
@@ -232,6 +239,7 @@ def test_whisper_encoder_int8_padded_equals_solo():
     np.testing.assert_array_equal(np.asarray(padded)[:, :n_valid], solo)
 
 
+@pytest.mark.slow
 def test_convtasnet_int8_batch_independence():
     """A 1000x louder batchmate must not change a sample's separation."""
     model = ConvTasNet(TINY_Q)

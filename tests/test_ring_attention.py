@@ -1,5 +1,6 @@
 """Sequence-parallel ring attention vs single-device softmax oracle."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,6 +23,7 @@ def test_ring_attention_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_attention_masked():
     mesh = make_mesh(8, model_axis=1)
     rng = np.random.default_rng(2)

@@ -44,6 +44,7 @@ def test_same_seed_same_targets(librimix3):
     assert [r["text"] for r in r1.segments] == [r["text"] for r in r2.segments]
 
 
+@pytest.mark.slow
 def test_wave_size_does_not_change_picks(librimix3):
     engine = build_engine(_cfg(librimix3, 0))
     r1 = Overlap3Pipeline(_cfg(librimix3, 7, wave_mixtures=1), engine=engine).run()
@@ -51,6 +52,7 @@ def test_wave_size_does_not_change_picks(librimix3):
     assert [x["target_src"] for x in r1.segments] == [x["target_src"] for x in r2.segments]
 
 
+@pytest.mark.slow
 def test_different_seed_may_differ(librimix3):
     engine = build_engine(_cfg(librimix3, 0))
     picks = set()

@@ -166,6 +166,7 @@ def test_session_lifecycle(server, fixtures):
     server.close_session(sid2)
 
 
+@pytest.mark.slow
 def test_mesh_server_matches_single(server, fixtures):
     """The serving surface runs on the mesh: a --data-parallel 4
     --model-parallel 2 server (same seed, so same weights) must emit the

@@ -15,6 +15,8 @@ from audio_classification_tpu.models.convtasnet import ConvTasNet, ConvTasNetCon
 from audio_classification_tpu.parallel.mesh import make_mesh
 from audio_classification_tpu.parallel.sp_convtasnet import sp_separate
 
+pytestmark = pytest.mark.slow  # deep-verification tier (see pyproject)
+
 CFG = ConvTasNetConfig(n_src=2, enc_dim=16, enc_kernel=16, bottleneck=8,
                        hidden=16, conv_kernel=3, n_blocks=3, n_repeats=2,
                        sample_rate=8000)

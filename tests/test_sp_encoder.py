@@ -7,6 +7,8 @@ import pytest
 from audio_classification_tpu.parallel.mesh import data_sharding, make_mesh
 from audio_classification_tpu.parallel.sp_encoder import SPTransformerBlock
 
+pytestmark = pytest.mark.slow  # deep-verification tier (see pyproject)
+
 
 def test_sp_block_matches_dense():
     mesh = make_mesh(8, model_axis=1)

@@ -42,6 +42,7 @@ def corpus(tmp_path_factory):
     return root, str(man), tokens
 
 
+@pytest.mark.slow
 def test_manifest_train_ckpt_resume_export(corpus, capsys, tmp_path):
     root, man, tokens = corpus
     ck, export = str(tmp_path / "ck"), str(tmp_path / "export")
@@ -139,6 +140,7 @@ def test_init_onnx_finetunes_mapped_export(corpus, tmp_path, capsys):
     assert "fine-tuning mapped weights" in out
 
 
+@pytest.mark.slow
 def test_export_dim_mismatch_fails_loud(corpus, tmp_path):
     _, man, tokens = corpus
     export = str(tmp_path / "export32")

@@ -58,6 +58,7 @@ def test_resume_continues_from_saved_step(trained, capsys):
     assert "step     7" in out  # first post-resume step logged
 
 
+@pytest.mark.slow
 def test_resume_restores_optimizer_state(tmp_path):
     """Stronger than step-count parity: a save/restore round-trip must
     reproduce the exact same next train step (params AND adam moments)."""
@@ -114,6 +115,7 @@ def test_build_engine_rejects_shape_mismatched_orbax_dir(trained, tmp_path):
         build_engine(cfg)
 
 
+@pytest.mark.slow
 def test_mossformer_train_export_serve(tmp_path, capsys):
     """--arch mossformer: the second separation backend trains with the same
     PIT loop (GAU gate dims TP-sharded) and its export loads into the

@@ -16,6 +16,7 @@ TINY = ["--channels", "8,16", "--embed-dim", "32", "--batch", "4",
         "--max-seconds", "0.5", "--log-every", "100"]
 
 
+@pytest.mark.slow
 def test_synthetic_train_ckpt_resume_export_serve(tmp_path, capsys):
     ck, export = str(tmp_path / "ck"), str(tmp_path / "export")
     onnx_path = str(tmp_path / "spk.onnx")

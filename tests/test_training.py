@@ -77,6 +77,7 @@ def test_ctc_loss_trainable_direction():
     assert l_easy < l_rand
 
 
+@pytest.mark.slow
 def test_speaker_embedder_aam_trains():
     cfg = SpeakerEmbedderConfig(channels=(4, 8), embed_dim=16)
     model = SpeakerEmbedder(cfg)
