@@ -132,12 +132,15 @@ def log_mel_fbank(
     if use_pallas is None:
         use_pallas = _use_pallas_default()
     if use_pallas:
-        from .pallas.fbank_kernel import fbank_power_mel_pallas
+        from .pallas.fbank_kernel import choose_tile, fbank_power_mel_pallas
 
-        return fbank_power_mel_pallas(
-            frames, n_fft, cfg.num_bins, cfg.sample_rate, cfg.low_freq,
-            cfg.high_freq, cfg.log_floor,
-        )
+        # wide frontends (e.g. 64 ms / 128 mel) can overflow the kernel's
+        # scoped-VMEM budget even at the minimum tile — use the XLA path
+        if choose_tile(n_fft, cfg.num_bins) is not None:
+            return fbank_power_mel_pallas(
+                frames, n_fft, cfg.num_bins, cfg.sample_rate, cfg.low_freq,
+                cfg.high_freq, cfg.log_floor,
+            )
     cos_b, msin_b = _dft_basis_np(n_fft)
     re = jnp.matmul(frames, jnp.asarray(cos_b), preferred_element_type=jnp.float32, precision='highest')
     im = jnp.matmul(frames, jnp.asarray(msin_b), preferred_element_type=jnp.float32, precision='highest')

@@ -60,6 +60,38 @@ def _kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref, *, log_floor: float)
     out_ref[:] = jnp.log(jnp.maximum(mel_e, log_floor))
 
 
+# Mosaic's default scoped-VMEM budget is 16 MiB; leave headroom for
+# compiler stack temporaries beyond the block/temp estimate below.
+_VMEM_BUDGET_BYTES = 14 * 2**20
+_MIN_TILE = 128
+
+
+def _vmem_bytes(tile: int, n_fft: int, fp: int, bp: int) -> int:
+    """f32 VMEM estimate for one grid step.
+
+    Mosaic DOUBLE-BUFFERS every operand/out block across grid steps (the
+    64 ms config measured 19.5 MiB demanded at tile=512 where the
+    single-buffer sum is 11.9), so blocks count twice; the re/im/power
+    temporaries of the fused chain count once."""
+    operands = tile * n_fft + 2 * n_fft * fp + fp * bp + tile * bp
+    temps = 3 * tile * fp
+    return 4 * (2 * operands + temps)
+
+
+def choose_tile(n_fft: int, num_bins: int, tile: int = 512):
+    """Largest admissible frame tile (<= ``tile``) for the fused kernel, or
+    None when even _MIN_TILE busts the scoped-VMEM budget (caller falls back
+    to the XLA two-matmul path). Wide frontends (64 ms -> n_fft 1024) carry
+    4x the basis bytes of the default 25 ms config."""
+    fp = _round_up(n_fft // 2 + 1, _LANE)
+    bp = _round_up(num_bins, _LANE)
+    while tile >= _MIN_TILE:
+        if _vmem_bytes(tile, n_fft, fp, bp) <= _VMEM_BUDGET_BYTES:
+            return tile
+        tile //= 2
+    return None
+
+
 def fbank_power_mel_pallas(
     frames: jnp.ndarray,
     n_fft: int,
@@ -74,7 +106,16 @@ def fbank_power_mel_pallas(
     """[..., N, n_fft] windowed frames -> [..., N, num_bins] log-mel.
 
     Frame count is padded to the tile size; callers mask invalid frames.
+    The tile shrinks automatically when the config's basis matrices would
+    overflow scoped VMEM (choose_tile); inadmissible configs raise — the
+    log_mel_fbank dispatcher checks admissibility first and uses XLA.
     """
+    fitted = choose_tile(n_fft, num_bins, tile)
+    if fitted is None:
+        raise ValueError(
+            f"fbank config (n_fft={n_fft}, num_bins={num_bins}) exceeds the "
+            f"fused kernel's VMEM budget even at tile={_MIN_TILE}")
+    tile = fitted
     cos_p, sin_p, mel_p = _padded_bases(n_fft, num_bins, sample_rate, low_freq, high_freq)
     fp, bp = cos_p.shape[1], mel_p.shape[1]
 

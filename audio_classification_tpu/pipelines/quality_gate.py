@@ -105,7 +105,7 @@ def train_world_pack(steps_scale: float = 1.0, seed: int = 0,
     from ..ops import FbankConfig, log_mel_fbank
     from ..parallel.mesh import make_mesh
     from ..train.losses import aam_softmax_loss, frame_bce_loss
-    from ..train.trainer import ModuleTrainer, SeparatorTrainer
+    from ..train.trainer import ModuleTrainer, SeparatorTrainer, warmup_cosine
 
     def n_steps(base: int) -> int:
         return max(1, int(round(base * steps_scale)))
@@ -127,8 +127,16 @@ def train_world_pack(steps_scale: float = 1.0, seed: int = 0,
                                hidden=128, n_blocks=4, n_repeats=2)
     osd_cfg = OSDConfig(dim=96, heads=4, layers=2)
     spk_cfg = SpeakerEmbedderConfig(channels=(16, 32, 64), embed_dim=64)
+    # The recognizer's frontend is WIDENED for this world: spk0's letters sit
+    # 44 Hz apart at a 500 Hz base, under the resolution of the 25 ms/80-mel
+    # default (mel filters there are ~40-50 Hz wide) — measured per-speaker
+    # clean CER was spk0 0.97 / spk1 0.72 / spk2-3 0.05. A 64 ms window +
+    # 128 mels resolves every band (clean CER 0.00-0.04 all speakers); real
+    # deployments turn the same knob for narrow-band discrimination tasks.
     asr_cfg = SenseVoiceConfig(vocab_size=tokens.vocab_size, dim=96, heads=4,
-                               layers=2, conv_kernel=7)
+                               layers=2, conv_kernel=7,
+                               fbank=FbankConfig(frame_length_ms=64.0,
+                                                 num_bins=128))
 
     # ------------------------------------------------------- 1. separator
     log("[1/4] training 3-src separator (PIT SI-SDR)")
@@ -222,16 +230,29 @@ def train_world_pack(steps_scale: float = 1.0, seed: int = 0,
 
     # ------------------------------------------------------------- 4. ASR
     # The recognizer gets the deepest budget: the committed gate requires
-    # CER <= 0.2, and the round-3 demo showed 900 steps leaves greedy-CTC
-    # repeat collapse + tail truncation (CER 0.57). Two changes close it:
-    # 2x the step budget, and a training distribution that includes
-    # SUB-WORD WINDOWS (the pipeline transcribes OSD segments, which start
-    # and end mid-word — a model trained only on word-initial audio has
-    # never seen a boundary sliver).
+    # CER <= 0.2. Recipe (each item measured against a per-speaker clean-CER
+    # diagnostic):
+    #  - wide frontend (see asr_cfg above) — the root cause of the r3/r4
+    #    CER 0.57-0.61: low-band letters were unresolvable;
+    #  - warmup+cosine lr (constant 5e-4 Adam bounced 0.27<->1.07 NLL and
+    #    over-blanked at decode);
+    #  - SUB-WORD WINDOWS: OSD segments start/end mid-word, so half the
+    #    training samples are segment-shaped crops labeled by span_truth;
+    #  - separation-shaped augmentation: other-speaker residue at the
+    #    SI-SDR the separator actually delivers, plus random gain (the
+    #    separator's output scale is arbitrary under SI-SDR training).
     log("[4/4] training SenseVoice-CTC")
     asr_model = SenseVoiceEncoder(asr_cfg)
     max_word, t_asr = 12, int(12 * SR * TONE_MS / 1000)
     tone_n = int(SR * TONE_MS / 1000)
+    asr_steps = n_steps(2400)
+
+    def residue(audio, db):
+        other = say(rng, int(rng.integers(N_SPK)), rand_word(rng, 12, 12))[: audio.size]
+        if other.size < audio.size:
+            other = np.pad(other, (0, audio.size - other.size))
+        s = np.linalg.norm(audio) / (np.linalg.norm(other) + 1e-9) * (10 ** (-db / 20))
+        return audio + s * other
 
     def asr_batch(n):
         wavs = np.zeros((n, t_asr), np.float32)
@@ -253,6 +274,9 @@ def train_world_pack(steps_scale: float = 1.0, seed: int = 0,
             if not w:
                 w = "a"
                 audio = say(rng, 0, w)
+            if rng.random() < 0.4:
+                audio = residue(audio, rng.uniform(8.0, 20.0))
+            audio = audio * rng.uniform(0.3, 3.0)
             audio = audio + 0.01 * rng.standard_normal(audio.size).astype(np.float32)
             wavs[i, : audio.size] = audio
             lens[i] = audio.size
@@ -272,9 +296,10 @@ def train_world_pack(steps_scale: float = 1.0, seed: int = 0,
         return ctc_loss(logits, mask.astype(jnp.float32), b["labels"], b["lab_lens"],
                         blank_id=tokens.blank_id)
 
-    asr_trainer = ModuleTrainer(asr_model, asr_params, asr_loss, mesh=mesh, lr=5e-4)
-    for step in range(1, n_steps(1800) + 1):
-        loss = asr_trainer.train_step(asr_batch(bs(12)))
+    asr_trainer = ModuleTrainer(asr_model, asr_params, asr_loss, mesh=mesh,
+                                lr=warmup_cosine(1e-3, asr_steps))
+    for step in range(1, asr_steps + 1):
+        loss = asr_trainer.train_step(asr_batch(bs(16)))
         if step % 300 == 0:
             log(f"  asr step {step} ctc {loss:.3f}")
     losses["asr_final_loss"] = float(loss)

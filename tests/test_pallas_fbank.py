@@ -51,3 +51,44 @@ def test_pallas_fbank_batched():
     assert out.shape == ref.shape
     active = ref > ref.max() - 25.0
     assert np.abs(out[active] - ref[active]).max() < 0.05
+
+
+def test_choose_tile_vmem_admission():
+    """Default config keeps the full 512 tile; the wide 64 ms/128-mel
+    frontend shrinks (Mosaic double-buffers operand blocks — tile 512
+    measured 19.5 MiB demanded vs the 16 MiB scoped budget); monster
+    configs are inadmissible -> dispatcher falls back to XLA."""
+    from audio_classification_tpu.ops.pallas.fbank_kernel import choose_tile
+
+    assert choose_tile(512, 80) == 512
+    wide = choose_tile(1024, 128)
+    assert wide is not None and wide < 512
+    assert choose_tile(2048, 256) is None
+
+
+def test_wide_frontend_matches_xla():
+    """64 ms / 128-mel config (quality-gate recognizer frontend) through the
+    fused kernel at its shrunken tile == the XLA oracle."""
+    cfg = FbankConfig(frame_length_ms=64.0, num_bins=128)
+    rng = np.random.default_rng(2)
+    n = 8000
+    t = np.arange(n) / cfg.sample_rate
+    x = (0.3 * np.sin(2 * np.pi * 523 * t) + 0.01 * rng.standard_normal(n)).astype(np.float32)
+    ref = np.asarray(log_mel_fbank(jnp.asarray(x), cfg, use_pallas=False))
+    fr = _windowed_frames(x, cfg)
+    out = np.asarray(fbank_power_mel_pallas(
+        fr, cfg.n_fft, cfg.num_bins, cfg.sample_rate, cfg.low_freq,
+        cfg.high_freq, cfg.log_floor, interpret=True))
+    assert out.shape == ref.shape
+    active = ref > ref.max() - 25.0
+    assert np.abs(out[active] - ref[active]).max() < 0.05
+
+
+def test_inadmissible_config_dispatches_to_xla():
+    """log_mel_fbank(use_pallas=True) on an over-budget config must not
+    raise — the dispatcher's admission check routes it to the XLA path."""
+    cfg = FbankConfig(frame_length_ms=128.0, num_bins=256)
+    x = np.zeros(4000, np.float32)
+    out = np.asarray(log_mel_fbank(jnp.asarray(x), cfg, use_pallas=True))
+    ref = np.asarray(log_mel_fbank(jnp.asarray(x), cfg, use_pallas=False))
+    assert np.allclose(out, ref)

@@ -68,3 +68,42 @@ def test_data_sharding_distributes_batch():
     xs = jax.device_put(x, data_sharding(mesh))
     assert len(xs.addressable_shards) == 8
     assert xs.addressable_shards[0].data.shape == (1, 100)
+
+
+def test_warmup_cosine_schedule_shape():
+    """warmup_cosine: ramps from peak/25, hits peak at the warmup knee,
+    anneals monotonically to the floor (spiky-loss recipe for ctc)."""
+    from audio_classification_tpu.train.trainer import warmup_cosine
+
+    sched = warmup_cosine(1e-3, total_steps=1000, warmup_frac=0.1,
+                          floor_frac=0.05)
+    lrs = np.asarray([float(sched(s)) for s in range(0, 1001, 25)])
+    assert abs(lrs[0] - 1e-3 / 25.0) < 1e-9          # init = peak/25
+    assert abs(lrs.max() - 1e-3) < 1e-6              # reaches the peak
+    assert np.argmax(lrs) == 4                       # ...at step 100
+    tail = lrs[4:]
+    assert np.all(np.diff(tail) <= 1e-12)            # monotone decay
+    assert abs(lrs[-1] - 5e-5) < 1e-6                # floor = 5% of peak
+
+
+def test_module_trainer_accepts_schedule():
+    """ModuleTrainer(lr=<schedule>) trains and the loss moves."""
+    from flax import linen as nn
+
+    from audio_classification_tpu.train.trainer import (ModuleTrainer,
+                                                        warmup_cosine)
+
+    class Lin(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(1)(x)
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((8, 4)), jnp.float32)
+    model = Lin()
+    params = model.init(jax.random.PRNGKey(0), x0)
+    loss_fn = lambda f, p, b: jnp.mean((f(p, b["x"])[:, 0] - b["y"]) ** 2)
+    tr = ModuleTrainer(model, params, loss_fn, lr=warmup_cosine(5e-2, 150))
+    batch = {"x": x0, "y": x0.sum(1)}
+    losses = [tr.train_step(batch) for _ in range(150)]
+    assert losses[-1] < 0.1 * losses[0]
