@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--cer-gate", type=float, default=0.2)
     p.add_argument("--no-gate-exit", action="store_true",
                    help="Always exit 0 (report-only mode)")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="Save the trained world pack here (orbax)")
+    p.add_argument("--reuse-ckpt", action="store_true",
+                   help="Skip training when --ckpt-dir already exists")
     return p.parse_args(argv)
 
 
@@ -41,7 +45,8 @@ def main(argv=None):
     from ..pipelines.quality_gate import run_quality_gate, write_quality_json
 
     m = run_quality_gate(steps_scale=args.steps_scale, n_scenes=args.scenes,
-                         seed=args.seed, eval_seed=args.eval_seed)
+                         seed=args.seed, eval_seed=args.eval_seed,
+                         ckpt_dir=args.ckpt_dir, reuse_ckpt=args.reuse_ckpt)
     artifact = write_quality_json(m, args.out, hit_gate=args.hit_gate,
                                   cer_gate=args.cer_gate)
     print(f"quality gate: {'OK' if artifact['quality_ok'] else 'FAILED'} "

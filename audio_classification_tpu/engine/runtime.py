@@ -650,6 +650,37 @@ class StageEngine:
             valid = jnp.arange(seg_len, dtype=jnp.int32)[None, :] < lens[:, None]
             return jnp.where(valid, segs, jnp.int16(0))
 
+        # Fused arena-stage twins: gather_fn runs as the PROLOGUE of the
+        # stage program itself, so assembling a batch from the arena costs
+        # zero extra launches. Before this, `gather` was its own AOT
+        # program: BENCH_r04's dispatch budget measured it at 32 of 68
+        # launches/pass with a 0.53 ms compute floor — ~0.78 s/pass of pure
+        # tunnel RTT spent assembling batches the stage programs can
+        # assemble themselves. The int16 gather is exact (elementwise
+        # select/slice), so fused outputs stay bit-identical to the
+        # gather-then-stage pair.
+        def osd_arena_fn(params, arena_i16, starts, lens, seg_len):
+            return osd_fn(params, gather_fn(arena_i16, starts, lens, seg_len),
+                          lens)
+
+        def asr_arena_fn(params, arena_i16, starts, lens, language_id,
+                         use_itn, seg_len):
+            return asr_fn(params, gather_fn(arena_i16, starts, lens, seg_len),
+                          lens, language_id, use_itn)
+
+        def clean_arena_fn(params, arena_i16, starts, lens, target_vec,
+                           language_id, use_itn, seg_len):
+            return clean_path_fn(
+                params, gather_fn(arena_i16, starts, lens, seg_len), lens,
+                target_vec, language_id, use_itn)
+
+        def overlap_arena_fn(params, arena_i16, starts, lens, target_vec,
+                             language_id, use_itn, return_branches, seg_len,
+                             backend="convtasnet"):
+            return overlap_path_fn(
+                params, gather_fn(arena_i16, starts, lens, seg_len), lens,
+                target_vec, language_id, use_itn, return_branches, backend)
+
         def arena_concat_fn(*bufs):
             """Stitch per-part arena uplinks into the wave arena ON DEVICE
             (upload_arena chunking): one HBM copy instead of re-uplinking
@@ -736,12 +767,39 @@ class StageEngine:
             self._resample = AOT("resample", resample_poly,
                                  static_argnames=("orig_sr", "new_sr"),
                                  param_leading=False)
-            # arena gather, sharded: the packed arena replicates across the
-            # mesh (one logical uplink; WaveArena.dev is device_put on the
-            # replicated sharding) and the start/length rows shard over
-            # "data", so each chip dynamic-slices only its own batch rows
-            # out of its local replica — the gathered batch comes out
-            # already on the stage programs' data sharding, no resharding.
+            # arena-fused stages, sharded: the packed arena replicates
+            # across the mesh (one logical uplink; WaveArena.dev is
+            # device_put on the replicated sharding) and the start/length
+            # rows shard over "data", so each chip dynamic-slices only its
+            # own batch rows out of its local replica — the gather prologue
+            # feeds the stage math already on its data sharding.
+            self._osd_arena = AOT(
+                "osd_arena", osd_arena_fn, static_argnames=("seg_len",),
+                jit_kwargs=dict(
+                    in_shardings=(psh("osd"), self._rep, self._dsh, self._dsh),
+                    out_shardings=self._dsh))
+            self._asr_arena = AOT(
+                "asr_arena", asr_arena_fn,
+                static_argnames=("language_id", "use_itn", "seg_len"),
+                jit_kwargs=dict(
+                    in_shardings=(psh("asr"), self._rep, self._dsh, self._dsh),
+                    out_shardings=self._dsh))
+            self._clean_arena = AOT(
+                "clean_arena", clean_arena_fn,
+                static_argnames=("language_id", "use_itn", "seg_len"),
+                jit_kwargs=dict(
+                    in_shardings=(all_psh, self._rep, self._dsh, self._dsh,
+                                  self._dsh)))
+            self._overlap_arena = AOT(
+                "overlap_arena", overlap_arena_fn,
+                static_argnames=("language_id", "use_itn", "return_branches",
+                                 "seg_len", "backend"),
+                jit_kwargs=dict(
+                    in_shardings=(all_psh, self._rep, self._dsh, self._dsh,
+                                  self._dsh)))
+            # standalone gather: NOT in the hot path (stages fuse their own
+            # gather prologue) — kept as the bit-parity test oracle for the
+            # arena windowing semantics
             self._gather = AOT(
                 "gather", gather_fn, static_argnames=("seg_len",),
                 param_leading=False,
@@ -758,6 +816,19 @@ class StageEngine:
             self._branch_q = AOT("branch_q", branch_q_fn, param_leading=False)
             self._arena_concat = AOT("arena_concat", arena_concat_fn,
                                      param_leading=False)
+            self._osd_arena = AOT("osd_arena", osd_arena_fn,
+                                  static_argnames=("seg_len",))
+            self._asr_arena = AOT(
+                "asr_arena", asr_arena_fn,
+                static_argnames=("language_id", "use_itn", "seg_len"))
+            self._clean_arena = AOT(
+                "clean_arena", clean_arena_fn,
+                static_argnames=("language_id", "use_itn", "seg_len"))
+            self._overlap_arena = AOT(
+                "overlap_arena", overlap_arena_fn,
+                static_argnames=("language_id", "use_itn", "return_branches",
+                                 "seg_len", "backend"))
+            # standalone gather: test oracle only (see mesh branch note)
             self._gather = AOT("gather", gather_fn,
                                static_argnames=("seg_len",),
                                param_leading=False)
@@ -969,9 +1040,14 @@ class StageEngine:
                                spans: Sequence[Tuple[int, int]], fn,
                                extras: Optional[Sequence] = None):
         """Arena variant of _launch_bucketed: items are (start, length)
-        windows into arena.dev, assembled on device by the gather program.
-        Same bucketing/batching and handle structure; zero re-uplink of
-        audio (only the int32 start/length rows cross the link).
+        windows into arena.dev, assembled on device INSIDE the stage
+        program (the gather prologue of the *_arena AOT twins — one launch
+        per batch, not gather + stage). Same bucketing/batching and handle
+        structure; zero re-uplink of audio (only the int32 start/length
+        rows cross the link).
+
+        ``fn(arena_dev, starts, lens, *extras, seg_len=)`` must dispatch an
+        arena-twin program.
         """
         groups: Dict[int, List[int]] = {}
         for i, (_s, ln) in enumerate(spans):
@@ -985,13 +1061,10 @@ class StageEngine:
                 lens = np.zeros(bs, np.int32)
                 for j, i in enumerate(chunk_idx):
                     starts[j], lens[j] = spans[i]
-                lens_dev = jnp.asarray(lens)
-                wav = self._gather(arena.dev, jnp.asarray(starts), lens_dev,
-                                   seg_len=bucket_len)
-                args = [wav, lens_dev]
+                args = [arena.dev, jnp.asarray(starts), jnp.asarray(lens)]
                 if extras is not None:
                     args.append(self._pad_extras(extras, chunk_idx, bs))
-                pending.append((chunk_idx, fn(*args)))
+                pending.append((chunk_idx, fn(*args, seg_len=bucket_len)))
         return pending, len(spans)
 
     @staticmethod
@@ -1087,10 +1160,12 @@ class StageEngine:
         Handle-compatible with launch_osd_batch/collect_osd_batch; the
         mixture batches are gathered on device from the wave's single
         uplink instead of re-uploading bucket-padded copies. A chunked
-        arena (upload_arena parts) launches one gather+OSD set per PART
-        buffer, so part i's OSD compute overlaps part i+1's transfer.
+        arena (upload_arena parts) launches one fused gather+OSD program
+        per PART buffer, so part i's OSD compute overlaps part i+1's
+        transfer.
         """
-        fn = lambda w, l: self._osd(self.exec_params["osd"], w, l)
+        fn = lambda a, s, l, seg_len: self._osd_arena(
+            self.exec_params["osd"], a, s, l, seg_len=seg_len)
         if arena.parts:
             pending: List[Tuple[List[int], Any]] = []
             nonempty: List[int] = []
@@ -1180,10 +1255,13 @@ class StageEngine:
                           use_itn: bool = True,
                           arena: Optional[WaveArena] = None, spans=None):
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
+        if arena is not None and spans is not None:
+            fn_a = lambda a, s, l, seg_len: self._asr_arena(
+                self.exec_params["asr"], a, s, l, language_id=lang_id,
+                use_itn=use_itn, seg_len=seg_len)
+            return self._launch_bucketed_arena(arena, spans, fn_a)
         fn = lambda w, l: self._asr(self.exec_params["asr"], w, l,
                                     language_id=lang_id, use_itn=use_itn)
-        if arena is not None and spans is not None:
-            return self._launch_bucketed_arena(arena, spans, fn)
         return self._launch_bucketed(list(chunks), fn)
 
     def collect_tokens(self, handle) -> List[Tuple[np.ndarray, int]]:
@@ -1331,11 +1409,14 @@ class StageEngine:
                      use_itn: bool = True, arena: Optional[WaveArena] = None,
                      spans=None):
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
-        fn = lambda w, l, tv: self._clean_path(self.exec_params, w, l, tv,
-                                               language_id=lang_id, use_itn=use_itn)
         extras = [np.asarray(v, np.float32) for v in target_vecs]
         if arena is not None and spans is not None:
-            return self._launch_bucketed_arena(arena, spans, fn, extras=extras)
+            fn_a = lambda a, s, l, tv, seg_len: self._clean_arena(
+                self.exec_params, a, s, l, tv, language_id=lang_id,
+                use_itn=use_itn, seg_len=seg_len)
+            return self._launch_bucketed_arena(arena, spans, fn_a, extras=extras)
+        fn = lambda w, l, tv: self._clean_path(self.exec_params, w, l, tv,
+                                               language_id=lang_id, use_itn=use_itn)
         return self._launch_bucketed(list(chunks), fn, extras=extras)
 
     def collect_clean(self, handle) -> List[Tuple[float, str]]:
@@ -1369,13 +1450,17 @@ class StageEngine:
                        backend: str = "convtasnet",
                        arena: Optional[WaveArena] = None, spans=None):
         lang_id = LANGUAGES.index(language) if language in LANGUAGES else 0
+        extras = [np.asarray(v, np.float32) for v in target_vecs]
+        if arena is not None and spans is not None:
+            fn_a = lambda a, s, l, tv, seg_len: self._overlap_arena(
+                self.exec_params, a, s, l, tv, language_id=lang_id,
+                use_itn=use_itn, return_branches=return_branches,
+                seg_len=seg_len, backend=backend)
+            return self._launch_bucketed_arena(arena, spans, fn_a, extras=extras)
         fn = lambda w, l, tv: self._overlap_path(
             self.exec_params, w, l, tv, language_id=lang_id, use_itn=use_itn,
             return_branches=return_branches, backend=backend,
         )
-        extras = [np.asarray(v, np.float32) for v in target_vecs]
-        if arena is not None and spans is not None:
-            return self._launch_bucketed_arena(arena, spans, fn, extras=extras)
         return self._launch_bucketed(list(chunks), fn, extras=extras)
 
     def collect_overlap(self, handle, chunks, return_branches: bool = False,

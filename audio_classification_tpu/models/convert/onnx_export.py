@@ -187,13 +187,46 @@ def _prelu(g: OnnxGraphWriter, x: str, scope: dict) -> str:
     return g.add("PRelu", [x, g.init("slope", slope)])
 
 
+def _qdq_act(g: OnnxGraphWriter, x: str, scale: float = 0.05) -> str:
+    """ORT static-quant QDQ boundary on an activation: QuantizeLinear ->
+    DequantizeLinear (uint8, zero point 128). ``scale`` stands in for the
+    calibration range a real ORT quantizer derives from data (scale 0.05 =
+    ±6.4 around zero on the uint8 grid)."""
+    s = g.init("qs", np.float32(scale).reshape(()))
+    zp = g.init("qzp", np.uint8(128).reshape(()))
+    xq = g.add("QuantizeLinear", [x, s, zp])
+    return g.add("DequantizeLinear", [xq, s, zp])
+
+
+def _qdq_weight(g: OnnxGraphWriter, w: np.ndarray, axis: int) -> str:
+    """Per-channel symmetric int8 weight as int8 initializer +
+    DequantizeLinear(axis) — the QDQ graphs ORT's static quantizer writes
+    (weights ship quantized; activations carry Q/DQ pairs)."""
+    ch = np.moveaxis(w, axis, 0).reshape(w.shape[axis], -1)
+    w_scale = (np.max(np.abs(ch), axis=1) / 127.0).astype(np.float32)
+    w_scale[w_scale == 0] = 1.0
+    shape = [1] * w.ndim
+    shape[axis] = w.shape[axis]
+    w_q = np.clip(np.round(w / w_scale.reshape(shape)), -127, 127).astype(np.int8)
+    return g.add("DequantizeLinear",
+                 [g.init("wq", w_q), g.init("ws", w_scale)], axis=axis)
+
+
 def _conv(g: OnnxGraphWriter, x: str, scope: dict, *, stride: int = 1,
-          dilation: int = 1, groups: int = 1, pads=(0, 0)) -> str:
-    ins = [x, g.init("w", _conv_w(scope["kernel"]))]
+          dilation: int = 1, groups: int = 1, pads=(0, 0),
+          quant: str = "none") -> str:
+    if quant == "qdq":
+        # static-quant QDQ Conv: Q/DQ on the activation, per-output-channel
+        # int8 weight (axis 0 of [Cout, Cin/g, K])
+        x = _qdq_act(g, x)
+        ins = [x, _qdq_weight(g, _conv_w(scope["kernel"]), axis=0)]
+    else:
+        ins = [x, g.init("w", _conv_w(scope["kernel"]))]
     if "bias" in scope:
         ins.append(g.init("b", np.asarray(scope["bias"], np.float32)))
-    return g.add("Conv", ins, strides=[stride], dilations=[dilation],
-                 group=groups, pads=list(pads))
+    y = g.add("Conv", ins, strides=[stride], dilations=[dilation],
+              group=groups, pads=list(pads))
+    return _qdq_act(g, y, scale=0.1) if quant == "qdq" else y
 
 
 def _dense(g: OnnxGraphWriter, x: str, scope: dict, quant: str = "none") -> str:
@@ -204,7 +237,17 @@ def _dense(g: OnnxGraphWriter, x: str, scope: dict, quant: str = "none") -> str:
     (sherpa-onnx, src/model.py:79-87): DynamicQuantizeLinear(x) ->
     MatMulInteger(x_u8, w_s8, x_zp, 0) -> Cast -> * (x_scale*w_scale) + b.
     Weights ship as int8 with one symmetric per-tensor scale.
+
+    ``quant="qdq"`` emits ORT STATIC-quant QDQ form: Q/DQ pairs on
+    activations, per-channel int8 weights behind DequantizeLinear — the
+    other graph family install.sh-era model zoos deliver.
     """
+    if quant == "qdq":
+        xd = _qdq_act(g, x)
+        wd = _qdq_weight(g, np.asarray(scope["kernel"], np.float32), axis=1)
+        y = g.add("MatMul", [xd, wd])
+        y = g.add("Add", [y, g.init("b", np.asarray(scope["bias"], np.float32))])
+        return _qdq_act(g, y, scale=0.1)
     if quant != "int8":
         y = g.add("MatMul", [x, g.init("w", np.asarray(scope["kernel"], np.float32))])
         return g.add("Add", [y, g.init("b", np.asarray(scope["bias"], np.float32))])
@@ -305,7 +348,8 @@ def _transformer_block(g: OnnxGraphWriter, x: str, blk: dict, dim: int,
 
 # ------------------------------------------------------------- ConvTasNet
 
-def export_convtasnet(params, cfg, path: str, seconds: float = 4.0) -> str:
+def export_convtasnet(params, cfg, path: str, seconds: float = 4.0,
+                      quant: str = "none") -> str:
     """Serialize ConvTasNet (models/convtasnet.py) to an ONNX file.
 
     Input  `mix` [batch, T] float32 (T = seconds * cfg.sample_rate, static;
@@ -330,32 +374,32 @@ def export_convtasnet(params, cfg, path: str, seconds: float = 4.0) -> str:
     x = g.add("Unsqueeze", [x, g.init("axes", np.asarray([1], np.int64))])
 
     # encoder [B, 1, T'] -> [B, N, F], relu (convtasnet.py:93-95)
-    w = _conv(g, x, p["encoder"], stride=stride)
+    w = _conv(g, x, p["encoder"], stride=stride, quant=quant)
     w = g.add("Relu", [w])
 
     # masker TCN (convtasnet.py:104-121)
     h = _gln(g, w, p["ln_in"], 1e-8)
-    h = _conv(g, h, p["bottleneck"])
+    h = _conv(g, h, p["bottleneck"], quant=quant)
     skips = None
     for r in range(c.n_repeats):
         for xb in range(c.n_blocks):
             blk = p[f"tcn_{r}_{xb}"]
             d = 2 ** xb
-            y = _conv(g, h, blk["in_conv"])
+            y = _conv(g, h, blk["in_conv"], quant=quant)
             y = _prelu(g, y, blk["prelu1"])
             y = _gln(g, y, blk["norm1"], 1e-8)
             half = d * (c.conv_kernel - 1) // 2
             y = _conv(g, y, blk["dw_conv"], dilation=d, groups=c.hidden,
-                      pads=(half, d * (c.conv_kernel - 1) - half))
+                      pads=(half, d * (c.conv_kernel - 1) - half), quant=quant)
             y = _prelu(g, y, blk["prelu2"])
             y = _gln(g, y, blk["norm2"], 1e-8)
-            res = _conv(g, y, blk["res_conv"])
-            skip = _conv(g, y, blk["skip_conv"])
+            res = _conv(g, y, blk["res_conv"], quant=quant)
+            skip = _conv(g, y, blk["skip_conv"], quant=quant)
             h = g.add("Add", [h, res])
             skips = skip if skips is None else g.add("Add", [skips, skip])
 
     m = _prelu(g, skips, p["mask_prelu"])
-    m = _conv(g, m, p["mask_conv"])                      # [B, S*N, F]
+    m = _conv(g, m, p["mask_conv"], quant=quant)                      # [B, S*N, F]
     m = g.add("Reshape", [m, g.init(
         "shape", np.asarray([-1, c.n_src, c.enc_dim, n_frames], np.int64))])
     act = {"relu": "Relu", "sigmoid": "Sigmoid", "softmax": "Softmax"}[c.mask_act]
@@ -393,7 +437,7 @@ def export_convtasnet(params, cfg, path: str, seconds: float = 4.0) -> str:
             "enc_kernel": c.enc_kernel, "bottleneck": c.bottleneck,
             "hidden": c.hidden, "n_blocks": c.n_blocks,
             "n_repeats": c.n_repeats, "sample_rate": c.sample_rate,
-            "mask_act": c.mask_act,
+            "mask_act": c.mask_act, "quant": quant,
         })
     with open(path, "wb") as f:
         f.write(blob)
@@ -487,7 +531,8 @@ def export_sensevoice(params, cfg, path: str, frames: int,
 
 # ----------------------------------------------------------------- OSDNet
 
-def export_osdnet(params, cfg, path: str, frames: int) -> str:
+def export_osdnet(params, cfg, path: str, frames: int,
+                  quant: str = "none") -> str:
     """Serialize OSDNet (models/osd.py) to ONNX: fbank feats
     [batch, frames, num_mel] -> [batch, frames//subsample, 2] probs
     (p(speech), p(overlap)) — the fast OSD head, e.g. one distilled from a
@@ -502,12 +547,14 @@ def export_osdnet(params, cfg, path: str, frames: int) -> str:
 
     g = OnnxGraphWriter("osdnet")
     x = g.add("Transpose", ["feats"], perm=[0, 2, 1])        # NCW
-    x = _conv(g, x, p["sub1"], stride=2, pads=_same_pads(frames, 5, 2))
+    x = _conv(g, x, p["sub1"], stride=2, pads=_same_pads(frames, 5, 2),
+              quant=quant)
     t1 = -(-frames // 2)
     x = g.add("Transpose", [x], perm=[0, 2, 1])
     x = _gelu_tanh(g, x)
     x = g.add("Transpose", [x], perm=[0, 2, 1])
-    x = _conv(g, x, p["sub2"], stride=2, pads=_same_pads(t1, 5, 2))
+    x = _conv(g, x, p["sub2"], stride=2, pads=_same_pads(t1, 5, 2),
+              quant=quant)
     t2 = -(-t1 // 2)
     x = g.add("Transpose", [x], perm=[0, 2, 1])
     x = _gelu_tanh(g, x)
@@ -515,7 +562,7 @@ def export_osdnet(params, cfg, path: str, frames: int) -> str:
     x = g.add("Add", [x, g.init("pos", sinusoidal_positions(t2, c.dim))])
     for i in range(c.layers):
         x = _transformer_block(g, x, p[f"block_{i}"], c.dim, c.heads,
-                               c.conv_kernel)
+                               c.conv_kernel, quant=quant)
     logits = _dense(g, x, p["head"])
     g.add("Sigmoid", [logits], out="probs")
 
@@ -643,13 +690,18 @@ def export_mossformer(params, cfg, path: str, seconds: float = 4.0) -> str:
 # -------------------------------------------------------- SpeakerEmbedder
 
 def _conv2d(g: OnnxGraphWriter, x: str, scope: dict, *, strides=(1, 1),
-            pads=(0, 0, 0, 0)) -> str:
+            pads=(0, 0, 0, 0), quant: str = "none") -> str:
     """flax nn.Conv kernel [kh, kw, Cin/g, Cout] -> ONNX NCHW Conv."""
     w = np.transpose(np.asarray(scope["kernel"], np.float32), (3, 2, 0, 1))
-    ins = [x, g.init("w", np.ascontiguousarray(w))]
+    if quant == "qdq":
+        x = _qdq_act(g, x)
+        ins = [x, _qdq_weight(g, np.ascontiguousarray(w), axis=0)]
+    else:
+        ins = [x, g.init("w", np.ascontiguousarray(w))]
     if "bias" in scope:
         ins.append(g.init("b", np.asarray(scope["bias"], np.float32)))
-    return g.add("Conv", ins, strides=list(strides), pads=list(pads))
+    y = g.add("Conv", ins, strides=list(strides), pads=list(pads))
+    return _qdq_act(g, y, scale=0.1) if quant == "qdq" else y
 
 
 def _bn2d(g: OnnxGraphWriter, x: str, pscope: dict, sscope: dict,
@@ -664,7 +716,8 @@ def _bn2d(g: OnnxGraphWriter, x: str, pscope: dict, sscope: dict,
     ], epsilon=eps)
 
 
-def export_speaker(variables, cfg, path: str, frames: int) -> str:
+def export_speaker(variables, cfg, path: str, frames: int,
+                   quant: str = "none") -> str:
     """Serialize SpeakerEmbedder (models/speaker.py) to ONNX — the same role
     as the reference's 3D-Speaker ERes2Net export (reference:
     src/model.py:103-124 consumes it via sherpa's
@@ -690,28 +743,29 @@ def export_speaker(variables, cfg, path: str, frames: int) -> str:
         return (lo_t, lo_f, hi_t, hi_f)  # ONNX pads: [t_lo, f_lo, t_hi, f_hi]
 
     t_cur, f_cur = frames, c.num_mel
-    x = _conv2d(g, x, p["stem"], pads=same2d(t_cur, f_cur, 3, 1))
+    x = _conv2d(g, x, p["stem"], pads=same2d(t_cur, f_cur, 3, 1), quant=quant)
     x = g.add("Relu", [_bn2d(g, x, p["bn0"], s["bn0"])])
 
     for i, ch in enumerate(c.channels):
         stride = 1 if i == 0 else 2
         bp, bs = p[f"block_{i}"], s[f"block_{i}"]
         # Res2Block (speaker.py:36-67), NCHW
-        y = _conv2d(g, x, bp["in_conv"], strides=(stride, stride))
+        y = _conv2d(g, x, bp["in_conv"], strides=(stride, stride), quant=quant)
         y = g.add("Relu", [_bn2d(g, y, bp["bn_in"], bs["bn_in"])])
         t_cur, f_cur = -(-t_cur // stride), -(-f_cur // stride)
         parts = g.add("Split", [y], n_out=c.scale, axis=1)
         outs, prev = [parts[0]], None
         for j in range(1, c.scale):
             inp = parts[j] if prev is None else g.add("Add", [parts[j], prev])
-            z = _conv2d(g, inp, bp[f"conv_{j}"], pads=same2d(t_cur, f_cur, 3, 1))
+            z = _conv2d(g, inp, bp[f"conv_{j}"], pads=same2d(t_cur, f_cur, 3, 1),
+                        quant=quant)
             prev = g.add("Relu", [_bn2d(g, z, bp[f"bn_{j}"], bs[f"bn_{j}"])])
             outs.append(prev)
         y = g.add("Concat", outs, axis=1)
-        y = _conv2d(g, y, bp["out_conv"])
+        y = _conv2d(g, y, bp["out_conv"], quant=quant)
         y = _bn2d(g, y, bp["bn_out"], bs["bn_out"])
         if "short" in bp:
-            x = _conv2d(g, x, bp["short"], strides=(stride, stride))
+            x = _conv2d(g, x, bp["short"], strides=(stride, stride), quant=quant)
         x = g.add("Relu", [g.add("Add", [x, y])])
 
     # fold freq into channels, matching NHWC reshape (speaker.py:106-107):
@@ -868,7 +922,8 @@ def export_pyannet(params, cfg, path: str, samples: int) -> str:
 
 # ------------------------------------------------------------------ VADNet
 
-def export_vadnet(params, cfg, path: str, frames: int) -> str:
+def export_vadnet(params, cfg, path: str, frames: int,
+                  quant: str = "none") -> str:
     """Serialize VADNet (models/vad.py) to ONNX: fbank feats
     [batch, frames, num_mel] -> [batch, frames] speech probabilities — the
     same role as the reference's silero VAD export (reference:
@@ -884,7 +939,7 @@ def export_vadnet(params, cfg, path: str, frames: int) -> str:
         d = 2 ** i
         total = (c.kernel - 1) * d                            # stride-1 SAME
         x = _conv(g, x, p[f"conv_{i}"], dilation=d,
-                  pads=(total // 2, total - total // 2))
+                  pads=(total // 2, total - total // 2), quant=quant)
         x = g.add("Transpose", [x], perm=[0, 2, 1])
         x = _gelu_tanh(g, x)
         if i < c.layers - 1:

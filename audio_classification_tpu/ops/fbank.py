@@ -129,6 +129,7 @@ def log_mel_fbank(
     if cfg.frame_length < n_fft:
         pad = [(0, 0)] * (frames.ndim - 1) + [(0, n_fft - cfg.frame_length)]
         frames = jnp.pad(frames, pad)
+    explicit = use_pallas is not None
     if use_pallas is None:
         use_pallas = _use_pallas_default()
     if use_pallas:
@@ -141,6 +142,17 @@ def log_mel_fbank(
                 frames, n_fft, cfg.num_bins, cfg.sample_rate, cfg.low_freq,
                 cfg.high_freq, cfg.log_floor,
             )
+        if explicit:
+            # an EXPLICIT use_pallas=True that can't be honored is visible
+            # once (fbank_power_mel_pallas itself raises for this config;
+            # the dispatcher reroutes, so warn instead of diverging
+            # silently — a perf cliff the caller asked not to have)
+            import warnings
+
+            warnings.warn(
+                f"log_mel_fbank(use_pallas=True): n_fft={n_fft}/"
+                f"num_bins={cfg.num_bins} exceeds the fused kernel's VMEM "
+                "budget; using the XLA path", stacklevel=2)
     cos_b, msin_b = _dft_basis_np(n_fft)
     re = jnp.matmul(frames, jnp.asarray(cos_b), preferred_element_type=jnp.float32, precision='highest')
     im = jnp.matmul(frames, jnp.asarray(msin_b), preferred_element_type=jnp.float32, precision='highest')

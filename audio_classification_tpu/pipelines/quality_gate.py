@@ -78,30 +78,93 @@ def span_truth(word: str, start: float, end: float, min_frac: float = 0.5) -> st
     return "".join(out)
 
 
+def world_configs() -> tuple:
+    """Single source of truth for the gate's stage configs -> (preset,
+    tokens). Shared by the training path and the checkpoint-restore path
+    (tools/diag_gate.py) so a restored pack is guaranteed shape-compatible
+    with the one training saved."""
+    from ..engine.runtime import EnginePreset
+    from ..models.asr.paraformer import ParaformerConfig
+    from ..models.asr.sensevoice import SenseVoiceConfig
+    from ..models.asr.tokens import TokenTable
+    from ..models.asr.transducer import TransducerConfig
+    from ..models.asr.whisper_style import WhisperStyleConfig
+    from ..models.convtasnet import ConvTasNetConfig
+    from ..models.mossformer import MossFormerConfig
+    from ..models.osd import OSDConfig
+    from ..models.speaker import SpeakerEmbedderConfig
+    from ..models.vad import VADConfig
+    from ..ops import FbankConfig
+
+    tokens = TokenTable.char_table(ALPHABET)
+    sep_cfg = ConvTasNetConfig(n_src=3, enc_dim=128, enc_kernel=16, bottleneck=64,
+                               hidden=128, n_blocks=4, n_repeats=2)
+    osd_cfg = OSDConfig(dim=96, heads=4, layers=2)
+    spk_cfg = SpeakerEmbedderConfig(channels=(16, 32, 64), embed_dim=64)
+    # The recognizer's frontend is WIDENED for this world: spk0's letters sit
+    # 44 Hz apart at a 500 Hz base, under the resolution of the 25 ms/80-mel
+    # default (mel filters there are ~40-50 Hz wide) — measured per-speaker
+    # clean CER was spk0 0.97 / spk1 0.72 / spk2-3 0.05. A 64 ms window +
+    # 128 mels resolves every band (clean CER 0.00-0.04 all speakers); real
+    # deployments turn the same knob for narrow-band discrimination tasks.
+    # num_mel matches fbank.num_bins so the pack's own init shapes and any
+    # onnx_export of this config stay consistent with the real frontend.
+    asr_cfg = SenseVoiceConfig(vocab_size=tokens.vocab_size, dim=96, heads=4,
+                               layers=2, conv_kernel=7, num_mel=128,
+                               fbank=FbankConfig(frame_length_ms=64.0,
+                                                 num_bins=128))
+    preset = EnginePreset(
+        name="demo", osd=osd_cfg, sep3=sep_cfg,
+        sep2=ConvTasNetConfig(n_src=2, enc_dim=64, enc_kernel=16, bottleneck=32,
+                              hidden=64, n_blocks=2, n_repeats=1),
+        mossformer=MossFormerConfig(n_src=2, enc_dim=64, dim=48, qk_dim=32, layers=2),
+        spk=spk_cfg, asr=asr_cfg,
+        transducer=TransducerConfig(vocab_size=tokens.vocab_size, dim=32, heads=2,
+                                    layers=1, pred_dim=32, joiner_dim=32, conv_kernel=3),
+        paraformer=ParaformerConfig(vocab_size=tokens.vocab_size, dim=32, heads=2,
+                                    enc_layers=1, dec_layers=1, conv_kernel=3, max_tokens=16),
+        whisper=WhisperStyleConfig(vocab_size=tokens.vocab_size, dim=32, heads=2,
+                                   enc_layers=1, dec_layers=1, max_decode_len=16),
+        vad=VADConfig(dim=16, layers=2),
+    )
+    return preset, tokens
+
+
+def build_world_engine(seed: int = 0, ckpt_dir: Optional[str] = None) -> tuple:
+    """ModelPack + StageEngine over the world preset -> (engine, tokens).
+    ``ckpt_dir`` (orbax, written by train_world_pack) restores trained
+    params; None gives a random-init pack (plumbing tests)."""
+    from ..engine import BucketSpec, ModelPack, StageEngine
+    from ..engine.bucketing import default_buckets
+
+    preset, tokens = world_configs()
+    pack = ModelPack(preset, seed=seed, tokens=tokens)
+    if ckpt_dir is not None:
+        from ..train.checkpoint import load_model_pack
+
+        load_model_pack(pack, ckpt_dir)
+    engine = StageEngine(pack, BucketSpec(lengths=default_buckets(SR, 0.5, 8.0),
+                                          max_batch=8))
+    return engine, tokens
+
+
 def train_world_pack(steps_scale: float = 1.0, seed: int = 0,
-                     log=print) -> tuple:
+                     log=print, ckpt_dir: Optional[str] = None) -> tuple:
     """Train all four stages on the synthetic world -> (engine, tokens,
     stage losses dict). Step counts scale with ``steps_scale`` (the plumbing
-    test runs at ~0.01; the committed artifact at 1.0)."""
+    test runs at ~0.01; the committed artifact at 1.0). ``ckpt_dir`` saves
+    the trained pack (orbax) so eval-side work can iterate without the
+    ~20 min retrain (restore via build_world_engine)."""
     import jax
     import jax.numpy as jnp
     from flax import linen as nn
 
     from ..engine import BucketSpec, ModelPack, StageEngine
     from ..engine.bucketing import default_buckets
-    from ..engine.runtime import EnginePreset
     from ..models.asr.ctc import ctc_loss
-    from ..models.asr.paraformer import ParaformerConfig
-    from ..models.asr.sensevoice import (SenseVoiceConfig, SenseVoiceEncoder,
-                                         sensevoice_frontend)
-    from ..models.asr.tokens import TokenTable
-    from ..models.asr.transducer import TransducerConfig
-    from ..models.asr.whisper_style import WhisperStyleConfig
-    from ..models.convtasnet import ConvTasNetConfig
-    from ..models.mossformer import MossFormerConfig
-    from ..models.osd import OSDConfig, OSDNet
-    from ..models.speaker import SpeakerEmbedder, SpeakerEmbedderConfig
-    from ..models.vad import VADConfig
+    from ..models.asr.sensevoice import SenseVoiceEncoder, sensevoice_frontend
+    from ..models.osd import OSDNet
+    from ..models.speaker import SpeakerEmbedder
     from ..ops import FbankConfig, log_mel_fbank
     from ..parallel.mesh import make_mesh
     from ..train.losses import aam_softmax_loss, frame_bce_loss
@@ -119,24 +182,14 @@ def train_world_pack(steps_scale: float = 1.0, seed: int = 0,
         return max(d, -(-n // d) * d)
     fb = FbankConfig()
     fbank_batch = jax.jit(lambda w: log_mel_fbank(w, fb))
-    tokens = TokenTable.char_table(ALPHABET)
+    preset, tokens = world_configs()
     rng = np.random.default_rng(seed)
     losses: Dict[str, float] = {}
 
-    sep_cfg = ConvTasNetConfig(n_src=3, enc_dim=128, enc_kernel=16, bottleneck=64,
-                               hidden=128, n_blocks=4, n_repeats=2)
-    osd_cfg = OSDConfig(dim=96, heads=4, layers=2)
-    spk_cfg = SpeakerEmbedderConfig(channels=(16, 32, 64), embed_dim=64)
-    # The recognizer's frontend is WIDENED for this world: spk0's letters sit
-    # 44 Hz apart at a 500 Hz base, under the resolution of the 25 ms/80-mel
-    # default (mel filters there are ~40-50 Hz wide) — measured per-speaker
-    # clean CER was spk0 0.97 / spk1 0.72 / spk2-3 0.05. A 64 ms window +
-    # 128 mels resolves every band (clean CER 0.00-0.04 all speakers); real
-    # deployments turn the same knob for narrow-band discrimination tasks.
-    asr_cfg = SenseVoiceConfig(vocab_size=tokens.vocab_size, dim=96, heads=4,
-                               layers=2, conv_kernel=7,
-                               fbank=FbankConfig(frame_length_ms=64.0,
-                                                 num_bins=128))
+    sep_cfg = preset.sep3
+    osd_cfg = preset.osd
+    spk_cfg = preset.spk
+    asr_cfg = preset.asr
 
     # ------------------------------------------------------- 1. separator
     log("[1/4] training 3-src separator (PIT SI-SDR)")
@@ -305,20 +358,6 @@ def train_world_pack(steps_scale: float = 1.0, seed: int = 0,
     losses["asr_final_loss"] = float(loss)
 
     # ------------------------------------------- assemble the model pack
-    preset = EnginePreset(
-        name="demo", osd=osd_cfg, sep3=sep_cfg,
-        sep2=ConvTasNetConfig(n_src=2, enc_dim=64, enc_kernel=16, bottleneck=32,
-                              hidden=64, n_blocks=2, n_repeats=1),
-        mossformer=MossFormerConfig(n_src=2, enc_dim=64, dim=48, qk_dim=32, layers=2),
-        spk=spk_cfg, asr=asr_cfg,
-        transducer=TransducerConfig(vocab_size=tokens.vocab_size, dim=32, heads=2,
-                                    layers=1, pred_dim=32, joiner_dim=32, conv_kernel=3),
-        paraformer=ParaformerConfig(vocab_size=tokens.vocab_size, dim=32, heads=2,
-                                    enc_layers=1, dec_layers=1, conv_kernel=3, max_tokens=16),
-        whisper=WhisperStyleConfig(vocab_size=tokens.vocab_size, dim=32, heads=2,
-                                   enc_layers=1, dec_layers=1, max_decode_len=16),
-        vad=VADConfig(dim=16, layers=2),
-    )
     pack = ModelPack(preset, seed=seed, tokens=tokens)
     pack.load_params("sep3", sep_trainer.state.params)
     pack.load_params("osd", osd_trainer.state.params)
@@ -328,6 +367,12 @@ def train_world_pack(steps_scale: float = 1.0, seed: int = 0,
         spk_packed["batch_stats"] = spk_vars["batch_stats"]["embedder"]
     pack.load_params("spk", spk_packed)
     pack.load_params("asr", asr_trainer.state.params)
+    if ckpt_dir is not None:
+        from ..train.checkpoint import save_model_pack
+
+        save_model_pack(pack, ckpt_dir)
+        Path(f"{ckpt_dir}.losses.json").write_text(json.dumps(losses))
+        log(f"saved world pack -> {ckpt_dir}")
     engine = StageEngine(pack, BucketSpec(lengths=default_buckets(SR, 0.5, 8.0),
                                           max_batch=8))
     return engine, tokens, losses
@@ -335,10 +380,16 @@ def train_world_pack(steps_scale: float = 1.0, seed: int = 0,
 
 def run_quality_gate(steps_scale: float = 1.0, n_scenes: int = 6,
                      seed: int = 0, eval_seed: int = 424242,
-                     log=print) -> Dict:
+                     log=print, ckpt_dir: Optional[str] = None,
+                     reuse_ckpt: bool = False) -> Dict:
     """Train the world pack, calibrate sv_threshold on dev scenes, run the
     flagship pipeline on held-out scenes -> metrics dict (the reference's
-    field names + per-record CER)."""
+    field names + per-record CER, decomposed per layer: clean recognizer /
+    oracle-separated spans / actual pipeline branches).
+
+    ``ckpt_dir`` + ``reuse_ckpt`` skip the ~20 min retrain when a saved
+    world pack exists (tools/diag_gate.py uses this to iterate on the
+    eval side)."""
     import tempfile
 
     from ..audio_io import write_wav
@@ -347,7 +398,14 @@ def run_quality_gate(steps_scale: float = 1.0, n_scenes: int = 6,
     from .offline_overlap3 import Overlap3Pipeline
 
     t0 = time.time()
-    engine, tokens, losses = train_world_pack(steps_scale, seed, log=log)
+    if reuse_ckpt and ckpt_dir is not None and Path(ckpt_dir).exists():
+        log(f"restoring world pack from {ckpt_dir} (skipping training)")
+        engine, tokens = build_world_engine(seed, ckpt_dir)
+        lp = Path(f"{ckpt_dir}.losses.json")
+        losses = json.loads(lp.read_text()) if lp.exists() else {}
+    else:
+        engine, tokens, losses = train_world_pack(steps_scale, seed, log=log,
+                                                  ckpt_dir=ckpt_dir)
     t_train = time.time() - t0
 
     # ------------------------------ calibrate sv_threshold on dev scenes
@@ -377,6 +435,7 @@ def run_quality_gate(steps_scale: float = 1.0, n_scenes: int = 6,
     with tempfile.TemporaryDirectory() as td:
         tdp = Path(td)
         paths, truths, ref_rows = [], {}, []
+        tgt_refs: Dict[str, np.ndarray] = {}   # oracle target source per scene
         for i in range(n_scenes):
             w_t = rand_word(eval_rng, 6, 6) + rand_word(eval_rng, 6, 6)
             tgt = say(eval_rng, target_spk, w_t)[:t3]
@@ -398,6 +457,7 @@ def run_quality_gate(steps_scale: float = 1.0, n_scenes: int = 6,
             r2 = tdp / f"iref_{i}.wav"
             tgt_full = np.zeros(t3, np.float32)
             tgt_full[: tgt.size] = tgt
+            tgt_refs[str(mp)] = tgt_full
             write_wav(r1, tgt_full, SR)
             write_wav(r2, intr_full, SR)
             ref_rows.append(f"{mp},{r1},{r2}")
@@ -416,21 +476,41 @@ def run_quality_gate(steps_scale: float = 1.0, n_scenes: int = 6,
         t_pipe = time.time() - t1
 
         m = dict(result.metrics)
+        # ---- CER decomposition: pin the failing layer by data ----
+        # (a) clean recognizer: the oracle target source, whole scene
+        clean_hyps = engine.transcribe([tgt_refs[p] for p in paths])
+        clean_cers = [cer(truths[p], h) for p, h in zip(paths, clean_hyps)]
         # per-record CER: emitted text vs the letters the target actually
         # voiced (>=50% of the slot) inside the record's span
         span_cers: List[float] = []
         by_wav: Dict[str, List[str]] = {}
-        for rec in sorted(result.segments, key=lambda r: (r["wav"], r["start"])):
+        recs = sorted(result.segments, key=lambda r: (r["wav"], r["start"]))
+        # (b) oracle separation: the target SOURCE cut on the pipeline's own
+        # spans — isolates span algebra + recognizer from separator residue
+        oracle_crops, oracle_truths = [], []
+        for rec in recs:
+            ia, ib = int(rec["start"] * SR), int(rec["end"] * SR)
+            oracle_crops.append(tgt_refs[rec["wav"]][ia:ib])
+            oracle_truths.append(span_truth(truths[rec["wav"]], rec["start"], rec["end"]))
+        oracle_hyps = engine.transcribe(oracle_crops) if oracle_crops else []
+        oracle_cers = [cer(t, h) for t, h in zip(oracle_truths, oracle_hyps) if t]
+        # (c) the actual pipeline branches
+        for rec, o_hyp in zip(recs, oracle_hyps):
             truth = span_truth(truths[rec["wav"]], rec["start"], rec["end"])
             if truth:
                 span_cers.append(cer(truth, rec["text"]))
             by_wav.setdefault(rec["wav"], []).append(rec["text"])
+            log(f"  rec {Path(rec['wav']).name} [{rec['start']:.2f},{rec['end']:.2f}] "
+                f"kind={'ovl' if rec.get('is_overlap') else 'clean'} "
+                f"truth={truth!r} hyp={rec['text']!r} oracle_hyp={o_hyp!r}")
         concat_cers = [cer(truths[w], "".join(ts)) for w, ts in by_wav.items()]
 
     m.update({
         "cer_mean": round(float(np.mean(span_cers)), 4) if span_cers else None,
         "cer_records": len(span_cers),
         "cer_concat_mean": round(float(np.mean(concat_cers)), 4) if concat_cers else None,
+        "cer_clean_mean": round(float(np.mean(clean_cers)), 4) if clean_cers else None,
+        "cer_oracle_sep_mean": round(float(np.mean(oracle_cers)), 4) if oracle_cers else None,
         "sv_threshold_calibrated": round(sv_thr, 4),
         "n_scenes": n_scenes,
         "steps_scale": steps_scale,
@@ -443,6 +523,8 @@ def run_quality_gate(steps_scale: float = 1.0, n_scenes: int = 6,
     log(f"sep_sisdr_mean={m['sep_sisdr_mean']} sep_sisdri_mean={m['sep_sisdri_mean']}")
     log(f"cer_mean={m['cer_mean']} (per-record, {m['cer_records']} records) "
         f"cer_concat_mean={m['cer_concat_mean']}")
+    log(f"decomposition: clean={m['cer_clean_mean']} "
+        f"oracle_sep={m['cer_oracle_sep_mean']} pipeline={m['cer_mean']}")
     return m
 
 

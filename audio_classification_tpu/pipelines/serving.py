@@ -75,6 +75,11 @@ class StreamingServer:
         self._stopped = False
         self.tick_latencies: List[float] = []
         self.tick_batch_sizes: List[int] = []
+        # capture-to-text latency per EMITTED record: emit time minus the
+        # moment the session's window was enqueued — what one caller
+        # experiences at capacity (queue wait + batched tick compute),
+        # not just how long a tick takes
+        self.session_latencies: List[float] = []
         self.chunks_dropped = 0
         self._worker = None
         if autostart:
@@ -218,7 +223,7 @@ class StreamingServer:
             return {}
         lat = np.asarray(self.tick_latencies)
         bs = np.asarray(self.tick_batch_sizes)
-        return {
+        out = {
             "ticks": int(lat.size),
             "sessions": len([s for s in self._sessions.values() if not s.closed]),
             "tick_latency_mean_sec": round(float(lat.mean()), 4),
@@ -227,6 +232,12 @@ class StreamingServer:
             "chunks_per_tick_max": int(bs.max()),
             "chunks_dropped": self.chunks_dropped,
         }
+        if self.session_latencies:
+            sl = np.asarray(self.session_latencies)
+            out["session_latency_p50_sec"] = round(float(np.percentile(sl, 50)), 4)
+            out["session_latency_p95_sec"] = round(float(np.percentile(sl, 95)), 4)
+            out["session_latency_records"] = int(sl.size)
+        return out
 
     # ------------------------------------------------------------- ticks
     _busy = False
@@ -371,12 +382,14 @@ class StreamingServer:
         asr_elapsed = time.time() - t_a
 
         total = sum(len(e["row"]["chunk"]) for e in emitted) or 1
+        now = time.time()
         with self._lock:
             for e in emitted:
                 row = e["row"]
                 s = row["s"]
                 if s.closed:
                     continue
+                self.session_latencies.append(now - row["item"]["end"])
                 s.results.append({
                     "start": row["start"],
                     "end": row["end"],

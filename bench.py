@@ -510,11 +510,17 @@ def serve_smoke(eng, cfg, items, n_sessions: int = 16, ticks: int = 8,
             srv.step()
         srv.tick_latencies.clear()
         srv.tick_batch_sizes.clear()
+        srv.session_latencies.clear()
         for tick in range(cycle, cycle + ticks):
             feed(tick)
             srv.step()
         p95_n = float(np.percentile(np.asarray(srv.tick_latencies), 95))
         sustained = p95_n <= window_sec
+        # what ONE session experiences at capacity: capture-to-text latency
+        # per emitted record (enqueue -> emit, incl. queue wait) across the
+        # measured ticks — the per-caller SLO number next to the
+        # whole-batch tick wall (round-4 verdict #7)
+        sl = np.asarray(srv.session_latencies) if srv.session_latencies else None
         # below the window: N streams measured-sustained (headroom uncounted
         # — we don't extrapolate up again); above: scale down from the
         # AT-CAPACITY tick, the honest local slope
@@ -531,6 +537,15 @@ def serve_smoke(eng, cfg, items, n_sessions: int = 16, ticks: int = 8,
             "serve_capacity_sustained": sustained,
             "serve_rt_streams": rt_measured,
         })
+        if sl is not None:
+            out.update({
+                "serve_latency_p50_s": round(float(np.percentile(sl, 50)), 3),
+                "serve_latency_p95_s": round(float(np.percentile(sl, 95)), 3),
+            })
+            log(f"bench: per-session capture-to-text latency at {n_meas} "
+                f"sessions: p50={out['serve_latency_p50_s']}s "
+                f"p95={out['serve_latency_p95_s']}s "
+                f"({sl.size} emitted records)")
     return out
 
 

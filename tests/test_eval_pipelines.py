@@ -105,12 +105,25 @@ def test_evaluate_with_sources_cli(librimix_root, tmp_path):
     d = list(out.iterdir())[0]
     ev = json.loads((d / "evaluation.json").read_text())
     assert ev["sep_nsrc"] == 2
-    for section in ("timing", "osd", "separation", "cpu", "asr"):
-        assert section in ev
-    for k in ("rtf_total", "rtf_osd", "rtf_sep_total", "rtf_sep_overlap", "rtf_asr"):
-        assert k in ev["timing"]
-    for k in ("precision", "recall", "f1", "iou", "tp_frames"):
-        assert k in ev["osd"]
+    # FULL ordered key schema (field-for-field, reference:
+    # evaluate_with_sources.py:961-1036) — json.load preserves writer
+    # insertion order, so a renamed/reordered/dropped field fails here,
+    # not just a missing section
+    assert list(ev.keys()) == [
+        "dataset", "files_limit", "elapsed_sec", "hop_sec", "win_sec",
+        "sep_nsrc", "activity_thr", "min_overlap_dur",
+        "gt_overlap_total_sec", "pred_overlap_total_sec", "audio_total_sec",
+        "timing", "osd", "separation", "notes", "cpu", "asr"]
+    assert list(ev["timing"].keys()) == [
+        "time_wall_sec", "time_osd_sec", "time_sep_sec", "time_asr_sec",
+        "overlap_predicted_sec_for_sep", "rtf_total", "rtf_osd",
+        "rtf_sep_total", "rtf_sep_overlap", "rtf_asr"]
+    assert list(ev["osd"].keys()) == [
+        "precision", "recall", "f1", "iou", "tp_frames", "fp_frames",
+        "fn_frames"]
+    assert list(ev["separation"].keys()) == ["si_sdr", "si_sdri"]
+    assert list(ev["separation"]["si_sdr"].keys()) == [
+        "count", "mean", "median", "p25", "p75", "min", "max"]
     assert ev["separation"]["si_sdr"]["count"] >= 1
     assert ev["asr"]["overlap_separated"]["count"] >= 0
     details = (d / "overlap_details.csv").read_text().splitlines()
