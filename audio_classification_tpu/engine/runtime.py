@@ -62,6 +62,14 @@ class EnginePreset:
     paraformer: ParaformerConfig = field(default_factory=ParaformerConfig)
     whisper: WhisperStyleConfig = field(default_factory=WhisperStyleConfig)
     vad: VADConfig = field(default_factory=VADConfig)
+    #: separated-branch level restoration before branch ASR. An SI-SDR-
+    #: trained separator's output scale is ARBITRARY (measured: branch RMS
+    #: 44x the source's in the r5 gate diagnostic, peaks ~20 — far outside
+    #: any recognizer's calibration, and past the ±1.0 int16 clip of the
+    #: device branch-requantize path). "peak": scale each branch row to a
+    #: 0.25 peak before ASR/requantize; "none": feed raw (reference parity —
+    #: asteroid outputs go straight to sherpa ASR, separation.py:77-89).
+    asr_branch_norm: str = "none"
 
 
 def tiny_preset() -> EnginePreset:
@@ -479,6 +487,14 @@ class StageEngine:
             sm = (jnp.arange(wav.shape[1])[None, :] < lengths[:, None]).astype(cdt)
             return model.apply(params, wav.astype(cdt), sm).astype(jnp.float32)
 
+        def _branch_norm(rows):
+            """Level restoration for separated-branch rows [..., T] headed
+            into ASR or the int16 requantize (preset.asr_branch_norm)."""
+            if p.preset.asr_branch_norm != "peak":
+                return rows
+            peak = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
+            return rows * (0.25 / jnp.maximum(peak, 1e-6))
+
         def sep_fn(model, params, wav_i16, lengths):
             return _sep_core(model, params, _dq(wav_i16), lengths)
 
@@ -625,7 +641,7 @@ class StageEngine:
             scores = jnp.sum(emb * target_vec[:, None, :], axis=-1)  # [B, S]
             scores = scores.astype(jnp.float32)
             best = jnp.argmax(scores, axis=-1)
-            best_wav = est[jnp.arange(b), best]
+            best_wav = _branch_norm(est[jnp.arange(b), best])
             ids, n = _asr_core(params["asr"], best_wav, lengths, language_id, use_itn)
             packed = _pack_i32(scores, best.astype(jnp.int32), *_cap_ids(ids, n))
             if return_branches:
@@ -702,8 +718,10 @@ class StageEngine:
             (bucketing.quantize_i16: clip(rint(x*32768)) -> int16, padding
             masked to 0) — bit-identical to pulling each branch to host
             and re-uploading it through pad_batch_i16, without the audio
-            ever crossing the link (transcribe_branches)."""
-            rows = est[js, bis, :].astype(jnp.float32)
+            ever crossing the link (transcribe_branches). asr_branch_norm
+            applies BEFORE the quantize — an unnormalized SI-SDR branch can
+            peak far beyond the int16 clip point."""
+            rows = _branch_norm(est[js, bis, :].astype(jnp.float32))
             valid = (jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :]
                      < lens[:, None])
             q = jnp.clip(jnp.round(rows * 32768.0), -32768.0, 32767.0)

@@ -41,6 +41,13 @@ class SenseVoiceConfig:
     num_mel: int = 80
     num_prompt: int = 4              # language, event, emotion, itn slots
     quant: str = "none"              # "int8": encoder projections on the s8 MXU
+    #: per-UTTERANCE CMVN over valid frames (masked mean/var of the LFR
+    #: feats). Static-stats CMVN (cmvn_mean/istd args) removes the TRAINING
+    #: corpus level; per-utterance removes each input's own level — making
+    #: the frontend exactly scale-invariant. Matters when upstream stages
+    #: (e.g. an SI-SDR-trained separator, whose output scale is arbitrary)
+    #: feed the recognizer directly.
+    utt_cmvn: bool = False
     fbank: FbankConfig = field(default_factory=FbankConfig)
 
     def out_frames(self, n_samples: int) -> int:
@@ -153,4 +160,10 @@ def sensevoice_frontend(
     fb_len = jnp.maximum((wav_lengths - flen) // shift + 1, 0)
     lfr_len = jnp.ceil(fb_len / cfg.lfr_n).astype(jnp.int32)
     mask = lengths_to_mask(jnp.maximum(lfr_len, 1), n_t)
+    if cfg.utt_cmvn:
+        m = mask.astype(lfr.dtype)[..., None]                 # [B, T, 1]
+        denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+        mu = jnp.sum(lfr * m, axis=1, keepdims=True) / denom
+        var = jnp.sum(jnp.square(lfr - mu) * m, axis=1, keepdims=True) / denom
+        lfr = (lfr - mu) / jnp.sqrt(var + 1e-5) * m
     return lfr, mask

@@ -21,6 +21,72 @@ def test_span_truth_rule():
 
 
 @pytest.mark.slow
+def test_asr_recipe_cer_tripwire():
+    """CI-scale CER tripwire (r4 verdict #2): train ONLY the recognizer
+    with the gate's exact recipe at a reduced step budget and assert the
+    decomposed CERs under loose bounds — so a recipe regression (frontend
+    resolution, lr schedule, augmentation, CMVN) fails the suite instead
+    of surfacing rounds later in the full-scale driver artifact. The r3->r4
+    stagnation (clean CER 0.97 on spk0 under the unresolvable frontend)
+    would trip the clean bound here immediately.
+    """
+    import os
+
+    import numpy as np
+
+    from audio_classification_tpu.metrics import cer
+    from audio_classification_tpu.pipelines.quality_gate import (
+        N_SPK, rand_word, say, train_world_pack)
+
+    scale = float(os.environ.get("ACT_TRIPWIRE_SCALE", "0.2"))
+    engine, tokens, losses = train_world_pack(
+        scale, seed=0, log=lambda *a: None, stages=("asr",))
+
+    ev = np.random.default_rng(7)
+
+    def batch(make, n=16):
+        words, wavs = [], []
+        for _ in range(n):
+            w, a = make(ev)
+            words.append(w)
+            wavs.append(np.asarray(a, np.float32))
+        hyps = engine.transcribe(wavs)
+        return float(np.mean([cer(w, h) for w, h in zip(words, hyps)]))
+
+    def dither(a, ev):
+        # every training sample has a noise floor; pristine digital tones
+        # are OOD for the recognizer (measured in the r5 gate diagnostic:
+        # CER 0.205 noiseless vs 0.000 at >= -54 dB dither)
+        return a + 0.005 * ev.standard_normal(a.size).astype(np.float32)
+
+    def clean(ev):
+        w = rand_word(ev, 6, 12)
+        return w, dither(say(ev, int(ev.integers(N_SPK)), w), ev)
+
+    def residue(ev):
+        w = rand_word(ev, 6, 12)
+        spks = ev.choice(N_SPK, 2, replace=False)
+        a = say(ev, int(spks[0]), w)
+        other = say(ev, int(spks[1]), rand_word(ev, 6, 12))[: a.size]
+        other = np.pad(other, (0, a.size - other.size))
+        s = np.linalg.norm(a) / (np.linalg.norm(other) + 1e-9) * 10 ** (-12 / 20)
+        return w, dither(a + s * other, ev)
+
+    clean_cer = batch(clean)
+    resid_cer = batch(residue)
+    # scale invariance is structural (utt_cmvn): a 20x gain must not move
+    # the decode at all
+    gain_cer = batch(lambda ev: (lambda w_a: (w_a[0], 20.0 * w_a[1]))(clean(ev)))
+    print(f"tripwire scale={scale}: clean={clean_cer:.3f} "
+          f"residue12dB={resid_cer:.3f} gain20x={gain_cer:.3f}")
+    assert clean_cer <= 0.30, f"clean CER {clean_cer} — recognizer recipe regressed"
+    assert resid_cer <= 0.55, f"residue CER {resid_cer} — robustness regressed"
+    assert abs(gain_cer - clean_cer) <= 0.10, (
+        f"gain20x CER {gain_cer} vs clean {clean_cer} — frontend lost scale "
+        "invariance (utt_cmvn)")
+
+
+@pytest.mark.slow
 def test_quality_gate_plumbing(tmp_path):
     """End-to-end CLI at ~1% step budget: artifact schema + gate logic.
 
