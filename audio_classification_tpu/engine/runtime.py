@@ -1089,26 +1089,57 @@ class StageEngine:
     def _collect_bucketed(handle, device_elems: Tuple[int, ...] = ()) -> List[Any]:
         """Block on a _launch_bucketed handle -> per-item results.
 
-        One D2H transfer per batch, sliced on host (per-item device reads
-        would pay the latency B times). Tuple elements listed in
-        ``device_elems`` are NOT pulled: the per-item result holds
-        ``(device_array, j)`` — the batched device output plus the item's
-        row — so the caller pulls individual rows lazily (or never; see
-        collect_overlap(lazy_branches=True)).
+        COALESCED D2H: all batch results (tuple elements included, minus
+        ``device_elems``) whose trailing shape+dtype match are concatenated
+        ON DEVICE and pulled in ONE transfer, then sliced on host. The
+        serial cost of a collect is per-PULL tunnel round-trip, not per
+        launch — measured: fusing the 32 gather launches (r5) left the
+        ~1.6 s collect wall unchanged because the pipeline pays ~34 result
+        pulls x ~45 ms RTT either way; a stage's 9-10 bucket batches now
+        cost one RTT instead of 9-10. The device concat is one cheap
+        HBM-local copy per (shape, dtype) group.
+
+        Tuple elements listed in ``device_elems`` are NOT pulled: the
+        per-item result holds ``(device_array, j)`` — the batched device
+        output plus the item's row — so the caller pulls individual rows
+        lazily (or never; see collect_overlap(lazy_branches=True)).
         """
         pending, n = handle
         out: List[Any] = [None] * n
-        for chunk_idx, res in pending:
-            if isinstance(res, tuple):
-                host = tuple(r if e in device_elems else np.asarray(r)
-                             for e, r in enumerate(res))
-                for j, i in enumerate(chunk_idx):
-                    out[i] = tuple((h, j) if e in device_elems else h[j]
-                                   for e, h in enumerate(host))
+        # ---- plan: every (entry, elem) to pull, grouped by row signature
+        to_pull: List[Tuple[int, int, Any]] = []   # (entry_i, elem_i, arr)
+        for pi, (chunk_idx, res) in enumerate(pending):
+            elems = res if isinstance(res, tuple) else (res,)
+            for e, r in enumerate(elems):
+                if isinstance(res, tuple) and e in device_elems:
+                    continue
+                to_pull.append((pi, e, r))
+        groups: Dict[Any, List[Tuple[int, int, Any]]] = {}
+        for pi, e, r in to_pull:
+            groups.setdefault((tuple(r.shape[1:]), str(r.dtype)), []).append((pi, e, r))
+        host: Dict[Tuple[int, int], np.ndarray] = {}
+        for items in groups.values():
+            if len(items) == 1:
+                pi, e, r = items[0]
+                host[(pi, e)] = np.asarray(r)
             else:
-                host = np.asarray(res)
+                cat = np.asarray(jnp.concatenate([r for _, _, r in items], axis=0))
+                off = 0
+                for pi, e, r in items:
+                    host[(pi, e)] = cat[off : off + r.shape[0]]
+                    off += r.shape[0]
+        # ---- scatter back to per-item results
+        for pi, (chunk_idx, res) in enumerate(pending):
+            if isinstance(res, tuple):
+                parts = tuple(res[e] if e in device_elems else host[(pi, e)]
+                              for e in range(len(res)))
                 for j, i in enumerate(chunk_idx):
-                    out[i] = host[j]
+                    out[i] = tuple((p, j) if e in device_elems else p[j]
+                                   for e, p in enumerate(parts))
+            else:
+                h = host[(pi, 0)]
+                for j, i in enumerate(chunk_idx):
+                    out[i] = h[j]
         return out
 
     def _run_bucketed(self, items: Sequence[np.ndarray], fn, extras: Optional[Sequence] = None) -> List[Any]:
