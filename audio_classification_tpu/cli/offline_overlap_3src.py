@@ -127,6 +127,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "gathering segment windows on device from one "
                         "packed per-wave audio uplink (the default halves+ "
                         "host->device bytes)")
+    p.add_argument("--arena-codec", dest="arena_codec", default="i16",
+                   choices=["i16", "mulaw"],
+                   help="Wave-arena uplink encoding: i16 keeps the "
+                        "bit-parity contract with the host-pad path; mulaw "
+                        "halves the audio uplink bytes (8-bit companding, "
+                        "~38 dB SNR, decoded on device) — worthwhile when "
+                        "the host->device link is the bottleneck")
     p.add_argument("--quant", default="none", choices=["none", "int8"],
                    help="int8: separators run dynamic-int8 on the s8 MXU "
                         "path (2x the bf16 MXU rate on v5e)")

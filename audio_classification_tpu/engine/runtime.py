@@ -39,7 +39,9 @@ from ..models.speaker import SpeakerEmbedder, SpeakerEmbedderConfig
 from ..models.vad import VADConfig, VADNet
 from ..ops.fbank import FbankConfig, log_mel_fbank
 from ..ops.resample import resample_poly
-from .bucketing import (BucketSpec, flat_pack_i16, group_by_bucket, pad_batch,
+from .bucketing import (MULAW_ZERO, BucketSpec, flat_pack_i16,
+                        flat_pack_mulaw, group_by_bucket, mulaw_decode_lut,
+                        pad_batch,
                         pad_batch_i16, quantize_i16)
 from .segments import flags_to_segments
 
@@ -405,7 +407,19 @@ class StageEngine:
 
     def __init__(self, pack: ModelPack, buckets: Optional[BucketSpec] = None,
                  fbank: Optional[FbankConfig] = None, mesh=None,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32", arena_codec: str = "i16"):
+        """``arena_codec``: the wave-arena uplink encoding. "i16" (default)
+        is the bit-parity contract (slice-then-quantize == quantize-then-
+        slice vs pad_batch_i16). "mulaw" halves the uplink bytes with
+        8-bit companding (~38 dB SNR, decoded on device by a 256-entry
+        LUT in the gather prologue) — the arena H2D transfer is the
+        steady-state pipeline's largest single cost through a remote
+        tunnel (measured ~0.8 s of a ~2.0 s pass for 1280 s of audio at
+        ~51 MB/s). Per-batch (non-arena) uplinks stay int16 either way.
+        """
+        if arena_codec not in ("i16", "mulaw"):
+            raise ValueError(f"arena_codec must be i16|mulaw, got {arena_codec!r}")
+        self.arena_codec = arena_codec
         self.pack = pack
         self.mesh = mesh
         self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
@@ -463,8 +477,15 @@ class StageEngine:
         # dequantized on device.
         cdt = self.compute_dtype
 
-        def _dq(wav_i16):
-            return wav_i16.astype(jnp.float32) * (1.0 / 32768.0)
+        mulaw_lut = np.asarray(mulaw_decode_lut())
+
+        def _dq(wav_q):
+            """Uplink decode, dispatched on dtype at trace time: int16
+            scale (the bit-parity default; per-batch uplinks always) or
+            uint8 mu-law LUT (arena_codec="mulaw" arena windows)."""
+            if wav_q.dtype == jnp.uint8:
+                return jnp.asarray(mulaw_lut)[wav_q.astype(jnp.int32)]
+            return wav_q.astype(jnp.float32) * (1.0 / 32768.0)
 
         def _fbank_mask(wav, lengths):
             feats = log_mel_fbank(wav, self.fbank_cfg)
@@ -664,7 +685,9 @@ class StageEngine:
                 lambda s: jax.lax.dynamic_slice(arena_i16, (s,), (seg_len,))
             )(starts)
             valid = jnp.arange(seg_len, dtype=jnp.int32)[None, :] < lens[:, None]
-            return jnp.where(valid, segs, jnp.int16(0))
+            fill = (jnp.asarray(MULAW_ZERO, jnp.uint8)
+                    if arena_i16.dtype == jnp.uint8 else jnp.int16(0))
+            return jnp.where(valid, segs, fill)
 
         # Fused arena-stage twins: gather_fn runs as the PROLOGUE of the
         # stage program itself, so assembling a batch from the arena costs
@@ -708,7 +731,8 @@ class StageEngine:
             padding off the uplink)."""
             total = sum(b.shape[0] for b in bufs)
             pad = -total % (1 << 20)
-            tail = (jnp.zeros((pad,), bufs[0].dtype),) if pad else ()
+            fill = MULAW_ZERO if bufs[0].dtype == jnp.uint8 else 0
+            tail = (jnp.full((pad,), fill, bufs[0].dtype),) if pad else ()
             return jnp.concatenate(bufs + tail, axis=0)
 
         def branch_q_fn(est, js, bis, lens):
@@ -973,6 +997,8 @@ class StageEngine:
             return None
         if any(w.shape[-1] > self.buckets.lengths[-1] for w in items):
             return None
+        flat_pack = (flat_pack_mulaw if self.arena_codec == "mulaw"
+                     else flat_pack_i16)
         # every gather span lies inside one item, so the widest window any
         # stage will slice is bucket_for(longest item) — a tail that long
         # keeps dynamic_slice in bounds without uplinking the fattest
@@ -996,7 +1022,8 @@ class StageEngine:
         # unfragmented. Mesh engines keep the single-shot upload (the
         # replicated placement + AOT gather shardings are per-buffer).
         part_mb = float(os.environ.get("ACT_ARENA_PART_MB", "4"))
-        n_parts = (int(total * 2 // (part_mb * 2**20)) if part_mb > 0 else 0)
+        bytes_per = 1 if self.arena_codec == "mulaw" else 2
+        n_parts = (int(total * bytes_per // (part_mb * 2**20)) if part_mb > 0 else 0)
         n_parts = min(n_parts, len(items), 8)
         if self.mesh is None and n_parts >= 2:
             bounds = np.linspace(0, len(items), n_parts + 1).astype(int)
@@ -1031,8 +1058,8 @@ class StageEngine:
                 # finer per-part grid: grid padding is real zeros on the
                 # uplink; the concat re-pads the COMBINED buffer to the
                 # coarse grid so downstream gather shapes don't multiply
-                buf, offs, lens = flat_pack_i16(group, p_tail,
-                                                min(grid, 1 << 18))
+                buf, offs, lens = flat_pack(group, p_tail,
+                                            min(grid, 1 << 18))
                 dev_p = jnp.asarray(buf)  # async H2D per part
                 parts.append(WaveArena(dev_p, offs, lens, p_tail))
                 bufs.append(dev_p)
@@ -1044,7 +1071,7 @@ class StageEngine:
                              np.concatenate(len_all), parts[-1].tail,
                              parts=parts)
 
-        buf, offsets, lengths = flat_pack_i16(items, tail, grid)
+        buf, offsets, lengths = flat_pack(items, tail, grid)
         if self.mesh is not None:
             # replicate ONCE at upload; the AOT gather executable requires
             # placed-or-uncommitted inputs, and re-replicating per dispatch

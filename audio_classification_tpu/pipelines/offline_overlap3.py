@@ -318,7 +318,8 @@ def build_engine(cfg) -> StageEngine:
         mesh = make_mesh(max(dp, 1) * max(mp, 1), model_axis=max(mp, 1),
                          slices=int(getattr(cfg, "slices", 1) or 1))
     return StageEngine(pack, buckets, mesh=mesh,
-                       compute_dtype=getattr(cfg, "compute_dtype", "float32"))
+                       compute_dtype=getattr(cfg, "compute_dtype", "float32"),
+                       arena_codec=getattr(cfg, "arena_codec", "i16"))
 
 
 def _load_resampled(engine: StageEngine, path: str) -> Tuple[np.ndarray, int]:

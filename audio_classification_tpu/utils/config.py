@@ -107,6 +107,9 @@ class Overlap3Config:
     device_gather: bool = True        # upload each wave's audio ONCE as a packed int16
                                       # arena and gather OSD/segment batches from it on
                                       # device (halves+ H2D bytes); False: per-batch uplink
+    arena_codec: str = "i16"          # arena uplink encoding: "i16" (bit-parity default)
+                                      # or "mulaw" (8-bit companding, half the uplink
+                                      # bytes, ~38 dB SNR; device LUT decode)
     quant: str = "none"               # "int8": separators run dynamic-int8 on the s8
                                       # MXU path (2x bf16 rate; ops/quant)
 

