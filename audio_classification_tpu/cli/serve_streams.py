@@ -75,6 +75,11 @@ def parse_args(argv=None):
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="bfloat16 halves MXU cost; norm statistics stay f32")
+    p.add_argument("--arena-codec", dest="arena_codec", default="i16",
+                   choices=["i16", "mulaw"],
+                   help="Wave-arena uplink encoding (mulaw: half the audio "
+                        "uplink bytes, ~38 dB companding SNR — the "
+                        "telephony ingest format)")
     p.add_argument("--out", default="", help="Write all records to this JSONL")
     return p.parse_args(argv)
 
