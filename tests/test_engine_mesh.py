@@ -262,3 +262,29 @@ def test_mesh_arena_gather(engines):
     out_batch = sharded.collect_clean(sharded.launch_clean(wavs, [tv] * 3))
     for (sa, ta), (sb, tb) in zip(out_arena, out_batch):
         assert abs(sa - sb) < 1e-6 and ta == tb
+
+
+def test_mesh_mulaw_arena_serves_fused_paths():
+    """mulaw arena + mesh: the uint8 arena replicates across the mesh and
+    the fused arena-stage programs (uint8-keyed AOT variants) serve OSD
+    and the clean path end to end."""
+    import jax.numpy as jnp
+
+    pack = ModelPack(tiny_preset(), seed=0)
+    mesh = make_mesh(8, model_axis=2)
+    eng = StageEngine(pack, BucketSpec(lengths=(4000, 8000, 16000),
+                                       max_batch=8),
+                      mesh=mesh, arena_codec="mulaw")
+    rng = np.random.default_rng(5)
+    wavs = [0.3 * rng.standard_normal(n).astype(np.float32)
+            for n in (16000, 9000, 12000, 8000)]
+    arena = eng.upload_arena(wavs)
+    assert arena is not None and arena.dev.dtype == jnp.uint8
+    segs = eng.collect_osd_batch(eng.launch_osd_arena(arena), 0.5, 0.5, 0.1)
+    assert all(sl and abs(sl[-1][1] - len(w) / 16000.0) < 1e-6
+               for w, sl in zip(wavs, segs))
+    vec = eng.embed([wavs[0]])[0]
+    spans = [(int(arena.offsets[0]), 16000), (int(arena.offsets[1]), 9000)]
+    out = eng.collect_clean(eng.launch_clean(None, [vec, vec],
+                                             arena=arena, spans=spans))
+    assert len(out) == 2 and all(isinstance(s, float) for s, _ in out)
