@@ -302,29 +302,46 @@ class StreamingServer:
                     [chunks[i] for i in idxs], src_sr, G_SAMPLE_RATE)):
                 chunks[i] = w
 
+        # one ARENA uplink per tick: every session chunk's audio crosses
+        # the link ONCE; the OSD batch, the unconditional whole-chunk
+        # separation rows, and the OSD-derived segment rows below all
+        # gather their windows from it on device (before this, the same
+        # tick audio uploaded up to 3x through the bucket-padded per-batch
+        # path). Falls back to per-batch uplinks when the arena can't
+        # serve the input (over-cap chunks).
+        arena = eng.upload_arena(chunks)
         # OSD across every session's chunk in one batched launch — and the
-        # unconditional whole-chunk separation rows (reference:
+        # whole-chunk separation rows (reference:
         # streaming_overlap3_core.py:179-210) don't depend on OSD output,
         # so their fused program launches BEFORE the OSD collect: the big
-        # separation uplink+dispatch overlaps OSD's device time instead of
+        # separation dispatch overlaps OSD's device time instead of
         # waiting out the segment round-trip on an idle host
-        h_osd = eng.launch_osd_batch(chunks, G_SAMPLE_RATE)
+        h_osd = (eng.launch_osd_arena(arena) if arena is not None
+                 else eng.launch_osd_batch(chunks, G_SAMPLE_RATE))
         # sep/SV/ASR wall from here: with the launch overlap it also covers
         # the OSD collect it hides behind the separation dispatch
         t_a = time.time()
         full_rows = [dict(s=s, item=item, chunk=audio, kind="full_separation",
                           start=item["start"], end=item["end"])
                      for (s, item), audio in zip(work, chunks)]
-        h_full = eng.launch_overlap([r["chunk"] for r in full_rows],
-                                    [r["s"].target_vec for r in full_rows],
-                                    lang, return_branches=True, backend=backend)
+        full_tv = [r["s"].target_vec for r in full_rows]
+        if arena is not None:
+            full_spans = [(int(arena.offsets[i]), int(arena.lengths[i]))
+                          for i in range(len(chunks))]
+            h_full = eng.launch_overlap(None, full_tv, lang,
+                                        return_branches=True, backend=backend,
+                                        arena=arena, spans=full_spans)
+        else:
+            h_full = eng.launch_overlap([r["chunk"] for r in full_rows],
+                                        full_tv, lang,
+                                        return_branches=True, backend=backend)
         seg_lists = eng.collect_osd_batch(
             h_osd, getattr(args, "osd_thr", 0.5),
             getattr(args, "osd_win", 0.5), getattr(args, "osd_hop", 0.1))
 
         clean_rows: List[dict] = []
         ov_rows: List[dict] = []
-        for (s, item), audio, segs in zip(work, chunks, seg_lists):
+        for si, ((s, item), audio, segs) in enumerate(zip(work, chunks, seg_lists)):
             if not segs:
                 segs = [(0.0, len(audio) / G_SAMPLE_RATE, False)]
             for start, end, is_overlap in segs:
@@ -334,6 +351,9 @@ class StreamingServer:
                     continue
                 row = dict(s=s, item=item, chunk=sub,
                            start=item["start"] + start, end=item["start"] + end)
+                if arena is not None:
+                    # segment window into the tick arena (device gather)
+                    row["span"] = (int(arena.offsets[si]) + a, b - a)
                 if is_overlap and (end - start) >= min_ov:
                     row["kind"] = "overlap"
                     ov_rows.append(row)
@@ -342,12 +362,17 @@ class StreamingServer:
                     clean_rows.append(row)
 
         # back-to-back fused launches for the OSD-derived rows, then collect
+        kw_cl = (dict(arena=arena, spans=[r["span"] for r in clean_rows])
+                 if arena is not None else {})
+        kw_ov = (dict(arena=arena, spans=[r["span"] for r in ov_rows])
+                 if arena is not None else {})
         h_cl = eng.launch_clean([r["chunk"] for r in clean_rows],
                                 [r["s"].target_vec for r in clean_rows],
-                                lang) if clean_rows else None
+                                lang, **kw_cl) if clean_rows else None
         h_ov = (eng.launch_overlap([r["chunk"] for r in ov_rows],
                                    [r["s"].target_vec for r in ov_rows],
-                                   lang, return_branches=True, backend=backend)
+                                   lang, return_branches=True, backend=backend,
+                                   **kw_ov)
                 if ov_rows else None)
 
         emitted: List[dict] = []

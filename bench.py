@@ -46,7 +46,7 @@ ACT_BENCH_DTYPE (bfloat16), ACT_BENCH_MIXTURES (128), ACT_BENCH_DUR_SEC
 (150), ACT_BENCH_SERVE (1; multi-session StreamingServer throughput/latency),
 ACT_BENCH_ROOFLINE (0), ACT_BENCH_FAMILIES (0), ACT_BENCH_SERVE_MEASURE
 (1; measure serving capacity AT the extrapolated session count),
-ACT_BENCH_SERVE_CAP (96; session ceiling for that measurement),
+ACT_BENCH_SERVE_CAP (160; session ceiling for that measurement),
 ACT_BENCH_QUANT
 (none; "int8" serves the whole pipeline through the s8 MXU path incl.
 the fused masker's s8 weight stream),
@@ -502,21 +502,36 @@ def serve_smoke(eng, cfg, items, n_sessions: int = 16, ticks: int = 8,
     # session set of N stays real-time iff the tick wall stays under the
     # window period; the sustained-stream headline is re-derived from the
     # tick p95 measured at N.
-    cap = int(os.environ.get("ACT_BENCH_SERVE_CAP", "96"))
+    cap = int(os.environ.get("ACT_BENCH_SERVE_CAP", "160"))
     n_meas = min(max(rt_streams_extrap, n_sessions), cap)
     if n_meas > n_sessions and os.environ.get("ACT_BENCH_SERVE_MEASURE", "1") == "1":
-        sids.extend(srv.open_session(target_vec=tvec)
-                    for _ in range(n_meas - n_sessions))
-        for tick in range(cycle):   # warm the larger batch shapes
-            feed(tick)
-            srv.step()
-        srv.tick_latencies.clear()
-        srv.tick_batch_sizes.clear()
-        srv.session_latencies.clear()
-        for tick in range(cycle, cycle + ticks):
-            feed(tick)
-            srv.step()
-        p95_n = float(np.percentile(np.asarray(srv.tick_latencies), 95))
+        # ESCALATE while the measured tick leaves >1.5x headroom under the
+        # window (r5: the arena tick + coalesced collects halved the
+        # at-capacity tick wall, so the 16-session extrapolation now
+        # UNDERestimates — e.g. 79 sessions measured p95 0.63 s against
+        # the 2.0 s window). Each step re-extrapolates from the measured
+        # at-capacity tick and measures again, up to the cap.
+        while True:
+            sids.extend(srv.open_session(target_vec=tvec)
+                        for _ in range(n_meas - len(sids)))
+            for tick in range(cycle):   # warm the larger batch shapes
+                feed(tick)
+                srv.step()
+            srv.tick_latencies.clear()
+            srv.tick_batch_sizes.clear()
+            srv.session_latencies.clear()
+            for tick in range(cycle, cycle + ticks):
+                feed(tick)
+                srv.step()
+            p95_n = float(np.percentile(np.asarray(srv.tick_latencies), 95))
+            n_next = min(int(n_meas * window_sec / max(p95_n, 1e-9)), cap)
+            if p95_n <= window_sec / 1.5 and n_next > n_meas:
+                log(f"bench: serving at {n_meas} sessions leaves headroom "
+                    f"(tick_p95={p95_n:.3f}s vs window={window_sec}s) — "
+                    f"escalating to {n_next}")
+                n_meas = n_next
+                continue
+            break
         sustained = p95_n <= window_sec
         # what ONE session experiences at capacity: capture-to-text latency
         # per emitted record (enqueue -> emit, incl. queue wait) across the
